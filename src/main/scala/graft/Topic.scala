@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The cascade topic, Spark-first.
+  *
+  * The reference (stevenewald/cascade) is a Kafka-clone broker: a topic is a
+  * durable append-only byte log (`events.log`) plus a fixed-width offset
+  * index (`index.table`) giving O(1) point reads by ordinal
+  * (/root/reference/src/broker/main.rs:52-97,113-186). Here a topic is a
+  * parquet directory of event rows carrying a persisted dense `offset`
+  * ordinal assigned at publish time:
+  *
+  *   - `publish` = the broker's append (main.rs:85-110): one window over the
+  *     incoming batch assigns ordinals in `(ts, event_id)` order, offset by
+  *     the topic's current high-water mark. Per-topic publish is serialized,
+  *     exactly like the reference's file mutexes (main.rs:55-56) — but reads
+  *     scale out: files are written sorted by offset, so parquet row-group
+  *     min/max statistics prune a point read to a single file + row group,
+  *     the analogue of the reference's `seek(8n)` index lookup.
+  *   - `consume` = the broker's offset read (main.rs:113-186), generalized
+  *     to the batched form its own proto declares (`repeated Event`,
+  *     /root/reference/proto/consume.proto:23) but never implements.
+  *   - unlike the reference, the FULL event is durable (the broker persists
+  *     only `event_name`, acknowledging ts/number without storing them —
+  *     main.rs:93-96 "todo: make this more complex"); we keep the intended
+  *     semantics.
+  *
+  * At 100 TB: a topic is many parquet files; publish appends new files only
+  * (no rewrite), the high-water mark is a cheap max over footer stats of the
+  * newest files, and consume(n) is a metadata-pruned scan. The global
+  * ordinal does force per-topic write serialization — the same trade the
+  * reference makes, and the reason real Kafka shards ordinals per partition;
+  * `publishPartitioned` offers that relaxation (ordinal per shard).
+  */
+object Topic {
+
+  val eventCols: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def ordinalWindow =
+    Window.orderBy(col("ts"), col("event_id"))
+
+  /** Current high-water mark (next offset to assign); -1 for empty/new. */
+  def highWaterMark(spark: SparkSession, topicDir: String): Long = {
+    if (!new java.io.File(topicDir).exists()) return -1L
+    val df = spark.read.parquet(topicDir)
+    // max over the offset column: parquet footer stats make this a
+    // metadata-only scan (no row materialization at scale).
+    df.agg(max(col("offset"))).head().getLong(0)
+  }
+
+  /** Append a batch of events, assigning dense offsets after the current
+    * high-water mark. Batch-internal order is `(ts, event_id)` — the total
+    * order SURVEY.md §7.4 fixes for the reference's single-log semantics.
+    */
+  def publish(events: DataFrame, topicDir: String): Unit = {
+    val spark = events.sparkSession
+    val base  = highWaterMark(spark, topicDir) + 1L
+    events
+      .withColumn("offset", row_number().over(ordinalWindow) - 1L + base)
+      .sortWithinPartitions("offset")
+      .write.mode(SaveMode.Append).parquet(topicDir)
+  }
+
+  /** Kafka-style relaxation: ordinals dense per shard (`pmod(hash, n)`),
+    * no global sort — each shard's window is independent, so the publish
+    * parallelizes across shards like the reference's round-robin over
+    * brokers (/root/reference/src/producer/main.rs:196).
+    */
+  def publishPartitioned(events: DataFrame, topicDir: String, shards: Int): Unit = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("shard", pmod(col("event_id"), lit(shards)).cast("int"))
+      .withColumn("offset", row_number().over(w) - 1L)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "offset")
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(topicDir)
+  }
+
+  /** Batched consume: events with `offset ∈ [from, from+count)`, in order.
+    * The offset predicate pushes down to parquet row-group stats — the
+    * moral equivalent of the reference's two index seeks.
+    */
+  def consume(spark: SparkSession, topicDir: String, from: Long, count: Int = 1): DataFrame =
+    spark.read.parquet(topicDir)
+      .filter(col("offset") >= from && col("offset") < from + count)
+      .orderBy("offset")
+
+  /** Coordinator-metadata analogue: topics are directories; register them
+    * as temp views so SQL can address them by name
+    * (/root/reference/src/coordinator/brokermap.rs:5 — topic → brokers map).
+    */
+  def register(spark: SparkSession, name: String, topicDir: String): Unit =
+    spark.read.parquet(topicDir).createOrReplaceTempView(name)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Topic layer properties — the reference's log semantics
+  * (/root/reference/src/broker/main.rs): publish appends in order, offsets
+  * are dense, consume(n) returns the n-th event in (ts, event_id) order.
+  */
+class TopicSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-topic").toString + "/t"
+
+  test("publish assigns dense offsets in (ts, event_id) order") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).limit(200)
+    Topic.publish(ev, dir)
+    val log = spark.read.parquet(dir)
+    assert(log.count() === 200)
+    val offsets = log.select("offset").orderBy("offset")
+      .collect().map(_.getLong(0)).toSeq
+    assert(offsets === (0L until 200L))
+    // offset order == (ts, event_id) order
+    val byOffset = log.orderBy("offset").select("event_id").collect().map(_.getLong(0)).toSeq
+    val byTime   = ev.orderBy("ts", "event_id").select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(byOffset === byTime)
+  }
+
+  test("second publish continues after the high-water mark") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf)
+    Topic.publish(ev.filter(col("event_id") < 50), dir)
+    Topic.publish(ev.filter(col("event_id") >= 50 && col("event_id") < 80), dir)
+    val log = spark.read.parquet(dir)
+    assert(log.count() === 80)
+    assert(log.agg(max(col("offset"))).head().getLong(0) === 79L)
+    assert(log.select("offset").distinct().count() === 80)
+  }
+
+  test("consume(n) is the n-th published event; batched consume is ordered") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).limit(100)
+    Topic.publish(ev, dir)
+    val expected = ev.orderBy("ts", "event_id").limit(5).collect().map(_.getAs[Long]("event_id"))
+    // the reference consumer's hardcoded read: offset 4
+    val got = Topic.consume(spark, dir, 4).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("event_id") === expected(4))
+    // batched consume (proto's repeated Event, consume.proto:23)
+    val batch = Topic.consume(spark, dir, 0, 5).collect()
+    assert(batch.map(_.getAs[Long]("event_id")).toSeq === expected.toSeq)
+  }
+
+  test("publishPartitioned shards are balanced like round-robin (R7)") {
+    val dir = tmpDir()
+    Topic.publishPartitioned(Tables.events(spark, sf).limit(100), dir, shards = 4)
+    val counts = spark.read.parquet(dir)
+      .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+    assert(counts.length === 4)
+    assert(counts.max - counts.min <= 1)
+    // offsets dense within each shard
+    val log = spark.read.parquet(dir)
+    val perShard = log.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("mx"))
+      .collect()
+    perShard.foreach(r => assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1))
+  }
+}
