@@ -39,5 +39,9 @@ object SparkEntry {
 
   private def all: Map[String, Q] =
     graft.queries.EventLogQueries.defs ++
-    graft.queries.RelationalQueries.defs
+    graft.queries.RelationalQueries.defs ++
+    graft.queries.DedupQueries.defs ++
+    graft.queries.SimilarityQueries.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.MultimodalQueries.defs
 }

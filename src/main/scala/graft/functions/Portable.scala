@@ -42,18 +42,59 @@ object Portable {
   def duckH(expr: String, hexChars: Int): String =
     s"CAST(('0x' || substring(md5($expr), 1, $hexChars)) AS BIGINT)"
 
-  /** Order-independent exact sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+  /** Money/measure columns in the corpus carry ≤2 decimal places, so the
+    * exact-sum scheme is INTEGER CENTS: `round(x*100)` is unambiguous
+    * (inputs sit ~1e-10 from an integer — no .5 ties, so Spark's
+    * shortest-repr rounding and DuckDB's exact-binary rounding agree),
+    * the long sum is order-independent, long→double conversion is IEEE
+    * round-to-nearest in both engines, and the final division by a power
+    * of ten (exactly representable) is one correctly-rounded op. Decimal
+    * types are deliberately avoided: Spark casts double→decimal via the
+    * shortest string repr while DuckDB rounds the exact binary value, and
+    * decimal→double diverges by 1 ulp once the scaled integer exceeds
+    * 2^53.
+    *
+    * Overflow headroom: cents sums fit a long up to ~9×10^16 dollars;
+    * 2-factor/3-factor product sums up to ~9×10^14 / ~9×10^12 row-sums —
+    * fine at any driver SF. A 100 TB deployment would widen to
+    * DECIMAL(38,x) and give up oracle bit-parity, not correctness.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  def duckCents(expr: String): String = s"CAST(round(($expr)*100) AS BIGINT)"
 
-  /** Order-independent mean of a double column (exact sum / count). */
+  /** Order-independent exact sum of a ≤2dp double column, as double. */
+  def dsum(c: Column): Column =
+    sum(cents(c)).cast("double") / lit(100.0)
+
+  /** Order-independent mean of a ≤2dp double column (exact sum / count). */
   def davg(c: Column): Column =
-    (sum(c.cast("decimal(28,6)")).cast("double") / count(c)).cast("double")
+    sum(cents(c)).cast("double") / lit(100.0) / count(c)
 
-  /** DuckDB fragments mirroring dsum/davg. */
+  /** Exact sum of a product of ≤2dp factors (e.g. price × (1-discount)):
+    * each factor goes to integer cents, the product is exact integer
+    * arithmetic, and one descale at the end. */
+  def dsumProd(factors: Column*): Column =
+    sum(factors.map(cents).reduce(_ * _)).cast("double") /
+      lit(math.pow(10, 2 * factors.size))
+
+  /** DuckDB fragments mirroring the above. */
   def duckDsum(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(SUM(${duckCents(expr)}) AS DOUBLE) / CAST(100 AS DOUBLE)"
   def duckDavg(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+    s"CAST(SUM(${duckCents(expr)}) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT($expr)"
+  def duckDsumProd(exprs: String*): String =
+    s"CAST(SUM(${exprs.map(duckCents).mkString(" * ")}) AS DOUBLE) / CAST(${math.pow(10, 2 * exprs.size).toLong} AS DOUBLE)"
+
+  /** For unit-scale values (|v| ≤ ~2000, e.g. cosines) with full double
+    * precision: DECIMAL at scale 12 — the scaled sum stays below 2^53 so
+    * both engines' decimal→double conversion is exact. */
+  def dsumUnit(c: Column): Column = sum(c.cast("decimal(24,12)")).cast("double")
+  def davgUnit(c: Column): Column =
+    (sum(c.cast("decimal(24,12)")).cast("double") / count(c)).cast("double")
+  def duckDsumUnit(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(24,12))) AS DOUBLE)"
+  def duckDavgUnit(expr: String): String =
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(24,12))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
 
   /** Microsecond-truncated event time — events.ts is ns-precision parquet;
     * Spark truncates to µs on read, the oracle must CAST(ts AS TIMESTAMP). */

@@ -27,8 +27,8 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
          |       ${duckDsum("l_quantity")} AS sum_qty,
          |       ${duckDsum("l_extendedprice")} AS sum_base_price,
-         |       ${duckDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS sum_disc_price,
-         |       ${duckDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
+         |       ${duckDsumProd("l_extendedprice", "CAST(1 AS DOUBLE) - l_discount")} AS sum_disc_price,
+         |       ${duckDsumProd("l_extendedprice", "CAST(1 AS DOUBLE) - l_discount", "CAST(1 AS DOUBLE) + l_tax")} AS sum_charge,
          |       ${duckDavg("l_quantity")} AS avg_qty,
          |       ${duckDavg("l_extendedprice")} AS avg_price,
          |       ${duckDavg("l_discount")} AS avg_disc,
@@ -44,8 +44,8 @@ object RelationalQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (one - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (one - col("l_discount")) * (one + col("l_tax"))).as("sum_charge"),
+          dsumProd(col("l_extendedprice"), one - col("l_discount")).as("sum_disc_price"),
+          dsumProd(col("l_extendedprice"), one - col("l_discount"), one + col("l_tax")).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -73,7 +73,7 @@ object RelationalQueries {
     // TakeOrderedAndProject (no global sort materialization).
     "q03_join_topk_revenue" -> Q(
       s"""SELECT o_orderkey, o_orderdate,
-         |       ${duckDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue
+         |       ${duckDsumProd("l_extendedprice", "CAST(1 AS DOUBLE) - l_discount")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -85,7 +85,7 @@ object RelationalQueries {
         .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
               col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -94,7 +94,7 @@ object RelationalQueries {
     // dimensions — at 100 TB supplier shuffles, nation/region broadcast.
     "q04_broadcast_dims" -> Q(
       s"""SELECT n_name,
-         |       ${duckDsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
+         |       ${duckDsumProd("l_extendedprice", "CAST(1 AS DOUBLE) - l_discount")} AS revenue,
          |       COUNT(*) AS n_items
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -108,7 +108,7 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
               col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -181,9 +181,10 @@ object RelationalQueries {
     // for windowed aggs, so double summation order differs by design).
     "q09_window_running" -> Q(
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+        |       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
         |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(100 AS DOUBLE)
+        |         AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -191,7 +192,7 @@ object RelationalQueries {
                     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .withColumn("running_spend",
-          sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"))
+          sum(cents(col("o_totalprice"))).over(w).cast("double") / lit(100.0))
         .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
@@ -368,13 +369,13 @@ object RelationalQueries {
     // orders 1.5× above the mean price; the scalar aggregate is computed
     // exactly (decimal) and broadcast, not collected on the driver.
     "q20_scalar_subquery" -> Q(
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (
-        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
-        |  FROM orders) * CAST(1.5 AS DOUBLE)
-        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (
+         |  SELECT ${duckDavg("o_totalprice")}
+         |  FROM orders) * CAST(1.5 AS DOUBLE)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
-      val stats = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      val stats = o.agg(davg(col("o_totalprice")).as("avg_price"))
       o.crossJoin(broadcast(stats))
         .filter(col("o_totalprice") > col("avg_price") * 1.5)
         .select("o_orderkey", "o_totalprice")

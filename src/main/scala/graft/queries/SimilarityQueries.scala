@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Vectors._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim).
+  *
+  * Two paths, per the task mandate:
+  *   - brute-force cosine top-k — the exactness baseline; a broadcast of
+  *     the (small) query set against the full corpus, so the corpus side
+  *     never shuffles. At 100 TB the corpus is partition-pruned /
+  *     scanned once; per-row cost is one fused HOF fold.
+  *   - LSH-bucketed ANN — random-hyperplane signatures (Vectors.lshSignature)
+  *     as the blocking key; candidates meet in an equi-join on the bucket,
+  *     which scales (shuffle is by signature, bucket sizes ~ n/2^bits).
+  *
+  * All similarity math is the exactly-portable double fold (see Vectors),
+  * so these queries hash-match the DuckDB oracle bit-for-bit.
+  */
+object SimilarityQueries {
+
+  private val DIM   = 64
+  private val NBITS = 8
+
+  def defs: Map[String, Q] = Map(
+
+    // Brute-force cosine top-5 for query vectors (vec_id < 10), excluding
+    // self; ties broken by vec_id.
+    "ss_cosine_topk" -> Q(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |         ${duckCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+                cosine(col("embedding"), col("qv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("qid", "rank")
+    },
+
+    // LSH signatures: the bucketing key for ANN + embedding near-dup.
+    "ss_lsh_signature" -> Q(
+      s"""SELECT vec_id, label,
+         |       CAST(${duckLshSignature("embedding", DIM, NBITS)} AS INTEGER) AS sig
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                lshSignature(col("embedding"), DIM, NBITS).cast("int").as("sig"))
+        .orderBy("vec_id")
+    },
+
+    // ANN via LSH buckets: candidates share the 8-bit signature (equi-join
+    // on sig — the scale path), then exact cosine rescoring, top-3 per
+    // query. Recall < 1 by design; the baseline above is the oracle of
+    // record for exactness.
+    "ss_lsh_ann" -> Q(
+      s"""WITH sigs AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${duckLshSignature("embedding", DIM, NBITS)} AS sig
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id, b.label,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val sigs = Tables.embeddings(s, d)
+        .withColumn("sig", lshSignature(col("embedding"), DIM, NBITS))
+      val a = sigs.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sig").as("qsig"))
+        .filter(col("qid") < 10)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      a.join(sigs, col("qsig") === col("sig") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"),
+                cosine(col("qv"), col("embedding")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    },
+
+    // Embedding near-duplicate pairs: LSH bucket as blocking key, exact
+    // cosine over candidates, low threshold (corpus is near-orthogonal
+    // random; the operator is the point, the threshold is data-tuned).
+    "dd_embedding_neardup" -> Q(
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, ${duckLshSignature("embedding", DIM, NBITS)} AS sig
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cosine FROM pairs WHERE cosine >= 0.25
+         |ORDER BY va, vb""".stripMargin) { (s, d) =>
+      val sigs = Tables.embeddings(s, d)
+        .withColumn("sig", lshSignature(col("embedding"), DIM, NBITS))
+      val a = sigs.select(col("vec_id").as("va"), col("embedding").as("ea"), col("sig").as("siga"))
+      val b = sigs.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("sig").as("sigb"))
+      a.join(b, col("siga") === col("sigb") && col("va") < col("vb"))
+        .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= 0.25)
+        .orderBy("va", "vb")
+    },
+
+    // Per-label similarity profile: cosine of each vector to its label's
+    // reference vector (the member with the smallest vec_id) — a portable
+    // stand-in for centroid stats (a float centroid mean would not be
+    // order-stable across engines).
+    "ss_label_profile" -> Q(
+      s"""WITH ref AS (
+         |  SELECT label, MIN(vec_id) AS ref_id FROM embeddings GROUP BY label),
+         |rv AS (
+         |  SELECT r.label, r.ref_id, e.embedding AS ref_v
+         |  FROM ref r JOIN embeddings e ON e.vec_id = r.ref_id),
+         |scored AS (
+         |  SELECT e.label, e.vec_id, ${duckCosine("e.embedding", "rv.ref_v")} AS c
+         |  FROM embeddings e JOIN rv ON e.label = rv.label
+         |  WHERE e.vec_id <> rv.ref_id)
+         |SELECT label, COUNT(*) AS n,
+         |       CAST(SUM(CAST(c AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS mean_cosine,
+         |       MAX(c) AS max_cosine, MIN(c) AS min_cosine
+         |FROM scored GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val e   = Tables.embeddings(s, d)
+      val ref = e.groupBy("label").agg(min(col("vec_id")).as("ref_id"))
+      val rv  = ref.join(e.select(col("vec_id"), col("embedding").as("ref_v")),
+                         col("ref_id") === col("vec_id")).drop("vec_id")
+      e.join(broadcast(rv), Seq("label"))
+        .filter(col("vec_id") =!= col("ref_id"))
+        .select(col("label"), cosine(col("embedding"), col("ref_v")).as("c"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             (sum(col("c").cast("decimal(24,12)")).cast("double") / count(lit(1))).as("mean_cosine"),
+             max(col("c")).as("max_cosine"),
+             min(col("c")).as("min_cosine"))
+        .orderBy("label")
+    }
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents`: language-ID heuristic, quality
+  * scoring, token statistics, and rolling-hash fingerprinting — the
+  * text-side of the LLM-pipeline mandate. Everything is per-row HOF math
+  * plus one aggregation, so plans are a single scan + (at most) one
+  * shuffle.
+  */
+object TextQueries {
+
+  /** Stopword marker sets per language for the n-gram/stopword vote.
+    * The corpus vocabulary is synthetic, so the markers are fixed
+    * subsets of it — the OPERATOR (argmax of marker hits with a
+    * deterministic preference order) is what's under test.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "column"),
+    "de" -> Seq("stream", "batch", "window"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("spark", "query", "row"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def markerScore(ws: Seq[String]): Column =
+    size(filter(toks, t => t.isin(ws.map(x => x: Any): _*)))
+
+  private def duckMarkerScore(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+
+  def defs: Map[String, Q] = Map(
+
+    // Language ID: marker-token vote with fixed preference order on ties
+    // (en > es > de > fr > zh), reported as a lang × predicted confusion
+    // summary.
+    "ta_langid" -> Q({
+      val scores = markers.map { case (l, ws) => s"${duckMarkerScore(ws)} AS sc_$l" }.mkString(", ")
+      val langs  = markers.map(_._1)
+      val argmax = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+         |pred AS (
+         |  SELECT doc_id, lang,
+         |         CASE $argmax ELSE '${langs.last}' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, COUNT(*) AS n_docs
+         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    }) { (s, d) =>
+      val langs  = markers.map(_._1)
+      val scored = Tables.documents(s, d)
+        .select(Seq(col("doc_id"), col("lang")) ++
+          markers.map { case (l, ws) => markerScore(ws).as(s"sc_$l") }: _*)
+      val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+        val geAll = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+      }
+      scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Quality scoring: type/token ratio, mean token length, stopword
+    // ratio, folded into one bounded score. Per-row double math only.
+    "ta_quality" -> Q(
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(text,' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text,' '))) AS n_types,
+        |         length(text) AS n_chars_m,
+        |         len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(n_types AS INTEGER) AS n_types,
+        |       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |       CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       0.4 * (CAST(n_types AS DOUBLE) / n_tokens)
+        |         + 0.3 * (CAST(1 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.3 * least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTokens = size(toks)
+      val nTypes  = size(array_distinct(toks))
+      val nStop   = size(filter(toks, t => t.isin("the", "a")))
+      val ttr     = nTypes.cast("double") / nTokens
+      val avgLen  = (length(col("text")) - (nTokens - 1)).cast("double") / nTokens
+      val stopR   = nStop.cast("double") / nTokens
+      val quality = lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopR) +
+        lit(0.3) * least(lit(1.0), nTokens.cast("double") / 100)
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        nTokens.as("n_tokens"), nTypes.as("n_types"),
+        ttr.as("ttr"), avgLen.as("avg_token_len"), stopR.as("stop_ratio"),
+        quality.as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token statistics: corpus-wide frequency + document frequency per
+    // token (explode → two-level agg; the BPE-ish regex filters
+    // non-word tokens before counting).
+    "ta_token_stats" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |flt AS (SELECT * FROM tok WHERE regexp_matches(token, '^[a-z0-9]+$')),
+        |stats AS (
+        |  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |  FROM flt GROUP BY token)
+        |SELECT token, tf, df,
+        |       CAST(tf AS DOUBLE) / (SELECT COUNT(*) FROM flt) AS rel_freq
+        |FROM stats ORDER BY tf DESC, token""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .filter(col("token").rlike("^[a-z0-9]+$"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("tf"), col("df"),
+                (col("tf").cast("double") / col("total")).as("rel_freq"))
+        .orderBy(col("tf").desc, col("token"))
+    },
+
+    // Document fingerprinting: polynomial rolling hash of the token-hash
+    // stream (mod 1e9+7), plus distinct-bigram count — the shape of
+    // content-defined chunk signatures, exactly portable.
+    "ta_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(('0x' || substring(md5(t),1,8)) AS BIGINT)
+        |       for t in string_split(text,' ')]),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+        |  CAST(len(list_distinct(
+        |    [array_to_string((string_split(text,' '))[i:i+1], ' ')
+        |     for i in range(1, len(string_split(text,' ')))])) AS INTEGER) AS n_distinct_bigrams
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fp = aggregate(toks, lit(0L), (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
+      val bigrams = array_distinct(
+        transform(sequence(lit(0), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"),
+                size(bigrams).as("n_distinct_bigrams"))
+        .orderBy("doc_id")
+    }
+  )
+}
