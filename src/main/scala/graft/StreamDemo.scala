@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+/** End-to-end usage example of the cascade pipeline, Spark-first:
+  * publish → rate-limited stream ingest → exactly-once re-publish →
+  * windowed aggregation. `runMain graft.StreamDemo [sfDir]`.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
+
+    // 1. publish the corpus into a topic — the broker append path (R10)
+    Topic.publish(Tables.events(spark, sfDir), s"$base/topic")
+    println(s"TOPIC rows: ${spark.read.parquet(s"$base/topic").count()}")
+    println("CONSUME offset 4: " +
+      Topic.consume(spark, s"$base/topic", 4)
+        .select("event_id", "event_type").collect().mkString)
+
+    // 2. stream it back out, rate-limited, exactly-once (R1-R3 + R10)
+    EventStream.publishStream(
+      EventStream.ingest(spark, s"$base/topic", maxFilesPerTrigger = 2),
+      s"$base/sink", s"$base/ckpt").awaitTermination()
+    println(s"SINK rows: ${spark.read.parquet(s"$base/sink").count()}")
+
+    // 3. watermarked tumbling-window aggregation over the stream
+    val q = EventStream.tumblingCounts(
+        EventStream.ingest(spark, s"$base/topic", maxFilesPerTrigger = 2))
+      .writeStream.format("memory").queryName("agg").outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    println(s"AGG buckets: ${spark.table("agg").count()}")
+    spark.table("agg").orderBy(desc("n_events"), col("bucket_start")).show(3)
+    spark.stop()
+  }
+}

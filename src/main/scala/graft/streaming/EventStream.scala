@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over cascade topics (SURVEY.md §2.A rows R1-R3,
+  * R8, R10-R11).
+  *
+  * Mapping from the reference:
+  *   - HTTP ingress + 1000-slot ring buffer + drain loop
+  *     (/root/reference/src/producer/main.rs:26-106) → a rate-limited file
+  *     source: `maxFilesPerTrigger` is the admission control, the
+  *     micro-batch trigger is the drain loop.
+  *   - broker append + ack (main.rs:85-110) → `writeStream` parquet append
+  *     with a checkpoint; the checkpoint's offset log IS the index.table
+  *     analogue, and epoch commit is the ack — upgraded from the
+  *     reference's at-most-once (it never fsyncs) to exactly-once.
+  *   - consumer-group state (absent in the reference — no committed
+  *     offsets anywhere) → `flatMapGroupsWithState` progress tracker.
+  *
+  * Event time: `events.ts` is ns in the driver corpus; streamed as long
+  * nanos and truncated to µs TimestampType, same as Tables.events, so
+  * watermarks and windows agree with the batch twins
+  * (EventLogQueries.el_tumbling_counts / el_sessionize).
+  */
+object EventStream {
+
+  /** File schema of a topic directory — topics are written by this engine
+    * (Topic.publish / publishStream), so ts is a regular µs timestamp; the
+    * driver corpus's ns quirk is handled once at Tables.events. */
+  val topicSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Rate-limited streaming ingest of a topic directory (R1+R2+R3). */
+  def ingest(spark: SparkSession, topicDir: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(topicSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(topicDir)
+
+  /** Tumbling 5-minute per-type aggregation with a 10-minute watermark —
+    * the streaming twin of el_tumbling_counts. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — streaming twin of
+    * el_sessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Durable publish (R10): append to the topic dir, exactly-once via the
+    * checkpoint (the reference's events.log + index.table, minus the
+    * data-loss bugs). */
+  def publishStream(events: DataFrame, topicDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", topicDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+
+  // ---- consumer-group progress (typed stateful op) ------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  /** Per-type consumer progress: committed count + high-water event id. */
+  final case class TypeProgress(event_type: String, n_consumed: Long, max_event_id: Long)
+
+  /** The committed-offset tracking the reference's consumer never does
+    * (it re-fetches by explicit offset each call,
+    * /root/reference/src/consumer/main.rs:20-28): running state per
+    * event_type via flatMapGroupsWithState.
+    */
+  def offsetTracker(events: Dataset[Event]): Dataset[TypeProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeProgress, TypeProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[TypeProgress]) =>
+          val prev = state.getOption.getOrElse(TypeProgress(key, 0L, -1L))
+          var n    = prev.n_consumed
+          var mx   = prev.max_event_id
+          rows.foreach { e => n += 1; if (e.event_id > mx) mx = e.event_id }
+          val next = TypeProgress(key, n, mx)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Typed view of an event stream/batch for the stateful ops. */
+  def typed(events: DataFrame): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props").as[Event]
+  }
+}
