@@ -22,16 +22,18 @@ object DedupQueries {
 
   private val K = 8 // minhash permutations; 2 bands of 4 rows
 
-  /** 3-token shingles of `text`, distinct, with a <3-token guard. */
-  private def shinglesCol: Column = {
-    val toks = split(col("text"), " ")
+  /** 3-token shingles from a MATERIALIZED token-array column, distinct,
+    * with a <3-token guard. The tokens must be a projected column, not the
+    * `split(...)` expression itself — every `element_at` reference
+    * re-evaluates its input expression, so inlining the split makes each
+    * shingle re-tokenize the whole document (~3× split per shingle). */
+  private def shinglesFrom(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3), i =>
           concat_ws(" ",
             element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array(col("text"))))
-  }
+        .otherwise(array(concat_ws(" ", toks))))
 
   /** Same shingle set in DuckDB. */
   private val duckShingles: String =
@@ -40,17 +42,43 @@ object DedupQueries {
       |                      for i in range(1, len(string_split(text,' '))-1)])
       |  ELSE [text] END""".stripMargin.replace("\n", " ")
 
-  /** minhash_j = min over shingles of h60(j || '|' || shingle). */
-  private def sigCol(j: Int): Column =
-    array_min(transform(col("sh"), s => h60(concat(lit(s"$j|"), s))))
+  /** Permutation family: ONE md5 base hash per shingle (the expensive
+    * step), then K affine universal hashes (a_j·h + b_j) mod p over the
+    * 32-bit base — 8× fewer digest computations than hashing per
+    * permutation, identical arithmetic on both engines (a < 2^30 and
+    * h < 2^32 keep the product under 2^62: no BIGINT overflow, which
+    * DuckDB would raise and Spark would silently wrap).
+    */
+  private val P = (1L << 61) - 1
+
+  private def mh(tag: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private val A: Seq[Long] = (0 until K).map(j => (mh(s"minhashA|$j") % (1L << 30)) | 1L)
+  private val B: Seq[Long] = (0 until K).map(j => mh(s"minhashB|$j") % P)
 
   private def duckSig(j: Int): String =
-    s"list_min([${duckH(s"'$j|' || s", 15)} for s in sh])"
+    s"list_min([(${A(j)} * h + ${B(j)}) % $P for h in hs])"
 
-  /** doc_id + s0..s7 + band0/band1 (md5 of each half of the signature). */
+  /** doc_id + s0..s7 + band0/band1 (md5 of each half of the signature).
+    *
+    * Shape: explode shingles → md5 in a whole-stage-codegen projection →
+    * groupBy(doc_id) with K min() aggregates. The mins combine map-side,
+    * so the shuffle carries K longs per document regardless of shingle
+    * count — strictly better than an interpreted per-element HOF fold,
+    * and the same values (min of (a·h+b) mod p over the same set).
+    */
   private def sigDf(docs: DataFrame): DataFrame = {
-    val withSigs = docs.select(col("doc_id"), shinglesCol.as("sh"))
-      .select(col("doc_id") +: (0 until K).map(j => sigCol(j).as(s"s$j")): _*)
+    val exploded = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesFrom(col("toks"))).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
+    val withSigs = exploded
+      .groupBy("doc_id")
+      .agg(min((lit(A(0)) * col("h") + lit(B(0))) % P).as("s0"),
+           (1 until K).map(j => min((lit(A(j)) * col("h") + lit(B(j))) % P).as(s"s$j")): _*)
     withSigs
       .withColumn("band0", md5(concat_ws(",", (0 until K / 2).map(j => col(s"s$j")): _*)))
       .withColumn("band1", md5(concat_ws(",", (K / 2 until K).map(j => col(s"s$j")): _*)))
@@ -61,7 +89,8 @@ object DedupQueries {
     val half0 = (0 until K / 2).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
     val half1 = (K / 2 until K).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
     s"""sh_t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
-       |sig AS (SELECT doc_id, $sigs FROM sh_t),
+       |hs_t AS (SELECT doc_id, [${duckH("s", 8)} for s in sh] AS hs FROM sh_t),
+       |sig AS (SELECT doc_id, $sigs FROM hs_t),
        |banded AS (SELECT *, md5($half0) AS band0, md5($half1) AS band1 FROM sig)""".stripMargin
   }
 
@@ -153,7 +182,8 @@ object DedupQueries {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), shinglesCol.as("sh"))
+        .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"), shinglesFrom(col("toks")).as("sh"))
       val a = t.select(t.columns.map(c => col(c).as(s"a_$c")): _*)
       val b = t.select(t.columns.map(c => col(c).as(s"b_$c")): _*)
       a.join(b, col("a_lang") === col("b_lang") && col("a_source") === col("b_source") &&

@@ -30,7 +30,12 @@ object EventLogQueries {
         |  FROM events)
         |SELECT log_offset, event_id, ts, user_id, event_type, value
         |FROM log WHERE log_offset = 4 ORDER BY log_offset""".stripMargin) { (s, d) =>
+      // orderBy+limit(n+1) is a distributed TakeOrderedAndProject — the
+      // global ordinal window only ever sees n+1 rows (a global
+      // Window.orderBy would drag the whole log to one partition; at
+      // scale the Topic layer's PERSISTED offsets replace even this).
       Tables.events(s, d)
+        .orderBy(logOrder: _*).limit(5)
         .withColumn("log_offset", row_number().over(Window.orderBy(logOrder: _*)) - 1L)
         .filter(col("log_offset") === 4)
         .select("log_offset", "event_id", "ts", "user_id", "event_type", "value")
@@ -47,6 +52,7 @@ object EventLogQueries {
         |SELECT log_offset, event_id, ts, event_type, value
         |FROM log WHERE log_offset >= 100 AND log_offset < 110 ORDER BY log_offset""".stripMargin) { (s, d) =>
       Tables.events(s, d)
+        .orderBy(logOrder: _*).limit(110)
         .withColumn("log_offset", row_number().over(Window.orderBy(logOrder: _*)) - 1L)
         .filter(col("log_offset") >= 100 && col("log_offset") < 110)
         .select("log_offset", "event_id", "ts", "event_type", "value")
