@@ -40,6 +40,7 @@ object SparkEntry {
   private def all: Map[String, Q] =
     graft.queries.EventLogQueries.defs ++
     graft.queries.RelationalQueries.defs ++
+    graft.queries.RelationalQueries2.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.TextQueries.defs ++

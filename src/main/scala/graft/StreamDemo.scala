@@ -43,6 +43,22 @@ object StreamDemo {
     q.awaitTermination()
     println(s"AGG buckets: ${spark.table("agg").count()}")
     spark.table("agg").orderBy(desc("n_events"), col("bucket_start")).show(3)
+
+    // 4. stream-static enrichment against the customer dimension
+    val q3 = graft.streaming.EventStream.enrich(
+        EventStream.ingest(spark, s"$base/topic", maxFilesPerTrigger = 2),
+        Tables.customer(spark, sfDir))
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt3")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    println(s"ENRICHED rows: ${spark.table("enriched").count()}" +
+      s" (matched: ${spark.table("enriched").filter(col("c_name").isNotNull).count()})")
+
+    // 5. multimodal: binary assets → per-partition decode → kind stats
+    val feats = graft.operators.Multimodal.decode(
+      graft.operators.Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir)))
+    graft.operators.Multimodal.kindStats(feats).show()
     spark.stop()
   }
 }

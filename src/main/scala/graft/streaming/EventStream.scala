@@ -85,6 +85,16 @@ object EventStream {
       .trigger(trigger)
       .start()
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * dimension (events.user_id ↔ customer.c_custkey). The static side is
+    * re-read per micro-batch by Spark; broadcasting keeps the stream side
+    * shuffle-free — the standard shape for dimension joins at scale. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+      col("user_id") === col("c_custkey"), "left_outer")
+      .drop("c_custkey")
+
   // ---- consumer-group progress (typed stateful op) ------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
