@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference-shaped client API, so a cascade user can switch 1:1.
+  *
+  * Reference surface → here:
+  *   - producer publish RPC (PublishDataToBroker{event_name, timestamp,
+  *     number}, /root/reference/proto/publish.proto:11-15) → `publish`
+  *   - consumer fetch RPC (ConsumeDataFromBroker{event_name, number},
+  *     /root/reference/proto/consume.proto:11-15, one event returned) →
+  *     `consume(topic, offset)`; the proto's declared-but-unimplemented
+  *     batched form (`repeated Event`, consume.proto:23) → `consumeBatch`
+  *   - coordinator metadata (GetMetadata → brokers,
+  *     /root/reference/proto/coordinate.proto:17-30) → `topics`/`describe`
+  *   - HTTP ingress datum (ExpressDataToProducer{int32 data},
+  *     publish.proto:19) → `ingestValue`
+  *
+  * Events are the generalized schema (event_id, ts, user_id, event_type,
+  * value, props) — the reference's (name, timestamp, number) embeds as
+  * (event_type, ts, value); unlike the reference broker, ALL fields are
+  * durable (it persists only the name, main.rs:93-96).
+  */
+final class Cascade(spark: SparkSession, root: String) {
+
+  private def dir(topic: String) = s"$root/$topic"
+
+  /** Publish a batch of events to a topic (append + dense offsets). */
+  def publish(topic: String, events: DataFrame): Unit =
+    Topic.publish(events, dir(topic))
+
+  /** The reference consumer: one event by log ordinal. */
+  def consume(topic: String, offset: Long): DataFrame =
+    Topic.consume(spark, dir(topic), offset)
+
+  /** The proto's batched consume (repeated Event). */
+  def consumeBatch(topic: String, from: Long, count: Int): DataFrame =
+    Topic.consume(spark, dir(topic), from, count)
+
+  /** Consume from an event-time position — the `startingTimestamp`
+    * analogue (offset predicate + time predicate both prune parquet). */
+  def consumeSince(topic: String, since: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(dir(topic)).filter(col("ts") >= lit(since)).orderBy("offset")
+
+  /** Coordinator metadata: registered topics (directories). */
+  def topics(): Seq[String] = {
+    val f = new java.io.File(root)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  /** Topic description: row count + offset high-water mark (the broker
+    * registration record, generalized). */
+  def describe(topic: String): DataFrame =
+    spark.read.parquet(dir(topic))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("offset")).as("high_water_mark"),
+           min(col("ts")).as("earliest"),
+           max(col("ts")).as("latest"))
+
+  /** HTTP-ingress datum (the Express bridge carried one int32): a
+    * single-value publish with a synthesized envelope. */
+  def ingestValue(topic: String, data: Int): Unit = {
+    import spark.implicits._
+    val next = Topic.highWaterMark(spark, dir(topic)) + 1
+    val df = Seq((next, new java.sql.Timestamp(0L), 0L, "ingress", data.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // event-time stamping belongs to the producer (R8); deterministic
+      // here: derive from the ordinal rather than wall clock
+      .withColumn("ts", timestamp_micros(col("event_id")))
+    Topic.publish(df, dir(topic))
+  }
+}

@@ -21,12 +21,16 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
 
-    // 1. publish the corpus into a topic — the broker append path (R10)
-    Topic.publish(Tables.events(spark, sfDir), s"$base/topic")
+    // 1. publish the corpus into a topic — the broker append path (R10),
+    //    through the reference-shaped client facade
+    val cascade = new Cascade(spark, base)
+    cascade.publish("topic", Tables.events(spark, sfDir))
     println(s"TOPIC rows: ${spark.read.parquet(s"$base/topic").count()}")
     println("CONSUME offset 4: " +
-      Topic.consume(spark, s"$base/topic", 4)
+      cascade.consume("topic", 4)
         .select("event_id", "event_type").collect().mkString)
+    println("TOPICS: " + cascade.topics().mkString(","))
+    println("DESCRIBE: " + cascade.describe("topic").collect().mkString)
 
     // 2. stream it back out, rate-limited, exactly-once (R1-R3 + R10)
     EventStream.publishStream(

@@ -157,15 +157,18 @@ object DedupQueries {
         |            THEN 1 << b ELSE 0 END for b in range(0,16)]) AS INTEGER) AS simhash,
         |       CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = split(col("text"), " ")
-      val hs   = transform(toks, t => h16(t))
+      // materialize the per-token hash array once; 16 bit-vote aggregates
+      // each reference it (an inline expression would re-split + re-hash
+      // the document 16 times)
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        transform(split(col("text"), " "), t => h16(t)).as("hs"))
       val simhash = (0 until 16).map { b =>
-        val vote = aggregate(hs, lit(0L), (acc, h) =>
+        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
           acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L))
         when(vote > 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _)
-      Tables.documents(s, d)
-        .select(col("doc_id"), simhash.as("simhash"), size(toks).as("n_tokens"))
+      base.select(col("doc_id"), simhash.as("simhash"), size(col("hs")).as("n_tokens"))
         .orderBy("doc_id")
     },
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Vectors._
+import graft.functions.FloatDot
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,16 +40,17 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
       // norms are hoisted to one fold per VECTOR (not per pair) — the
       // cosine value is identical, the fold count drops ~3×
-      val e = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), col("label"),
-                (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy("qid", "rank")
@@ -84,16 +86,17 @@ object SimilarityQueries {
          |  FROM cand)
          |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
       val sigs = Tables.embeddings(s, d)
         .withColumn("sig", lshSignature(col("embedding"), DIM, NBITS))
-        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("nrm", nativeNorm(col("embedding")))
       val a = sigs.select(col("vec_id").as("qid"), col("embedding").as("qv"),
                           col("sig").as("qsig"), col("nrm").as("qnrm"))
         .filter(col("qid") < 10)
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
       a.join(sigs, col("qsig") === col("sig") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), col("label"),
-                (dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
+                (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy("qid", "rank")
@@ -112,16 +115,17 @@ object SimilarityQueries {
          |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT va, vb, cosine FROM pairs WHERE cosine >= 0.25
          |ORDER BY va, vb""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
       val sigs = Tables.embeddings(s, d)
         .withColumn("sig", lshSignature(col("embedding"), DIM, NBITS))
-        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("nrm", nativeNorm(col("embedding")))
       val a = sigs.select(col("vec_id").as("va"), col("embedding").as("ea"),
                           col("sig").as("siga"), col("nrm").as("na"))
       val b = sigs.select(col("vec_id").as("vb"), col("embedding").as("eb"),
                           col("sig").as("sigb"), col("nrm").as("nb"))
       a.join(b, col("siga") === col("sigb") && col("va") < col("vb"))
         .select(col("va"), col("vb"),
-                (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+                (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.25)
         .orderBy("va", "vb")
     },
@@ -144,7 +148,8 @@ object SimilarityQueries {
          |       CAST(SUM(CAST(c AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS mean_cosine,
          |       MAX(c) AS max_cosine, MIN(c) AS min_cosine
          |FROM scored GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-      val e   = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+      FloatDot.register(s)
+      val e   = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
       val ref = e.groupBy("label").agg(min(col("vec_id")).as("ref_id"))
       val rv  = ref.join(
         e.select(col("vec_id"), col("embedding").as("ref_v"), col("nrm").as("ref_nrm")),
@@ -152,7 +157,7 @@ object SimilarityQueries {
       e.join(broadcast(rv), Seq("label"))
         .filter(col("vec_id") =!= col("ref_id"))
         .select(col("label"),
-                (dot(col("embedding"), col("ref_v")) / (col("nrm") * col("ref_nrm"))).as("c"))
+                (nativeDot(col("embedding"), col("ref_v")) / (col("nrm") * col("ref_nrm"))).as("c"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
              (sum(col("c").cast("decimal(24,12)")).cast("double") / count(lit(1))).as("mean_cosine"),

@@ -54,9 +54,13 @@ object TextQueries {
          |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
     }) { (s, d) =>
       val langs  = markers.map(_._1)
+      // tokenize ONCE into a column; five inline markerScore(split(...))
+      // expressions would each re-split the text (no CSE inside lambdas)
       val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(Seq(col("doc_id"), col("lang")) ++
-          markers.map { case (l, ws) => markerScore(ws).as(s"sc_$l") }: _*)
+          markers.map { case (l, ws) =>
+            size(filter(col("toks"), t => t.isin(ws.map(x => x: Any): _*))).as(s"sc_$l") }: _*)
       val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
         val geAll = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
         when(geAll, lit(l)).otherwise(els)
@@ -87,19 +91,24 @@ object TextQueries {
         |         + 0.3 * (CAST(1 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens)
         |         + 0.3 * least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) AS quality
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nTokens = size(toks)
-      val nTypes  = size(array_distinct(toks))
-      val nStop   = size(filter(toks, t => t.isin("the", "a")))
-      val ttr     = nTypes.cast("double") / nTokens
-      val avgLen  = (length(col("text")) - (nTokens - 1)).cast("double") / nTokens
-      val stopR   = nStop.cast("double") / nTokens
-      val quality = lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopR) +
-        lit(0.3) * least(lit(1.0), nTokens.cast("double") / 100)
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        nTokens.as("n_tokens"), nTypes.as("n_types"),
-        ttr.as("ttr"), avgLen.as("avg_token_len"), stopR.as("stop_ratio"),
-        quality.as("quality"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), length(col("text")).as("n_chars_m"),
+        split(col("text"), " ").as("toks"))
+      val withCounts = base.select(
+        col("doc_id"), col("lang"), col("n_chars_m"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        size(filter(col("toks"), t => t.isin("the", "a"))).as("n_stop"))
+      val ttr   = col("n_types").cast("double") / col("n_tokens")
+      val stopR = col("n_stop").cast("double") / col("n_tokens")
+      withCounts.select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
+        ttr.as("ttr"),
+        ((col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        stopR.as("stop_ratio"),
+        (lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopR) +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100)).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -142,13 +151,15 @@ object TextQueries {
         |    [array_to_string((string_split(text,' '))[i:i+1], ' ')
         |     for i in range(1, len(string_split(text,' ')))])) AS INTEGER) AS n_distinct_bigrams
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val fp = aggregate(toks, lit(0L), (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val fp = aggregate(col("toks"), lit(0L),
+        (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
       val bigrams = array_distinct(
-        transform(sequence(lit(0), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      Tables.documents(s, d)
-        .select(col("doc_id"), fp.as("fingerprint"),
-                size(bigrams).as("n_distinct_bigrams"))
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      base.select(col("doc_id"), fp.as("fingerprint"),
+                  size(bigrams).as("n_distinct_bigrams"))
         .orderBy("doc_id")
     }
   )

@@ -55,6 +55,15 @@ object EventStream {
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Sliding windows: 10-minute windows every 5 minutes — each event
+    * lands in two panes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("pane_start"), col("event_type"), col("n_events"))
+
   /** Session windows (30-minute gap) per user — streaming twin of
     * el_sessionize. */
   def sessionCounts(events: DataFrame): DataFrame =
