@@ -42,6 +42,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
     graft.queries.RelationalQueries2.defs ++
     graft.queries.RelationalQueries3.defs ++
+    graft.queries.RelationalQueries4.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.TextQueries.defs ++

@@ -104,6 +104,19 @@ object EventStream {
       col("user_id") === col("c_custkey"), "left_outer")
       .drop("c_custkey")
 
+  /** foreachBatch sink: per-micro-batch dedup then ordered append through
+    * the Topic layer — the ad-hoc sink escape hatch (batch logic inside a
+    * streaming epoch; the epoch id gives exactly-once bookkeeping). */
+  def mergePublish(events: DataFrame, topicDir: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.Topic.publish(batch.dropDuplicates("event_id"), topicDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   // ---- consumer-group progress (typed stateful op) ------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
