@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.FloatDot
+import graft.functions.Vectors._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search, part 2: the IVF (inverted-file) ANN variant and
+  * skew/scale patterns over the event log.
+  *
+  * IVF here: the coarse quantizer's centroids are SEED VECTORS (the
+  * members with vec_id < k) rather than k-means float means — a float
+  * centroid mean is not order-stable across engines, seeds are, so the
+  * whole index is oracle-checkable. Assignment is argmax cosine to the
+  * seeds (n·k dots, linear scan); search probes only the query's cell.
+  */
+object SimilarityQueries2 {
+
+  private val NSEEDS = 8
+
+  def defs: Map[String, Q] = Map(
+
+    // IVF cell assignment: every vector → nearest seed (cosine, tiebreak
+    // smaller seed id). The "inverted file" is the (cluster → members)
+    // grouping; emitted per-vector for checkability.
+    "ss_ivf_assign" -> Q(
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, s.sid,
+         |         ${duckCosine("e.embedding", "s.sv")} AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.sid) AS rn
+         |  FROM embeddings e, seeds s)
+         |SELECT vec_id, label, CAST(sid AS INTEGER) AS cluster, cos AS cluster_cos
+         |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val seeds = e.filter(col("vec_id") < NSEEDS)
+        .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
+      e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("label"), col("sid"),
+                (nativeDot(col("embedding"), col("sv")) / (col("nrm") * col("snrm"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("sid").cast("int").as("cluster"),
+                col("cos").as("cluster_cos"))
+        .orderBy("vec_id")
+    },
+
+    // IVF probe: queries (vec_id in [8,18)) search ONLY their own cell —
+    // candidates meet in an equi-join on the cluster id, exact cosine
+    // rescoring, top-3. The nprobe=1 trade: recall < 1, candidate set
+    // ~n/k. (LSH twin: ss_lsh_ann; exact baseline: ss_cosine_topk.)
+    "ss_ivf_ann" -> Q(
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.embedding, s.sid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.sid) AS rn
+         |  FROM embeddings e, seeds s),
+         |assign AS (SELECT vec_id, label, embedding, sid AS cluster FROM scored WHERE rn = 1),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, m.vec_id, m.label,
+         |         ${duckCosine("q.embedding", "m.embedding")} AS cosine
+         |  FROM assign q JOIN assign m ON q.cluster = m.cluster AND q.vec_id <> m.vec_id
+         |  WHERE q.vec_id >= $NSEEDS AND q.vec_id < ${NSEEDS + 10}),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val seeds = e.filter(col("vec_id") < NSEEDS)
+        .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
+      val assign = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("sid"),
+                (nativeDot(col("embedding"), col("sv")) / (col("nrm") * col("snrm"))).as("cos"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+                col("sid").as("cluster"))
+      val q = assign.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qnrm"), col("cluster").as("qcluster"))
+      val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      q.join(assign, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"),
+                (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    },
+
+    // Range (band) join, scalably: same-user event pairs within 5
+    // minutes. The naive form is a theta join (quadratic); here the time
+    // axis is bucketed to 5-minute cells and candidates meet in TWO
+    // equi-joins (same cell, adjacent cell) — the standard interval-join
+    // decomposition. The oracle states the naive theta semantics.
+    "el_range_join" -> Q(
+      """SELECT a.event_id AS e1, b.event_id AS e2,
+        |       epoch_ns(b.ts)//1000 - epoch_ns(a.ts)//1000 AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND epoch_ns(b.ts)//1000 >= epoch_ns(a.ts)//1000
+        |  AND epoch_ns(b.ts)//1000 - epoch_ns(a.ts)//1000 <= 300000000
+        |  AND (epoch_ns(b.ts)//1000 > epoch_ns(a.ts)//1000 OR a.event_id < b.event_id)
+        |ORDER BY e1, e2""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        expr("unix_micros(ts) div 300000000").as("cell"))
+      val a = base.select(col("user_id").as("u"), col("event_id").as("e1"),
+                          col("tus").as("t1"), col("cell").as("c1"))
+      val b = base.select(col("user_id").as("u2"), col("event_id").as("e2"),
+                          col("tus").as("t2"), col("cell").as("c2"))
+      def joinOn(cellMatch: org.apache.spark.sql.Column) =
+        a.join(b, col("u") === col("u2") && cellMatch)
+      val pairs = joinOn(col("c2") === col("c1"))
+        .unionByName(joinOn(col("c2") === col("c1") + 1))
+        .filter(col("e1") =!= col("e2") &&
+                col("t2") >= col("t1") && col("t2") - col("t1") <= 300000000L &&
+                (col("t2") > col("t1") || col("e1") < col("e2")))
+      pairs.select(col("e1"), col("e2"), (col("t2") - col("t1")).as("delta_us"))
+        .orderBy("e1", "e2")
+    },
+
+    // Salted aggregation: the skew-mitigation pattern — partial aggregate
+    // on (key, salt) spreads a hot key over 8 reducers, final aggregate
+    // re-combines. Integer sums are associative, so the result (and the
+    // oracle, which states the direct groupBy) is unchanged.
+    "el_salted_agg" -> Q(
+      """SELECT user_id,
+        |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+        |         / CAST(100 AS DOUBLE) AS total_value,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.cents
+      Tables.events(s, d)
+        .groupBy(col("user_id"), pmod(col("event_id"), lit(8)).as("salt"))
+        .agg(sum(cents(col("value"))).as("pc"), count(lit(1)).as("pn"))
+        .groupBy("user_id")
+        .agg((sum(col("pc")).cast("double") / lit(100.0)).as("total_value"),
+             sum(col("pn")).as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+}
