@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Topic interchange in the bundled file formats (SURVEY.md §2.B
+  * "file formats/connectors"): parquet is the native log encoding
+  * (Topic.scala); JSON-lines and CSV are the export/import paths.
+  * Schemas are explicit on read — schema inference is a full extra pass
+  * over the data and type-lossy (timestamps), both wrong at scale.
+  */
+object FileFormats {
+
+  // µs-precision timestamp format on BOTH text formats — the default
+  // JSON/CSV timestampFormat truncates to milliseconds, silently losing
+  // event-time precision on the round-trip
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeJsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("timestampFormat", TsFmt).json(dir)
+
+  def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("timestampFormat", TsFmt).json(dir)
+
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .csv(dir)
+
+  def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .csv(dir)
+}

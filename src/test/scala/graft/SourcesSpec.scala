@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.FileFormats
+import graft.streaming.EventStream
+
+/** File-format round-trips and the SparkSessionExtensions injection. */
+class SourcesSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sf).limit(300)
+
+  test("jsonl round-trip preserves the event rows") {
+    val dir = Files.createTempDirectory("jsonl").toString + "/d"
+    FileFormats.writeJsonl(events, dir)
+    val back = FileFormats.readJsonl(spark, dir, EventStream.topicSchema)
+    assert(back.count() === 300)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("csv round-trip preserves the event rows (µs timestamps)") {
+    val dir = Files.createTempDirectory("csv").toString + "/d"
+    FileFormats.writeCsv(events, dir)
+    val back = FileFormats.readCsv(spark, dir, EventStream.topicSchema)
+    assert(back.count() === 300)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("GraftExtensions injects graft_dot for SQL on a fresh session") {
+    // force a NEW session over the shared context (getOrCreate would
+    // hand back the active session, which has no extensions bound)
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val v = s2.sql(
+        """SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(v === 9.0)
+    } finally {
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+}
