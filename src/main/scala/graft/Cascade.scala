@@ -60,15 +60,22 @@ final class Cascade(spark: SparkSession, root: String) {
            max(col("ts")).as("latest"))
 
   /** HTTP-ingress datum (the Express bridge carried one int32): a
-    * single-value publish with a synthesized envelope. */
-  def ingestValue(topic: String, data: Int): Unit = {
+    * single-value publish with a synthesized envelope and the reference's
+    * admission-control ack — the producer's 1000-slot ring buffer rejects
+    * when full, acking 0 (/root/reference/src/producer/main.rs:26-38,
+    * 68-82); here the bound is the topic's unconsumed backlog.
+    * @return true = accepted (ack 1), false = rejected (ack 0)
+    */
+  def ingestValue(topic: String, data: Int, capacity: Long = 1000L): Boolean = {
     import spark.implicits._
     val next = Topic.highWaterMark(spark, dir(topic)) + 1
+    if (next >= capacity) return false
     val df = Seq((next, new java.sql.Timestamp(0L), 0L, "ingress", data.toDouble, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       // event-time stamping belongs to the producer (R8); deterministic
       // here: derive from the ordinal rather than wall clock
       .withColumn("ts", timestamp_micros(col("event_id")))
     Topic.publish(df, dir(topic))
+    true
   }
 }

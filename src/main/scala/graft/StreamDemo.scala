@@ -31,6 +31,10 @@ object StreamDemo {
         .select("event_id", "event_type").collect().mkString)
     println("TOPICS: " + cascade.topics().mkString(","))
     println("DESCRIBE: " + cascade.describe("topic").collect().mkString)
+    // R2 admission control: ring-buffer ack semantics (capacity 2 → third
+    // datum rejected with ack 0)
+    println("INGRESS acks: " + Seq(7, 8, 9).map(v =>
+      if (cascade.ingestValue("ingress", v, capacity = 2)) 1 else 0).mkString(","))
 
     // 2. stream it back out, rate-limited, exactly-once (R1-R3 + R10)
     EventStream.publishStream(

@@ -104,6 +104,26 @@ object EventStream {
       col("user_id") === col("c_custkey"), "left_outer")
       .drop("c_custkey")
 
+  /** Stream-stream join: two event streams correlated per user within a
+    * 30-minute event-time band. Both sides carry watermarks so the join
+    * state is bounded — late rows beyond the watermark are dropped and
+    * matched state is evicted once the band can no longer match.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       band: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("event_id").as("l_event"),
+                        col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", band)
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
+                         col("ts").as("r_ts"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", band)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $band") &&
+      col("l_event") =!= col("r_event"))
+  }
+
   /** foreachBatch sink: per-micro-batch dedup then ordered append through
     * the Topic layer — the ad-hoc sink escape hatch (batch logic inside a
     * streaming epoch; the epoch id gives exactly-once bookkeeping). */
