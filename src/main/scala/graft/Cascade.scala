@@ -50,6 +50,21 @@ final class Cascade(spark: SparkSession, root: String) {
     else f.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
   }
 
+  /** Topic removal — the coordinator's `remove`
+    * (/root/reference/src/coordinator/brokermap.rs:27-40) is dead code
+    * with no caller in the reference; here it works: drops the topic
+    * directory. Errors if the topic doesn't exist, matching the
+    * reference's Err("broker not found in topic") intent. */
+  def dropTopic(topic: String): Unit = {
+    val f = new java.io.File(dir(topic))
+    require(f.exists(), s"topic not found: $topic")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(f)
+  }
+
   /** Topic description: row count + offset high-water mark (the broker
     * registration record, generalized). */
   def describe(topic: String): DataFrame =

@@ -63,7 +63,15 @@ object StreamDemo {
     println(s"ENRICHED rows: ${spark.table("enriched").count()}" +
       s" (matched: ${spark.table("enriched").filter(col("c_name").isNotNull).count()})")
 
-    // 5. multimodal: binary assets → per-partition decode → kind stats
+    // 5. R9 synthetic generator: rate source shaped as cascade events
+    val qs = EventStream.synthetic(spark, rowsPerSecond = 200)
+      .writeStream.format("memory").queryName("synth").outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt4").start()
+    qs.processAllAvailable(); Thread.sleep(1500); qs.processAllAvailable(); qs.stop()
+    println("SYNTH sample: " + spark.table("synth").orderBy("event_id")
+      .select("event_id", "event_type", "value").limit(3).collect().mkString(" "))
+
+    // 6. multimodal: binary assets → per-partition decode → kind stats
     val feats = graft.operators.Multimodal.decode(
       graft.operators.Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir)))
     graft.operators.Multimodal.kindStats(feats).show()

@@ -104,6 +104,29 @@ object EventStream {
       col("user_id") === col("c_custkey"), "left_outer")
       .drop("c_custkey")
 
+  /** R9: the synthetic event generator — the reference producer emits the
+    * ten events "a".."j" with random i32 payloads
+    * (/root/reference/src/producer/main.rs:185-216). Spark-first: the
+    * `rate` source provides the unbounded sequence; names cycle through
+    * the same ten letters and the payload is a DETERMINISTIC pseudo-random
+    * (md5-derived) value, so tests and oracles stay reproducible where
+    * the reference used `rng.gen()`.
+    */
+  def synthetic(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame = {
+    val names = typedLit((0 until 10).map(i => ('a' + i).toChar.toString))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // (timestamp, value)
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(15)).as("user_id"),
+        element_at(names, pmod(col("value"), lit(10)).cast("int") + 1).as("event_type"),
+        (conv(substring(md5(col("value").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000).cast("double").as("value"),
+        lit("{}").as("props"))
+  }
+
   /** Stream-stream join: two event streams correlated per user within a
     * 30-minute event-time band. Both sides carry watermarks so the join
     * state is bounded — late rows beyond the watermark are dropped and
