@@ -169,6 +169,45 @@ object EventLogQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Time-series resample + forward fill: a fixed daily grid per user
+    // (sequence → explode), left join of daily aggregates, gaps filled
+    // with the last observation (IGNORE NULLS window) — the standard
+    // telemetry densification over the reference's cpu-usage channel.
+    "el_resample_ffill" -> Q(
+      s"""WITH days AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+         |                                TIMESTAMP '2024-01-25 00:00:00',
+         |                                INTERVAL 1 DAY)) AS day),
+         |users AS (SELECT DISTINCT user_id FROM events),
+         |daily AS (
+         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |         ${duckDavg("value")} AS day_avg
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+         |SELECT g.user_id, g.day, daily.day_avg,
+         |       last_value(daily.day_avg IGNORE NULLS)
+         |         OVER (PARTITION BY g.user_id ORDER BY g.day
+         |               ROWS UNBOUNDED PRECEDING) AS filled
+         |FROM grid g LEFT JOIN daily
+         |  ON g.user_id = daily.user_id AND g.day = daily.day
+         |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(davg(col("value")).as("day_avg"))
+      val days = s.range(1).select(explode(sequence(
+        lit("2024-01-05 00:00:00").cast("timestamp"),
+        lit("2024-01-25 00:00:00").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val users = Tables.events(s, d).select("user_id").distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("filled", last(col("day_avg"), ignoreNulls = true).over(w))
+        .select("user_id", "day", "day_avg", "filled")
+        .orderBy("user_id", "day")
+    },
+
     // R13: timestamp render — proto Timestamp → RFC3339 string
     // (/root/reference/src/broker/main.rs:36-48), as a per-type latest-event
     // report.
