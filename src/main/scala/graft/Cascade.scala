@@ -43,11 +43,12 @@ final class Cascade(spark: SparkSession, root: String) {
   def consumeSince(topic: String, since: java.sql.Timestamp): DataFrame =
     spark.read.parquet(dir(topic)).filter(col("ts") >= lit(since)).orderBy("offset")
 
-  /** Coordinator metadata: registered topics (directories). */
+  /** Coordinator metadata: registered topics (directories). Hadoop-FS so
+    * remote roots (hdfs:/, s3a:/) behave like local ones. */
   def topics(): Seq[String] = {
-    val f = new java.io.File(root)
-    if (!f.exists()) Seq.empty
-    else f.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val (hfs, p) = Topic.fs(spark, root)
+    if (!hfs.exists(p)) Seq.empty
+    else hfs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
   }
 
   /** Topic removal — the coordinator's `remove`
@@ -56,13 +57,9 @@ final class Cascade(spark: SparkSession, root: String) {
     * directory. Errors if the topic doesn't exist, matching the
     * reference's Err("broker not found in topic") intent. */
   def dropTopic(topic: String): Unit = {
-    val f = new java.io.File(dir(topic))
-    require(f.exists(), s"topic not found: $topic")
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm)
-      x.delete()
-    }
-    rm(f)
+    val (hfs, p) = Topic.fs(spark, dir(topic))
+    require(hfs.exists(p), s"topic not found: $topic")
+    hfs.delete(p, true)
   }
 
   /** Topic description: row count + offset high-water mark (the broker
@@ -78,7 +75,10 @@ final class Cascade(spark: SparkSession, root: String) {
     * single-value publish with a synthesized envelope and the reference's
     * admission-control ack — the producer's 1000-slot ring buffer rejects
     * when full, acking 0 (/root/reference/src/producer/main.rs:26-38,
-    * 68-82); here the bound is the topic's unconsumed backlog.
+    * 68-82). The bound here is the TOTAL log size, permanently: faithful
+    * to the reference, whose drain loop overwrites slots with 1 (≠ 0 =
+    * occupied, main.rs:87-106) so its ring also rejects forever once
+    * 1000 ingests happen — slots are never actually freed.
     * @return true = accepted (ack 1), false = rejected (ack 0)
     */
   def ingestValue(topic: String, data: Int, capacity: Long = 1000L): Boolean = {

@@ -43,13 +43,24 @@ object Topic {
   private def ordinalWindow =
     Window.orderBy(col("ts"), col("event_id"))
 
-  /** Current high-water mark (next offset to assign); -1 for empty/new. */
+  /** Hadoop filesystem for a path — resolves file:/, hdfs:/, s3a:/ etc.,
+    * so topic metadata operations work on any storage, not just the local
+    * disk. */
+  private[graft] def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Current high-water mark (last assigned offset); -1 for empty/new. */
   def highWaterMark(spark: SparkSession, topicDir: String): Long = {
-    if (!new java.io.File(topicDir).exists()) return -1L
-    val df = spark.read.parquet(topicDir)
+    val (hfs, p) = fs(spark, topicDir)
+    if (!hfs.exists(p)) return -1L
     // max over the offset column: parquet footer stats make this a
     // metadata-only scan (no row materialization at scale).
-    df.agg(max(col("offset"))).head().getLong(0)
+    val row =
+      try spark.read.parquet(topicDir).agg(max(col("offset"))).head()
+      catch { case _: org.apache.spark.sql.AnalysisException => return -1L } // dir w/o data files
+    if (row.isNullAt(0)) -1L else row.getLong(0) // null max = zero-row topic
   }
 
   /** Append a batch of events, assigning dense offsets after the current
@@ -71,10 +82,22 @@ object Topic {
     * brokers (/root/reference/src/producer/main.rs:196).
     */
   def publishPartitioned(events: DataFrame, topicDir: String, shards: Int): Unit = {
+    val spark = events.sparkSession
+    // per-shard high-water marks so repeated publishes continue each
+    // shard's dense ordinal sequence instead of restarting at 0
+    val (hfs, p) = fs(spark, topicDir)
+    val bases: Map[Int, Long] =
+      if (!hfs.exists(p)) Map.empty
+      else spark.read.parquet(topicDir)
+        .groupBy("shard").agg(max(col("offset")).as("hwm"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val baseCol = bases.foldLeft(lit(-1L)) { case (acc, (sh, hwm)) =>
+      when(col("shard") === sh, lit(hwm)).otherwise(acc)
+    }
     val w = Window.partitionBy(col("shard")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("shard", pmod(col("event_id"), lit(shards)).cast("int"))
-      .withColumn("offset", row_number().over(w) - 1L)
+      .withColumn("offset", row_number().over(w) + baseCol)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "offset")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(topicDir)
@@ -92,7 +115,15 @@ object Topic {
   /** Coordinator-metadata analogue: topics are directories; register them
     * as temp views so SQL can address them by name
     * (/root/reference/src/coordinator/brokermap.rs:5 — topic → brokers map).
+    * The view is datasource-backed (not a snapshot DataFrame), so events
+    * published after registration become visible after `refresh`.
     */
   def register(spark: SparkSession, name: String, topicDir: String): Unit =
-    spark.read.parquet(topicDir).createOrReplaceTempView(name)
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW $name USING parquet OPTIONS (path '$topicDir')")
+
+  /** Invalidate cached file listings for a topic after out-of-band
+    * appends (Spark caches the file index per relation). */
+  def refresh(spark: SparkSession, name: String): Unit =
+    spark.sql(s"REFRESH TABLE $name")
 }

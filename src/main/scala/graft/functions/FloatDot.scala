@@ -73,6 +73,15 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object FloatDot {
+  /** Arity-checked builder shared by both registration paths — indexing
+    * children directly would surface as an IndexOutOfBoundsException from
+    * inside analysis instead of a usable error. */
+  def build(children: Seq[Expression]): FloatDot = {
+    require(children.size == 2,
+      s"graft_dot requires exactly 2 arguments, got ${children.size}")
+    FloatDot(children.head, children(1))
+  }
+
   /** Idempotently register `graft_dot` on a session's function registry so
     * `call_function("graft_dot", a, b)` resolves — the runtime-injection
     * flavor of SparkSessionExtensions.injectFunction. */
@@ -83,7 +92,7 @@ object FloatDot {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
-        (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+        (children: Seq[Expression]) => FloatDot.build(children))
     }
   }
 }

@@ -134,7 +134,10 @@ object DedupQueries {
          |              AS DOUBLE) / $K AS est_jaccard
          |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
          |SELECT da, db, est_jaccard FROM pairs ORDER BY da, db""".stripMargin) { (s, d) =>
-      val sig = sigDf(Tables.documents(s, d)).cache()
+      // no cache(): Verify/Bench run dozens of queries in one session and
+      // a per-call cache is never unpersisted (storage-memory leak); the
+      // two band branches recompute the small signature aggregate instead
+      val sig = sigDf(Tables.documents(s, d))
       val a   = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
       val b   = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
       def candidates(band: String) =

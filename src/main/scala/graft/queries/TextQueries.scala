@@ -155,9 +155,14 @@ object TextQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val fp = aggregate(col("toks"), lit(0L),
         (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
+      // <2-token guard: sequence(0, -1) would generate a DESCENDING array
+      // and crash on element_at(toks, 0); the oracle's range(1, len) is
+      // empty for short docs, so the guard matches it (0 bigrams)
       val bigrams = array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 2), i =>
-          concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")))
       base.select(col("doc_id"), fp.as("fingerprint"),
                   size(bigrams).as("n_distinct_bigrams"))
         .orderBy("doc_id")

@@ -148,13 +148,25 @@ object EventStream {
   }
 
   /** foreachBatch sink: per-micro-batch dedup then ordered append through
-    * the Topic layer — the ad-hoc sink escape hatch (batch logic inside a
-    * streaming epoch; the epoch id gives exactly-once bookkeeping). */
+    * the Topic layer — the ad-hoc sink escape hatch. Topic.publish is an
+    * APPEND (not idempotent), so replay of an epoch whose publish landed
+    * but whose checkpoint didn't commit would duplicate events; an epoch
+    * marker written AFTER the publish makes the common retry a no-op. A
+    * crash between publish and marker still replays (the residual
+    * at-least-once window — closing it needs an atomic rename of data +
+    * marker together); exact-once publish without custom batch logic is
+    * `publishStream` (the file-sink commit protocol).
+    */
   def mergePublish(events: DataFrame, topicDir: String, checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.Topic.publish(batch.dropDuplicates("event_id"), topicDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val (hfs, _) = graft.Topic.fs(batch.sparkSession, topicDir)
+        val marker = new org.apache.hadoop.fs.Path(topicDir, s"_epoch_$epochId")
+        if (!hfs.exists(marker)) {
+          graft.Topic.publish(batch.dropDuplicates("event_id"), topicDir)
+          hfs.create(marker, true).close()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

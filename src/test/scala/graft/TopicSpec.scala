@@ -52,6 +52,45 @@ class TopicSpec extends SparkSpec {
     assert(batch.map(_.getAs[Long]("event_id")).toSeq === expected.toSeq)
   }
 
+  test("highWaterMark handles missing and zero-row topics") {
+    assert(Topic.highWaterMark(spark, tmpDir()) === -1L)
+    val dir = tmpDir()
+    Tables.events(spark, sf).limit(0)
+      .withColumn("offset", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(dir)
+    assert(Topic.highWaterMark(spark, dir) === -1L) // zero rows → null max
+    Topic.publish(Tables.events(spark, sf).limit(5), dir)
+    assert(Topic.highWaterMark(spark, dir) === 4L)
+  }
+
+  test("publishPartitioned continues per-shard offsets on repeated publishes") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf)
+    Topic.publishPartitioned(ev.filter(col("event_id") < 40), dir, shards = 4)
+    Topic.publishPartitioned(ev.filter(col("event_id") >= 40 && col("event_id") < 80), dir, shards = 4)
+    val log = spark.read.parquet(dir)
+    assert(log.count() === 80)
+    // offsets stay dense and unique per shard across both publishes
+    val perShard = log.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("mx"),
+           countDistinct(col("offset")).as("nd"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1, s"shard ${r.get(0)}")
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("n"), s"shard ${r.get(0)}")
+    }
+  }
+
+  test("registered topic view sees later publishes after refresh") {
+    val dir = tmpDir()
+    Topic.publish(Tables.events(spark, sf).limit(10), dir)
+    Topic.register(spark, "t_reg", dir)
+    assert(spark.table("t_reg").count() === 10)
+    Topic.publish(Tables.events(spark, sf).filter(col("event_id") >= 10).limit(5), dir)
+    Topic.refresh(spark, "t_reg")
+    assert(spark.table("t_reg").count() === 15)
+  }
+
   test("publishPartitioned shards are balanced like round-robin (R7)") {
     val dir = tmpDir()
     Topic.publishPartitioned(Tables.events(spark, sf).limit(100), dir, shards = 4)
