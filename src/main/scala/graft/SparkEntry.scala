@@ -43,6 +43,7 @@ object SparkEntry {
     graft.queries.RelationalQueries2.defs ++
     graft.queries.RelationalQueries3.defs ++
     graft.queries.RelationalQueries4.defs ++
+    graft.queries.RelationalQueries5.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
