@@ -96,10 +96,6 @@ object Portable {
   def duckDavgUnit(expr: String): String =
     s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(24,12))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
 
-  /** Microsecond-truncated event time — events.ts is ns-precision parquet;
-    * Spark truncates to µs on read, the oracle must CAST(ts AS TIMESTAMP). */
-  def tsUs(c: Column): Column = c
-
   /** Whitespace tokens of a document (documents.text is single-space). */
   def tokens(c: Column): Column = split(c, " ")
 }

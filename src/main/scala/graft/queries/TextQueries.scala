@@ -27,9 +27,6 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
-  private def markerScore(ws: Seq[String]): Column =
-    size(filter(toks, t => t.isin(ws.map(x => x: Any): _*)))
-
   private def duckMarkerScore(ws: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
