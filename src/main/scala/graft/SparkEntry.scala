@@ -48,5 +48,6 @@ object SparkEntry {
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.TextQueries.defs ++
+    graft.queries.TextQueries2.defs ++
     graft.queries.MultimodalQueries.defs
 }

@@ -71,7 +71,19 @@ object StreamDemo {
     println("SYNTH sample: " + spark.table("synth").orderBy("event_id")
       .select("event_id", "event_type", "value").limit(3).collect().mkString(" "))
 
-    // 6. multimodal: binary assets → per-partition decode → kind stats
+    // 6. transformWithState: per-user rolling stats over the topic stream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qt = graft.streaming.UserStatsProcessor(
+        EventStream.typed(EventStream.ingest(spark, s"$base/topic", 2)))
+      .toDF().writeStream.format("memory").queryName("tws").outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt5")
+      .trigger(Trigger.AvailableNow()).start()
+    qt.awaitTermination()
+    println("TWS top user: " + spark.table("tws")
+      .orderBy(desc("n_events"), desc("user_id")).limit(1).collect().mkString)
+
+    // 7. multimodal: binary assets → per-partition decode → kind stats
     val feats = graft.operators.Multimodal.decode(
       graft.operators.Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir)))
     graft.operators.Multimodal.kindStats(feats).show()

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text pipeline, part 2: document chunking and subword units — the two
+  * remaining training-data preprocessing shapes (context-window chunking
+  * with overlap; BPE-ish subword splitting).
+  */
+object TextQueries2 {
+
+  private val CHUNK  = 32 // tokens per chunk
+  private val STRIDE = 24 // overlap = CHUNK - STRIDE
+
+  def defs: Map[String, Q] = Map(
+
+    // Overlapping token-window chunking: one row per (doc, chunk) with
+    // the chunk text and its token count — the explode shape a context-
+    // window pipeline feeds to tokenization/packing downstream.
+    "ta_chunking" -> Q(
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST((s - 1) // $STRIDE AS INTEGER) AS chunk_no,
+         |       array_to_string(toks[s:s+${CHUNK - 1}], ' ') AS chunk_text,
+         |       CAST(least($CHUNK, len(toks) - s + 1) AS INTEGER) AS n_chunk_tokens
+         |FROM t, unnest(range(1, len(toks) + 1, $STRIDE)) u(s)
+         |ORDER BY doc_id, chunk_no""".stripMargin) { (s, d) =>
+      val chunks = transform(
+        sequence(lit(0), size(col("toks")) - 1, lit(STRIDE)),
+        i => struct(
+          concat_ws(" ", slice(col("toks"), i + 1, lit(CHUNK))).as("chunk_text"),
+          least(lit(CHUNK), size(col("toks")) - i).cast("int").as("n_chunk_tokens")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_no", "c")))
+        .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+                col("c.chunk_text"), col("c.n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    // BPE-ish subword units: every token split into fixed-stride 2-char
+    // units; global unit vocabulary with frequencies (the shape of a
+    // learned-merge vocabulary pass, with the merge table stubbed to
+    // fixed-width units so the oracle stays exact).
+    "ta_subword_units" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |units AS (
+        |  SELECT doc_id,
+        |         unnest(flatten([[substring(tok, p, 2)
+        |                          for p in range(1, len(tok) + 1, 2)]
+        |                         for tok in toks])) AS unit
+        |  FROM t)
+        |SELECT unit, COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM units GROUP BY unit ORDER BY n_occurrences DESC, unit""".stripMargin) { (s, d) =>
+      val units = flatten(transform(col("toks"), tok =>
+        transform(sequence(lit(1), length(tok), lit(2)),
+          p => tok.substr(p, lit(2)))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(units).as("unit"))
+        .groupBy("unit")
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("unit"))
+    }
+  )
+}
