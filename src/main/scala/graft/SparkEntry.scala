@@ -45,6 +45,7 @@ object SparkEntry {
     graft.queries.RelationalQueries4.defs ++
     graft.queries.RelationalQueries5.defs ++
     graft.queries.DedupQueries.defs ++
+    graft.queries.SketchQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.TextQueries.defs ++
