@@ -46,6 +46,7 @@ object SparkEntry {
     graft.queries.RelationalQueries5.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SketchQueries.defs ++
+    graft.queries.WinnowQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.TextQueries.defs ++

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable.duckH
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+  * k-gram, slide a w-window over the hash sequence, keep each window's
+  * minimum — guarantees any shared substring of length ≥ w+k-1 produces a
+  * shared fingerprint. The substantive "rolling hash fingerprint" of the
+  * text-analysis mandate (ta_fingerprint is the whole-document digest).
+  *
+  * k = 3 tokens, w = 4 windows; hashes are the portable h32.
+  */
+object WinnowQueries {
+
+  private val W = 4
+
+  /** 3-token shingle hashes from a materialized toks column (ordered,
+    * NOT distinct — winnowing is positional). */
+  private def kgramHashes(toks: Column): Column =
+    transform(sequence(lit(0), size(toks) - 3), i =>
+      conv(substring(md5(concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))), 1, 8),
+        16, 10).cast("long"))
+
+  private val duckKgramHashes: String =
+    s"""[${duckH("array_to_string(toks[i:i+2], ' ')", 8)}
+       | for i in range(1, len(toks) - 1)]""".stripMargin.replace("\n", " ")
+
+  /** Distinct window minima over the hash sequence (docs all have ≥ W+2
+    * tokens in this corpus; the guard keeps short docs total). */
+  private def fingerprints(hs: Column): Column =
+    array_distinct(
+      when(size(hs) >= W,
+        transform(sequence(lit(0), size(hs) - W), j =>
+          array_min(slice(hs, j + 1, lit(W)))))
+        .otherwise(array(array_min(hs))))
+
+  private val duckFingerprints: String =
+    s"""list_distinct(CASE WHEN len(hs) >= $W
+       | THEN [list_min(hs[j:j+${W - 1}]) for j in range(1, len(hs) - ${W - 2})]
+       | ELSE [list_min(hs)] END)""".stripMargin.replace("\n", " ")
+
+  def defs: Map[String, Q] = Map(
+
+    // Per-document winnowed fingerprint profile.
+    "ta_winnowing" -> Q(
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, $duckKgramHashes AS hs FROM t),
+         |f AS (SELECT doc_id, $duckFingerprints AS fps FROM h)
+         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+         |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
+        .select(col("doc_id"), fingerprints(col("hs")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+                array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Candidate near-dup pairs sharing a RARE winnowed fingerprint
+    // (document frequency ≤ 3) — explode + df-filter + self equi-join,
+    // the moss/plagiarism-detector blocking shape; rarity bounds the
+    // bucket sizes at any corpus scale.
+    "dd_winnow_pairs" -> Q(
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, $duckKgramHashes AS hs FROM t),
+         |f AS (SELECT doc_id, unnest($duckFingerprints) AS fp FROM h),
+         |rare AS (
+         |  SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 3),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  JOIN rare r ON a.fp = r.fp)
+         |SELECT da, db FROM cand ORDER BY da, db""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
+        .select(col("doc_id"), explode(fingerprints(col("hs"))).as("fp"))
+      val rare = f.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 3)
+        .select("fp")
+      val fr = f.join(broadcast(rare), "fp")
+      val a  = fr.select(col("fp"), col("doc_id").as("da"))
+      val b  = fr.select(col("fp").as("fp2"), col("doc_id").as("db"))
+      a.join(b, col("fp") === col("fp2") && col("da") < col("db"))
+        .select("da", "db").distinct()
+        .orderBy("da", "db")
+    }
+  )
+}
