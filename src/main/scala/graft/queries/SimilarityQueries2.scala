@@ -19,6 +19,22 @@ object SimilarityQueries2 {
 
   private val NSEEDS = 8
 
+  /** Every vector → nearest seed by cosine (tiebreak smaller seed id),
+    * carrying embedding + norm for downstream rescoring. Shared by
+    * assignment and probe so the IVF index definition cannot drift. */
+  private def assignClusters(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seeds = e.filter(col("vec_id") < NSEEDS)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("sid"),
+              (nativeDot(col("embedding"), col("sv")) / (col("nrm") * col("snrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+              col("sid").as("cluster"), col("cos").as("cluster_cos"))
+  }
+
   def defs: Map[String, Q] = Map(
 
     // IVF cell assignment: every vector → nearest seed (cosine, tiebreak
@@ -37,16 +53,9 @@ object SimilarityQueries2 {
          |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val seeds = e.filter(col("vec_id") < NSEEDS)
-        .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
-      e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("label"), col("sid"),
-                (nativeDot(col("embedding"), col("sv")) / (col("nrm") * col("snrm"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("sid").cast("int").as("cluster"),
-                col("cos").as("cluster_cos"))
+      assignClusters(e)
+        .select(col("vec_id"), col("label"), col("cluster").cast("int").as("cluster"),
+                col("cluster_cos"))
         .orderBy("vec_id")
     },
 
@@ -75,16 +84,7 @@ object SimilarityQueries2 {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val seeds = e.filter(col("vec_id") < NSEEDS)
-        .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
-      val assign = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("sid"),
-                (nativeDot(col("embedding"), col("sv")) / (col("nrm") * col("snrm"))).as("cos"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-                col("sid").as("cluster"))
+      val assign = assignClusters(e)
       val q = assign.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
                 col("nrm").as("qnrm"), col("cluster").as("qcluster"))

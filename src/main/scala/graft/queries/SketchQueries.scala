@@ -39,17 +39,25 @@ object SketchQueries {
                 Portable.h60(col("l_partkey").cast("string")).as("hv"),
                 col("l_partkey"))
         .groupBy("l_returnflag")
+        // distinct over the HASH (not the key) so the comparison column
+        // means the same thing as the oracle's nd-over-distinct-hv even
+        // under a (astronomically rare) h60 collision
         .agg(call_function("kmv_distinct", col("hv")).as("kmv_estimate"),
-             countDistinct(col("l_partkey")).as("exact_distinct"))
+             countDistinct(col("hv")).as("exact_distinct"))
         .orderBy("l_returnflag")
     },
 
     // Edit-distance near-dup: Levenshtein over 40-char prefixes of
     // same-(lang, source) document pairs — the blocking key bounds the
-    // O(n·m) comparisons exactly like the jaccard verifier.
+    // O(n·m) comparisons exactly like the jaccard verifier. The prefix is
+    // normalized to [a-z ] first: Spark's levenshtein is codepoint-based
+    // while DuckDB's is byte-based, so any multibyte character would
+    // silently diverge — on the normalized alphabet they coincide.
     "dd_edit_distance" -> Q(
       """WITH t AS (
-        |  SELECT doc_id, lang, source, substring(text, 1, 40) AS head FROM documents)
+        |  SELECT doc_id, lang, source,
+        |         substring(regexp_replace(text, '[^a-z ]', '', 'g'), 1, 40) AS head
+        |  FROM documents)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
         |FROM t a JOIN t b
@@ -58,7 +66,7 @@ object SketchQueries {
         |ORDER BY da, db""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-                substring(col("text"), 1, 40).as("head"))
+                substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
       val a = t.select(t.columns.map(c => col(c).as(s"a_$c")): _*)
       val b = t.select(t.columns.map(c => col(c).as(s"b_$c")): _*)
       a.join(b, col("a_lang") === col("b_lang") && col("a_source") === col("b_source") &&

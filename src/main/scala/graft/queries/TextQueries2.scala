@@ -53,9 +53,13 @@ object TextQueries2 {
         |SELECT unit, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs
         |FROM units GROUP BY unit ORDER BY n_occurrences DESC, unit""".stripMargin) { (s, d) =>
+      // empty-token guard: three-arg sequence(1, 0, 2) THROWS in Spark
+      // while the oracle's range(1, 1, 2) is just empty
       val units = flatten(transform(col("toks"), tok =>
-        transform(sequence(lit(1), length(tok), lit(2)),
-          p => tok.substr(p, lit(2)))))
+        when(length(tok) > 0,
+          transform(sequence(lit(1), length(tok), lit(2)),
+            p => tok.substr(p, lit(2))))
+          .otherwise(array().cast("array<string>"))))
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(units).as("unit"))

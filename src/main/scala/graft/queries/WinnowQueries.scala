@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Portable.duckH
+import graft.functions.Portable.{duckH, h32}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -19,30 +19,36 @@ object WinnowQueries {
   private val W = 4
 
   /** 3-token shingle hashes from a materialized toks column (ordered,
-    * NOT distinct — winnowing is positional). */
+    * NOT distinct — winnowing is positional). Guarded for <3 tokens:
+    * two-arg sequence(0, negative) counts DOWN and element_at(_, 0)
+    * throws, where the oracle's range() is just empty. */
   private def kgramHashes(toks: Column): Column =
-    transform(sequence(lit(0), size(toks) - 3), i =>
-      conv(substring(md5(concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))), 1, 8),
-        16, 10).cast("long"))
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        h32(concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<bigint>"))
 
   private val duckKgramHashes: String =
     s"""[${duckH("array_to_string(toks[i:i+2], ' ')", 8)}
        | for i in range(1, len(toks) - 1)]""".stripMargin.replace("\n", " ")
 
-  /** Distinct window minima over the hash sequence (docs all have ≥ W+2
-    * tokens in this corpus; the guard keeps short docs total). */
+  /** Distinct window minima over the hash sequence; short docs degrade
+    * to a single whole-sequence minimum, empty sequences to no
+    * fingerprints (identical tiering in the oracle). */
   private def fingerprints(hs: Column): Column =
     array_distinct(
       when(size(hs) >= W,
         transform(sequence(lit(0), size(hs) - W), j =>
           array_min(slice(hs, j + 1, lit(W)))))
-        .otherwise(array(array_min(hs))))
+        .when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<bigint>")))
 
   private val duckFingerprints: String =
     s"""list_distinct(CASE WHEN len(hs) >= $W
        | THEN [list_min(hs[j:j+${W - 1}]) for j in range(1, len(hs) - ${W - 2})]
-       | ELSE [list_min(hs)] END)""".stripMargin.replace("\n", " ")
+       | WHEN len(hs) > 0 THEN [list_min(hs)]
+       | ELSE [] END)""".stripMargin.replace("\n", " ")
 
   def defs: Map[String, Q] = Map(
 
@@ -82,11 +88,14 @@ object WinnowQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
         .select(col("doc_id"), explode(fingerprints(col("hs"))).as("fp"))
-      val rare = f.groupBy("fp")
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // (doc, fp) pairs are unique post-array_distinct, so a count over
+      // the fp window IS the document frequency — one pipeline instead of
+      // a separate aggregate + join back, saving a full recompute of the
+      // winnow lineage (at real scale one would checkpoint `f` instead;
+      // a per-query cache is a session-lifetime leak under Verify/Bench)
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val fr = f.withColumn("df", count(lit(1)).over(wdf))
         .filter(col("df") >= 2 && col("df") <= 3)
-        .select("fp")
-      val fr = f.join(broadcast(rare), "fp")
       val a  = fr.select(col("fp"), col("doc_id").as("da"))
       val b  = fr.select(col("fp").as("fp2"), col("doc_id").as("db"))
       a.join(b, col("fp") === col("fp2") && col("da") < col("db"))
