@@ -64,10 +64,12 @@ object Vectors {
 
   /** Random-hyperplane LSH signature (`nBits` bits) of an embedding:
     * bit b set iff dot(v, plane_b) > 0. Integer result, exactly portable.
+    * Uses the codegen'd graft_dot (float vec × double plane literal) —
+    * call `FloatDot.register(spark)` on the session first.
     */
   def lshSignature(v: Column, dim: Int, nBits: Int): Column =
     (0 until nBits).map { b =>
-      when(dot(v, planeLit(b, dim)) > 0, lit(1 << b)).otherwise(lit(0))
+      when(nativeDot(v, planeLit(b, dim)) > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** DuckDB fragment for the same signature (sig of `vecExpr`). */

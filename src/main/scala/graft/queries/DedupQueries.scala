@@ -72,6 +72,9 @@ object DedupQueries {
     */
   private def sigDf(docs: DataFrame): DataFrame = {
     val exploded = docs
+      // the corpus is one parquet file = one scan partition; spread the
+      // CPU-dense shingle+md5 projection across the cluster
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(shinglesFrom(col("toks"))).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))

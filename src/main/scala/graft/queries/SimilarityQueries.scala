@@ -61,6 +61,7 @@ object SimilarityQueries {
       s"""SELECT vec_id, label,
          |       CAST(${duckLshSignature("embedding", DIM, NBITS)} AS INTEGER) AS sig
          |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
                 lshSignature(col("embedding"), DIM, NBITS).cast("int").as("sig"))

