@@ -45,6 +45,7 @@ object SparkEntry {
     graft.queries.RelationalQueries4.defs ++
     graft.queries.RelationalQueries5.defs ++
     graft.queries.RelationalQueries6.defs ++
+    graft.queries.RelationalQueries7.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.WinnowQueries.defs ++

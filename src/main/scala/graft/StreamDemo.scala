@@ -83,7 +83,13 @@ object StreamDemo {
     println("TWS top user: " + spark.table("tws")
       .orderBy(desc("n_events"), desc("user_id")).limit(1).collect().mkString)
 
-    // 7. multimodal: binary assets → per-partition decode → kind stats
+    // 7. log compaction: keep the latest event per user (Kafka-style);
+    //    the offset-carrying topic is the compactable log (raw stream
+    //    sinks have no ordinals)
+    Topic.compact(spark, s"$base/topic", "user_id")
+    println(s"COMPACTED topic rows: ${spark.read.parquet(s"$base/topic").count()}")
+
+    // 8. multimodal: binary assets → per-partition decode → kind stats
     val feats = graft.operators.Multimodal.decode(
       graft.operators.Multimodal.assetsFromDocuments(Tables.documents(spark, sfDir)))
     graft.operators.Multimodal.kindStats(feats).show()

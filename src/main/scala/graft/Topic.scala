@@ -112,6 +112,30 @@ object Topic {
       .filter(col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")
 
+  /** Log compaction — the Kafka feature the reference lacks entirely
+    * (SURVEY.md §1.2: "no keys/compaction"): keep only the LATEST event
+    * per key (by offset), rewriting the topic in place. One window over
+    * the key partitioning; at scale this is the periodic compaction job,
+    * not a per-read path.
+    */
+  def compact(spark: SparkSession, topicDir: String, keyCol: String,
+              orderCol: String = "offset"): Unit = {
+    require(spark.read.parquet(topicDir).columns.contains(orderCol),
+      s"compact needs ordering column '$orderCol' — raw stream sinks " +
+        "(publishStream) carry no offsets; compact those by event_id")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+    val compacted = spark.read.parquet(topicDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .sortWithinPartitions(orderCol)
+    val tmp = topicDir + ".compact.tmp"
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (hfs, p) = fs(spark, topicDir)
+    hfs.delete(p, true)
+    hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** Coordinator-metadata analogue: topics are directories; register them
     * as temp views so SQL can address them by name
     * (/root/reference/src/coordinator/brokermap.rs:5 — topic → brokers map).

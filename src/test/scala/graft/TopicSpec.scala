@@ -81,6 +81,21 @@ class TopicSpec extends SparkSpec {
     }
   }
 
+  test("compact keeps only the latest event per key") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).limit(300)
+    Topic.publish(ev, dir)
+    val nUsers = ev.select("user_id").distinct().count()
+    Topic.compact(spark, dir, "user_id")
+    val log = spark.read.parquet(dir)
+    assert(log.count() === nUsers)
+    // the survivor per user is the max-offset (latest) event
+    val expected = Topic.consume(spark, dir, 0, 300) // read all back, ordered
+    assert(log.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    // compacted log is still offset-addressable (offsets preserved)
+    assert(log.select("offset").distinct().count() === nUsers)
+  }
+
   test("registered topic view sees later publishes after refresh") {
     val dir = tmpDir()
     Topic.publish(Tables.events(spark, sf).limit(10), dir)
