@@ -38,10 +38,17 @@ final class Cascade(spark: SparkSession, root: String) {
   def consumeBatch(topic: String, from: Long, count: Int): DataFrame =
     Topic.consume(spark, dir(topic), from, count)
 
+  private def requireTopic(topic: String): Unit = {
+    val (hfs, p) = Topic.fs(spark, dir(topic))
+    require(hfs.exists(p), s"topic not found: $topic")
+  }
+
   /** Consume from an event-time position — the `startingTimestamp`
     * analogue (offset predicate + time predicate both prune parquet). */
-  def consumeSince(topic: String, since: java.sql.Timestamp): DataFrame =
+  def consumeSince(topic: String, since: java.sql.Timestamp): DataFrame = {
+    requireTopic(topic)
     spark.read.parquet(dir(topic)).filter(col("ts") >= lit(since)).orderBy("offset")
+  }
 
   /** Coordinator metadata: registered topics (directories). Hadoop-FS so
     * remote roots (hdfs:/, s3a:/) behave like local ones. */
@@ -64,12 +71,14 @@ final class Cascade(spark: SparkSession, root: String) {
 
   /** Topic description: row count + offset high-water mark (the broker
     * registration record, generalized). */
-  def describe(topic: String): DataFrame =
+  def describe(topic: String): DataFrame = {
+    requireTopic(topic)
     spark.read.parquet(dir(topic))
       .agg(count(lit(1)).as("n_events"),
            max(col("offset")).as("high_water_mark"),
            min(col("ts")).as("earliest"),
            max(col("ts")).as("latest"))
+  }
 
   /** HTTP-ingress datum (the Express bridge carried one int32): a
     * single-value publish with a synthesized envelope and the reference's
@@ -83,14 +92,16 @@ final class Cascade(spark: SparkSession, root: String) {
     */
   def ingestValue(topic: String, data: Int, capacity: Long = 1000L): Boolean = {
     import spark.implicits._
-    val next = Topic.highWaterMark(spark, dir(topic)) + 1
+    val hwm  = Topic.highWaterMark(spark, dir(topic))
+    val next = hwm + 1
     if (next >= capacity) return false
     val df = Seq((next, new java.sql.Timestamp(0L), 0L, "ingress", data.toDouble, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       // event-time stamping belongs to the producer (R8); deterministic
       // here: derive from the ordinal rather than wall clock
       .withColumn("ts", timestamp_micros(col("event_id")))
-    Topic.publish(df, dir(topic))
+    // reuse the hwm from the admission check — no second footer scan
+    Topic.publish(df, dir(topic), knownHighWaterMark = Some(hwm))
     true
   }
 }

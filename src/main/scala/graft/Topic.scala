@@ -66,10 +66,22 @@ object Topic {
   /** Append a batch of events, assigning dense offsets after the current
     * high-water mark. Batch-internal order is `(ts, event_id)` — the total
     * order SURVEY.md §7.4 fixes for the reference's single-log semantics.
+    *
+    * SINGLE WRITER PER TOPIC: the read-modify-write of the high-water mark
+    * is not locked — exactly the reference's model, where the broker's
+    * file mutexes serialize one process's writers but nothing coordinates
+    * across brokers (its 4 replicas keep disjoint logs). Concurrent
+    * publishers to one topic dir must be externally serialized, as with a
+    * Kafka partition's single leader.
+    *
+    * @param knownHighWaterMark pass the current hwm when the caller just
+    *   read it (e.g. Cascade.ingestValue's admission check) to avoid a
+    *   second footer-stats job per publish.
     */
-  def publish(events: DataFrame, topicDir: String): Unit = {
+  def publish(events: DataFrame, topicDir: String,
+              knownHighWaterMark: Option[Long] = None): Unit = {
     val spark = events.sparkSession
-    val base  = highWaterMark(spark, topicDir) + 1L
+    val base  = knownHighWaterMark.getOrElse(highWaterMark(spark, topicDir)) + 1L
     events
       .withColumn("offset", row_number().over(ordinalWindow) - 1L + base)
       .sortWithinPartitions("offset")

@@ -20,15 +20,16 @@ class TopK(k: Int) extends Aggregator[(Long, Double, Long), Seq[(Double, Long)],
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
-    val merged = (buf :+ v).sortWith(better)
-    if (merged.size > k) merged.take(k) else merged
-  }
-
   override def zero: Seq[(Double, Long)] = Seq.empty
 
-  override def reduce(buf: Seq[(Double, Long)], row: (Long, Double, Long)): Seq[(Double, Long)] =
-    insert(buf, (row._2, row._3))
+  override def reduce(buf: Seq[(Double, Long)], row: (Long, Double, Long)): Seq[(Double, Long)] = {
+    val v = (row._2, row._3)
+    // common case at scale: buffer full and the row doesn't beat the
+    // current k-th — one comparison, zero allocation (the whole point of
+    // the k-bounded aggregate for huge groups)
+    if (buf.size == k && !better(v, buf.last)) buf
+    else merge(buf, Seq(v))
+  }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
     val merged = (a ++ b).sortWith(better)

@@ -25,8 +25,6 @@ object TextQueries {
     "fr" -> Seq("join", "merge", "sort"),
     "zh" -> Seq("spark", "query", "row"))
 
-  private def toks: Column = split(col("text"), " ")
-
   private def duckMarkerScore(ws: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
@@ -54,7 +52,7 @@ object TextQueries {
       // tokenize ONCE into a column; five inline markerScore(split(...))
       // expressions would each re-split the text (no CSE inside lambdas)
       val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
         .select(Seq(col("doc_id"), col("lang")) ++
           markers.map { case (l, ws) =>
             size(filter(col("toks"), t => t.isin(ws.map(x => x: Any): _*))).as(s"sc_$l") }: _*)
@@ -90,7 +88,7 @@ object TextQueries {
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), length(col("text")).as("n_chars_m"),
-        split(col("text"), " ").as("toks"))
+        tokens(col("text")).as("toks"))
       val withCounts = base.select(
         col("doc_id"), col("lang"), col("n_chars_m"),
         size(col("toks")).as("n_tokens"),
@@ -123,7 +121,7 @@ object TextQueries {
         |       CAST(tf AS DOUBLE) / (SELECT COUNT(*) FROM flt) AS rel_freq
         |FROM stats ORDER BY tf DESC, token""".stripMargin) { (s, d) =>
       val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("token"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token").rlike("^[a-z0-9]+$"))
       val total = tok.agg(count(lit(1)).as("total"))
       tok.groupBy("token")
@@ -149,7 +147,7 @@ object TextQueries {
         |     for i in range(1, len(string_split(text,' ')))])) AS INTEGER) AS n_distinct_bigrams
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
       val fp = aggregate(col("toks"), lit(0L),
         (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
       // <2-token guard: sequence(0, -1) would generate a DESCENDING array
