@@ -87,7 +87,39 @@ object DedupQueries {
       .withColumn("band1", md5(concat_ws(",", (K / 2 until K).map(j => col(s"s$j")): _*)))
   }
 
-  private val duckSigCte: String = {
+  /** LSH candidate pairs (da < db) from shared band buckets — the ONLY
+    * pair generator the dedup verifiers are allowed to use: every
+    * pairwise measure (jaccard, edit distance) runs on this bounded set,
+    * never on a coarse (lang, source)-blocked cross product that turns
+    * quadratic when one bucket is the corpus. Single signature pass,
+    * bucket-local pair fan-out (same shape as dd_minhash_pairs).
+    */
+  private[queries] def bandCandidates(docs: DataFrame): DataFrame = {
+    val banded = sigDf(docs).select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("bid"), col("band0").as("bkey")),
+          struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
+    banded
+      .groupBy("bid", "bkey").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") < col("db"))
+      .distinct()
+  }
+
+  /** The same candidate set in DuckDB (prefix with WITH; defines `banded`
+    * and `cand(da, db)`). */
+  private[queries] lazy val duckCandCte: String =
+    s"""$duckSigCte,
+       |cand AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[queries] val duckSigCte: String = {
     val sigs  = (0 until K).map(j => s"${duckSig(j)} AS s$j").mkString(", ")
     val half0 = (0 until K / 2).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
     val half1 = (K / 2 until K).map(j => s"CAST(s$j AS VARCHAR)").mkString(" || ',' || ")
@@ -137,18 +169,31 @@ object DedupQueries {
          |              AS DOUBLE) / $K AS est_jaccard
          |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
          |SELECT da, db, est_jaccard FROM pairs ORDER BY da, db""".stripMargin) { (s, d) =>
-      // no cache(): Verify/Bench run dozens of queries in one session and
-      // a per-call cache is never unpersisted (storage-memory leak); the
-      // two band branches recompute the small signature aggregate instead
-      val sig = sigDf(Tables.documents(s, d))
-      val a   = sig.select(sig.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b   = sig.select(sig.columns.map(c => col(c).as(s"b_$c")): _*)
-      def candidates(band: String) =
-        a.join(b, col(s"a_$band") === col(s"b_$band") && col("a_doc_id") < col("b_doc_id"))
-      val est = (0 until K).map(j => when(col(s"a_s$j") === col(s"b_s$j"), 1).otherwise(0))
+      // Single-pass formulation: ONE signature aggregate, bands exploded
+      // to (band_id, band_key) rows, bucket members gathered with
+      // collect_list and pairs generated INSIDE each bucket — no
+      // self-join, so the expensive shingle+md5+groupBy lineage runs
+      // exactly once (the round-1 two-joins-of-two-sides plan ran it 4×).
+      // LSH bucket sizes are small by construction, so the per-bucket
+      // collect_list + pair fan-out is bounded at any corpus scale (a hot
+      // band is a near-identical-content cluster — a data-quality signal —
+      // and AQE splits the skewed reducers).
+      val sig    = sigDf(Tables.documents(s, d))
+      val member = struct(col("doc_id") +: (0 until K).map(j => col(s"s$j")): _*)
+      val banded = sig.select(member.as("m"),
+          explode(array(
+            struct(lit(0).as("bid"), col("band0").as("bkey")),
+            struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
+        .select(col("m"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
+      val pairs = banded
+        .groupBy("bid", "bkey").agg(collect_list(col("m")).as("ms"))
+        .select(explode(col("ms")).as("a"), col("ms"))
+        .select(col("a"), explode(col("ms")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+      val est = (0 until K).map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
         .reduce(_ + _).cast("double") / K
-      candidates("band0").unionByName(candidates("band1"))
-        .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"), est.as("est_jaccard"))
+      pairs
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), est.as("est_jaccard"))
         .dropDuplicates("da", "db")
         .orderBy("da", "db")
     },
@@ -178,26 +223,32 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // n-gram (3-token shingle) Jaccard, verified pairwise WITHIN
-    // (lang, source) buckets — the blocking key bounds the pair count so
-    // the self-join stays an equi-join at any scale.
+    // n-gram (3-token shingle) Jaccard, verified ONLY on MinHash-band
+    // candidates (`bandCandidates`): LSH proposes, exact Jaccard
+    // disposes. The candidate set — not a (lang, source) block that goes
+    // quadratic when one bucket is the whole corpus — bounds the pair
+    // count at any scale; shingle sets meet the candidates in two
+    // doc_id equi-joins.
     "dd_ngram_jaccard" -> Q(
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, source, $duckShingles AS sh FROM documents)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         |FROM t a JOIN t b
-         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      s"""WITH $duckCandCte,
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT c.da, c.db,
+         |       CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+         |FROM cand c
+         |JOIN t ta ON c.da = ta.doc_id
+         |JOIN t tb ON c.db = tb.doc_id
          |ORDER BY da, db""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"), col("source"), shinglesFrom(col("toks")).as("sh"))
-      val a = t.select(t.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = t.select(t.columns.map(c => col(c).as(s"b_$c")): _*)
-      a.join(b, col("a_lang") === col("b_lang") && col("a_source") === col("b_source") &&
-                col("a_doc_id") < col("b_doc_id"))
-        .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"),
+      val docs = Tables.documents(s, d)
+      val t = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
+      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
+      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
+      bandCandidates(docs)
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select(col("da"), col("db"),
           (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
            size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
         .orderBy("da", "db")

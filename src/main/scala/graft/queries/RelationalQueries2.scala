@@ -131,24 +131,40 @@ object RelationalQueries2 {
     },
 
     // Array function suite over the embedding vectors (element access,
-    // slicing, sorting, extremes — all exact float ops).
+    // slicing, sorting, extremes — all exact float ops). The sorted
+    // extremes are emitted as SCALAR columns (not ARRAY) — the driver's
+    // comparator hashes cells and cannot hash list values.
     "q27_array_funcs" -> Q(
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,
         |       embedding[1] AS first_dim,
         |       list_max(embedding) AS emax,
         |       list_min(embedding) AS emin,
-        |       list_sort(embedding)[1:3] AS bottom3,
-        |       list_reverse_sort(embedding)[1:3] AS top3
+        |       list_sort(embedding)[1] AS bottom1,
+        |       list_sort(embedding)[2] AS bottom2,
+        |       list_sort(embedding)[3] AS bottom3,
+        |       list_reverse_sort(embedding)[1] AS top1,
+        |       list_reverse_sort(embedding)[2] AS top2,
+        |       list_reverse_sort(embedding)[3] AS top3
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).as("first_dim"),
-        array_max(col("embedding")).as("emax"),
-        array_min(col("embedding")).as("emin"),
-        slice(array_sort(col("embedding")), 1, 3).as("bottom3"),
-        slice(reverse(array_sort(col("embedding"))), 1, 3).as("top3"))
+      // materialize the sorted array ONCE: six element_at references to an
+      // inline array_sort would each re-sort the vector (no CSE in
+      // repeated column refs)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+                array_sort(col("embedding")).as("sorted"))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_dim"),
+          array_max(col("embedding")).as("emax"),
+          array_min(col("embedding")).as("emin"),
+          element_at(col("sorted"), 1).as("bottom1"),
+          element_at(col("sorted"), 2).as("bottom2"),
+          element_at(col("sorted"), 3).as("bottom3"),
+          element_at(col("sorted"), -1).as("top1"),
+          element_at(col("sorted"), -2).as("top2"),
+          element_at(col("sorted"), -3).as("top3"))
         .orderBy("vec_id")
     },
 

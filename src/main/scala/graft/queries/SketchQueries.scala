@@ -48,38 +48,38 @@ object SketchQueries {
     },
 
     // Edit-distance near-dup: Levenshtein over 40-char prefixes of
-    // same-(lang, source) document pairs — the blocking key bounds the
-    // O(n·m) comparisons exactly like the jaccard verifier. The prefix is
-    // normalized to [a-z ] first: Spark's levenshtein is codepoint-based
-    // while DuckDB's is byte-based, so any multibyte character would
-    // silently diverge — on the normalized alphabet they coincide.
+    // MinHash-band candidate pairs (DedupQueries.bandCandidates) — LSH
+    // proposes, the O(n·m) DP disposes, so the comparison count is
+    // bounded by the LSH bucket sizes at any corpus scale (round 1
+    // blocked on (lang, source), which is quadratic when one bucket is
+    // the corpus, and needed a localCheckpoint lineage barrier to
+    // parallelize the DP over millions of pairs — both gone now that the
+    // candidate set is small). The prefix is normalized to [a-z ] first:
+    // Spark's levenshtein is codepoint-based while DuckDB's is
+    // byte-based, so any multibyte character would silently diverge — on
+    // the normalized alphabet they coincide.
     "dd_edit_distance" -> Q(
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |         substring(regexp_replace(text, '[^a-z ]', '', 'g'), 1, 40) AS head
-        |  FROM documents)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
-        |       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
-        |FROM t a JOIN t b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 20
-        |ORDER BY da, db""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-                substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
-      val a = t.select(t.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = t.select(t.columns.map(c => col(c).as(s"b_$c")): _*)
-      a.join(b, col("a_lang") === col("b_lang") && col("a_source") === col("b_source") &&
-                col("a_doc_id") < col("b_doc_id"))
-        // The Levenshtein projection must run AFTER a real fan-out: the
-        // optimizer pushes projections through RepartitionByExpression, so
-        // a bare repartition still evaluates the O(n·m) DP on the join's
-        // single map-side partition (measured 5× slower). The lazy
-        // localCheckpoint is a lineage barrier: pairs land in the
-        // repartitioned layout first, then the DP runs 32-way parallel.
-        .repartition(col("a_doc_id"))
-        .localCheckpoint(false)
-        .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"),
+      s"""WITH ${DedupQueries.duckCandCte},
+         |t AS (
+         |  SELECT doc_id,
+         |         substring(regexp_replace(text, '[^a-z ]', '', 'g'), 1, 40) AS head
+         |  FROM documents)
+         |SELECT c.da, c.db,
+         |       CAST(levenshtein(ta.head, tb.head) AS INTEGER) AS edit_dist
+         |FROM cand c
+         |JOIN t ta ON c.da = ta.doc_id
+         |JOIN t tb ON c.db = tb.doc_id
+         |WHERE levenshtein(ta.head, tb.head) <= 20
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
+      val ta = t.select(col("doc_id").as("ta_id"), col("head").as("a_head"))
+      val tb = t.select(col("doc_id").as("tb_id"), col("head").as("b_head"))
+      DedupQueries.bandCandidates(docs)
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select(col("da"), col("db"),
                 levenshtein(col("a_head"), col("b_head")).cast("int").as("edit_dist"))
         .filter(col("edit_dist") <= 20)
         .orderBy("da", "db")

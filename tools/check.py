@@ -27,9 +27,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+            # The driver's comparator (pandas sort_values -> factorize)
+            # CRASHES on list/ndarray cells ("unhashable type"); mirror
+            # that as a hard failure instead of tuple-converting, so a
+            # query this gate passes cannot fail the real gate (q27 r1).
+            bad = df[c].apply(
+                lambda v: (isinstance(v, (list, tuple)) or
+                           (hasattr(v, "tolist") and
+                            not isinstance(v, (str, bytes)))))
+            if bad.any():
+                raise TypeError(
+                    f"column '{c}' holds array values — the driver's "
+                    "comparator cannot hash these; emit scalar columns")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
