@@ -104,4 +104,28 @@ final class Cascade(spark: SparkSession, root: String) {
     Topic.publish(df, dir(topic), knownHighWaterMark = Some(hwm))
     true
   }
+
+  /** LIVE twin of `ingestValue`: push the datum into the topic's
+    * in-process ring (the `graft-push` DSv2 source) so a RUNNING
+    * streaming query started by `liveStream` sees it on its next
+    * micro-batch — the reference's actual ingress path (Express HTTP →
+    * producer ring → drain, /root/reference/server/server.js:22-42),
+    * where `ingestValue` models only the durable tail of it.
+    * @return the reference's admission ack — true accepted,
+    *         false ring full (ProducerToExpressAck 0)
+    */
+  def ingestLive(topic: String, data: Int,
+                 capacity: Int = sources.push.PushBuffers.DefaultCapacity): Boolean =
+    sources.push.PushBuffers.get(topic, capacity).offer(data)
+
+  /** The drain side of `ingestLive`: an unbounded streaming DataFrame
+    * over the topic's push ring (schema: offset, ts, data). Compose with
+    * any transform and sink — e.g. `.writeStream.foreachBatch` into
+    * `publish` for the broker's ring→log drain loop. */
+  def liveStream(topic: String,
+                 capacity: Int = sources.push.PushBuffers.DefaultCapacity): DataFrame =
+    spark.readStream.format("graft-push")
+      .option("buffer", topic)
+      .option("capacity", capacity.toString)
+      .load()
 }

@@ -30,18 +30,18 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: a topic is many parquet files; publish appends new files only
   * (no rewrite), the high-water mark is a cheap max over footer stats of the
-  * newest files, and consume(n) is a metadata-pruned scan. The global
-  * ordinal does force per-topic write serialization — the same trade the
-  * reference makes, and the reason real Kafka shards ordinals per partition;
-  * `publishPartitioned` offers that relaxation (ordinal per shard).
+  * newest files, and consume(n) is a metadata-pruned scan. Ordinal
+  * assignment within a batch is FULLY PARALLEL (range-partitioned sort +
+  * zipWithIndex, see `assignOffsets` — no single-partition stage); what the
+  * global ordinal does serialize is publish CALLS per topic (the hwm
+  * read-modify-write), the same trade the reference makes and the reason
+  * real Kafka shards ordinals per partition — `publishPartitioned` offers
+  * that relaxation (ordinal per shard, concurrent publishers).
   */
 object Topic {
 
   val eventCols: Seq[String] =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-
-  private def ordinalWindow =
-    Window.orderBy(col("ts"), col("event_id"))
 
   /** Hadoop filesystem for a path — resolves file:/, hdfs:/, s3a:/ etc.,
     * so topic metadata operations work on any storage, not just the local
@@ -63,9 +63,36 @@ object Topic {
     if (row.isNullAt(0)) -1L else row.getLong(0) // null max = zero-row topic
   }
 
+  /** Dense global ordinals in `(ts, event_id)` order WITHOUT a
+    * single-partition stage: a parallel range-partitioned sort (the
+    * TeraSort shape — every partition sorts its key range concurrently)
+    * followed by `zipWithIndex`, which assigns per-partition dense
+    * indexes plus a per-partition base computed from one lightweight
+    * count job. Total order and assigned ordinals are IDENTICAL to a
+    * global `row_number()` window, but no executor ever holds the whole
+    * batch — this is the publish path's 100 TB posture. The RDD hop is
+    * the textbook justified one: dense global indexing is per-partition
+    * imperative logic Catalyst has no operator for.
+    */
+  private[graft] def assignOffsets(events: DataFrame, base: Long): DataFrame = {
+    val spark  = events.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      events.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "offset", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = events.orderBy(col("ts"), col("event_id"))
+      .rdd.zipWithIndex()
+      .map { case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + i)) }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Append a batch of events, assigning dense offsets after the current
     * high-water mark. Batch-internal order is `(ts, event_id)` — the total
     * order SURVEY.md §7.4 fixes for the reference's single-log semantics.
+    * Ordinal assignment is the parallel sort + zipWithIndex of
+    * `assignOffsets`: rows land range-partitioned and sorted, so each
+    * written file covers a disjoint offset range and parquet min/max
+    * stats still prune point reads to one file.
     *
     * SINGLE WRITER PER TOPIC: the read-modify-write of the high-water mark
     * is not locked — exactly the reference's model, where the broker's
@@ -82,9 +109,7 @@ object Topic {
               knownHighWaterMark: Option[Long] = None): Unit = {
     val spark = events.sparkSession
     val base  = knownHighWaterMark.getOrElse(highWaterMark(spark, topicDir)) + 1L
-    events
-      .withColumn("offset", row_number().over(ordinalWindow) - 1L + base)
-      .sortWithinPartitions("offset")
+    assignOffsets(events, base)
       .write.mode(SaveMode.Append).parquet(topicDir)
   }
 
@@ -100,9 +125,12 @@ object Topic {
     val (hfs, p) = fs(spark, topicDir)
     val bases: Map[Int, Long] =
       if (!hfs.exists(p)) Map.empty
-      else spark.read.parquet(topicDir)
+      else try spark.read.parquet(topicDir)
         .groupBy("shard").agg(max(col("offset")).as("hwm"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // existing-but-empty dir (e.g. a failed job's leftovers): same
+      // fallback highWaterMark uses, so both publish paths are robust
+      catch { case _: org.apache.spark.sql.AnalysisException => Map.empty[Int, Long] }
     val baseCol = bases.foldLeft(lit(-1L)) { case (acc, (sh, hwm)) =>
       when(col("shard") === sh, lit(hwm)).otherwise(acc)
     }
@@ -143,9 +171,17 @@ object Topic {
       .sortWithinPartitions(orderCol)
     val tmp = topicDir + ".compact.tmp"
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // crash-safe swap: move the live dir ASIDE first, then the compacted
+    // one into place, then drop the old — a failure between steps leaves
+    // either the old or the new log at the canonical path, never nothing
+    // (the delete-then-rename order stranded the topic on a mid-swap
+    // crash). Like publish, compact requires exclusive access.
     val (hfs, p) = fs(spark, topicDir)
-    hfs.delete(p, true)
+    val old = new org.apache.hadoop.fs.Path(topicDir + ".compact.old")
+    hfs.delete(old, true) // clear any previous failed swap's leftovers
+    hfs.rename(p, old)
     hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    hfs.delete(old, true)
   }
 
   /** Coordinator-metadata analogue: topics are directories; register them
@@ -154,9 +190,16 @@ object Topic {
     * The view is datasource-backed (not a snapshot DataFrame), so events
     * published after registration become visible after `refresh`.
     */
-  def register(spark: SparkSession, name: String, topicDir: String): Unit =
+  def register(spark: SparkSession, name: String, topicDir: String): Unit = {
+    // the name lands in SQL text: restrict to identifiers (a topic named
+    // `x; DROP ...` must fail loudly, not parse), and escape quotes in
+    // the path (single quotes double inside SQL string literals)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"topic view name must be an identifier: '$name'")
+    val quotedPath = topicDir.replace("'", "''")
     spark.sql(
-      s"CREATE OR REPLACE TEMPORARY VIEW $name USING parquet OPTIONS (path '$topicDir')")
+      s"CREATE OR REPLACE TEMPORARY VIEW $name USING parquet OPTIONS (path '$quotedPath')")
+  }
 
   /** Invalidate cached file listings for a topic after out-of-band
     * appends (Spark caches the file index per relation). */

@@ -1,65 +1,124 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Typed multimodal pipeline plumbing: opaque binary payloads with typed
   * metadata, batch-decoded per partition.
   *
-  * The container ships no image/audio codecs, so `decode` is a
-  * DETERMINISTIC STAND-IN (byte-histogram "features" + header-derived fake
-  * dimensions) — clearly marked below. Everything around it is the real
-  * production shape: a `binary` payload column, a typed Dataset, and
-  * `mapPartitions` so a real decoder would amortize per-partition setup
-  * (model load, codec init) exactly where the stub sits. This is the
-  * Scala/JVM equivalent of the Python `mapInPandas` batch-UDF pattern.
+  * Image payloads are decoded FOR REAL: the JDK ships PNG/BMP/GIF/JPEG
+  * codecs in `javax.imageio`, so `decode` parses actual encoded bytes and
+  * emits true pixel dimensions plus a luminance histogram computed from
+  * the decoded raster. Audio/video codecs are not in the JDK, so those
+  * payloads take the documented non-image fallback (byte histogram,
+  * 0×0 dimensions — the "no codec" signal). The pipeline shape is the
+  * production one either way: a `binary` payload column, a typed Dataset,
+  * and `mapPartitions` so per-partition setup (codec registry scan, model
+  * load) amortizes across the batch — the Scala/JVM equivalent of the
+  * Python `mapInPandas` batch-UDF pattern.
   */
 object Multimodal {
 
   /** An asset row: payload plus metadata (the image/audio/video model). */
   final case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
 
-  /** Decoded features: what a codec + feature extractor would emit. */
+  /** Decoded features: real pixel dims + luminance histogram for images;
+    * byte histogram with 0×0 dims for payloads with no JVM codec. */
   final case class AssetFeatures(
       asset_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, histogram: Array[Long])
 
-  /** Wrap documents as binary assets (the corpus carries no real media;
-    * utf-8 bytes stand in for an encoded payload). */
+  /** A deterministic synthetic image: dimensions derived from the seed,
+    * pixels a fixed gradient-plus-seed pattern, PNG-encoded through the
+    * real `javax.imageio` writer — so the decode path exercises an actual
+    * codec round-trip offline. */
+  def syntheticImage(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (x * 7 + y * 13 + seed).toInt & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Wrap documents as binary assets. `image`-kind assets carry REAL
+    * PNG payloads (synthesized deterministically from the doc id, since
+    * the corpus ships no media); audio/video kinds carry the utf-8 text
+    * bytes as an opaque stand-in payload. */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
     docs.select(
-      col("doc_id").as("asset_id"),
+      col("doc_id"),
       (when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload")).as[Asset]
+      col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, kind, text) =>
+        val payload =
+          if (kind == "image")
+            syntheticImage((id % 48 + 16).toInt, (id % 32 + 16).toInt, id)
+          else text.getBytes("UTF-8")
+        Asset(id, kind, payload)
+      }
   }
 
   /** Per-partition batch decode.
     *
-    * STUB: a real implementation would initialize the codec/model once
-    * per partition here and decode each payload; this stand-in derives
-    * deterministic pseudo-features from the bytes so the pipeline shape
-    * (partition-amortized setup, one output row per asset, fixed-width
-    * feature schema) is fully exercised and testable offline.
+    * Images go through `ImageIO.read` — a real codec parse of the
+    * payload bytes (PNG/BMP/GIF/JPEG headers + raster): true
+    * width/height, luminance histogram over decoded pixels. Payloads no
+    * installed reader claims (audio/video here — the JDK has no such
+    * codecs) fall back to a deterministic byte histogram with 0×0
+    * dimensions. The ImageIO plugin registry lookup is the per-partition
+    * setup cost this `mapPartitions` shape amortizes.
     */
   def decode(assets: Dataset[Asset], histBins: Int = 16): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real decoder setup would happen once, here
       it.map { a =>
-        val hist = new Array[Long](histBins)
-        var i = 0
-        while (i < a.payload.length) {
-          hist(java.lang.Byte.toUnsignedInt(a.payload(i)) % histBins) += 1
-          i += 1
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(a.payload))
+          catch { case _: java.io.IOException => null }
+        if (img != null) {
+          val hist = new Array[Long](histBins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                         ((rgb >> 8) & 0xff) * 587 +
+                         (rgb & 0xff) * 114) / 1000
+              hist(lum * histBins / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          AssetFeatures(a.asset_id, a.kind, a.payload.length,
+                        img.getWidth, img.getHeight, hist)
+        } else {
+          val hist = new Array[Long](histBins)
+          var i = 0
+          while (i < a.payload.length) {
+            hist(java.lang.Byte.toUnsignedInt(a.payload(i)) % histBins) += 1
+            i += 1
+          }
+          AssetFeatures(a.asset_id, a.kind, a.payload.length,
+                        width = 0, height = 0, histogram = hist)
         }
-        AssetFeatures(
-          a.asset_id, a.kind, a.payload.length,
-          width = a.payload.length % 640 + 1,
-          height = a.payload.length % 480 + 1,
-          histogram = hist)
       }
     }
   }

@@ -10,19 +10,34 @@ import graft.functions.Portable
   * invariants. */
 class OperatorsSpec extends SparkSpec {
 
-  test("multimodal decode: one feature row per asset, exact byte accounting") {
+  test("multimodal decode: real image dims; one feature row per asset") {
     val docs     = Tables.documents(spark, sf)
     val features = Multimodal.decode(Multimodal.assetsFromDocuments(docs))
     val n        = docs.count()
     assert(features.count() === n)
-    // histogram mass == byte length, for every asset
-    val bad = features.filter(f => f.histogram.sum != f.byte_len).count()
+    // image assets: the codec-decoded dimensions equal the generated
+    // ones (doc_id % 48 + 16 × doc_id % 32 + 16), and the luminance
+    // histogram mass equals the pixel count — a REAL ImageIO round-trip
+    val images = features.filter(f => f.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { f =>
+      assert(f.width === (f.asset_id % 48 + 16).toInt, s"asset ${f.asset_id}")
+      assert(f.height === (f.asset_id % 32 + 16).toInt, s"asset ${f.asset_id}")
+      assert(f.histogram.sum === f.width.toLong * f.height, s"asset ${f.asset_id}")
+      assert(f.byte_len > 8) // PNG header + data, not raw text
+    }
+    // non-image assets (no JVM codec): byte histogram mass == byte length
+    val bad = features
+      .filter(f => f.kind != "image" && (f.histogram.sum != f.byte_len || f.width != 0))
+      .count()
     assert(bad === 0)
     // stats handoff keeps totals
     val stats = Multimodal.kindStats(features)
     assert(stats.agg(sum(col("n_assets"))).head().getLong(0) === n)
-    val totalBytes = docs.agg(sum(length(encode(col("text"), "UTF-8")))).head().getLong(0)
-    assert(stats.agg(sum(col("total_bytes"))).head().getLong(0) === totalBytes)
+    val textBytes = docs.filter(col("doc_id") % 3 =!= 0)
+      .agg(sum(length(encode(col("text"), "UTF-8")))).head().getLong(0)
+    assert(stats.filter(col("kind") =!= "image")
+      .agg(sum(col("total_bytes"))).head().getLong(0) === textBytes)
   }
 
   test("stream-static enrich joins the customer dim without losing events") {

@@ -41,4 +41,47 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = plan("el_consume_offset")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  // ---- full-surface sweep: every declared query's physical plan ----
+
+  /** Queries whose semantics would require a total order over the whole
+    * input, accepted as a declared scale trade. Currently EMPTY: every
+    * declared window is partitioned (even the "global" ranking queries
+    * frame per-group), so any query growing a single-partition window
+    * fails the suite until it is listed here with a rationale. */
+  private val globalWindowByDesign = Set.empty[String]
+
+  private lazy val allPlans: Map[String, String] =
+    SparkEntry.queries.keys.map(n => n -> plan(n)).toMap
+
+  test("sweep: no non-broadcast cartesian product in any declared plan") {
+    val offenders = allPlans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("sweep: no cached-relation leaks in any declared plan") {
+    val offenders = allPlans.collect {
+      case (n, p) if p.contains("InMemoryRelation") => n
+    }
+    assert(offenders.isEmpty, s"InMemoryRelation in: $offenders")
+  }
+
+  test("sweep: single-partition windows only where total order is the semantics") {
+    // inspect the tree, not the dump: a scalar aggregate also plans a
+    // SinglePartition exchange (one output row — fine); what must not
+    // appear unannounced is a WindowExec with an EMPTY partition spec,
+    // which funnels the whole input through one task
+    val actual = SparkEntry.queries.keys.filter { n =>
+      SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }.toSet
+    // exact equality: an unannounced global window fails, and so does a
+    // stale allowlist entry (a query that no longer needs the trade)
+    assert(actual == globalWindowByDesign,
+      s"global-window set drifted — unexpected: ${actual -- globalWindowByDesign}, stale: ${globalWindowByDesign -- actual}")
+  }
 }

@@ -27,6 +27,27 @@ class TopicSpec extends SparkSpec {
     assert(byOffset === byTime)
   }
 
+  test("publish ordinal assignment has no single-partition stage") {
+    // the total-order stage must be a parallel range-partitioned sort
+    // (TeraSort shape), NOT a global row_number window that funnels the
+    // batch through one partition — the publish path's 100 TB guarantee
+    val ev = Tables.events(spark, sf).filter(col("event_id") < 100)
+    val sortPlan = ev.orderBy(col("ts"), col("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(sortPlan.contains("rangepartitioning"), sortPlan)
+    assert(!sortPlan.contains("SinglePartition"), sortPlan)
+    assert(!sortPlan.contains("Window"), sortPlan)
+    // and the parallel assignment equals the single-log spec: the i-th
+    // event in (ts, event_id) order carries ordinal base+i
+    val got = Topic.assignOffsets(ev, 7L)
+      .orderBy("offset").select("event_id").collect().map(_.getLong(0)).toSeq
+    val want = ev.orderBy("ts", "event_id").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(Topic.assignOffsets(ev, 7L).agg(min(col("offset")), max(col("offset")))
+      .head() match { case r => r.getLong(0) == 7L && r.getLong(1) == 106L })
+  }
+
   test("second publish continues after the high-water mark") {
     val dir = tmpDir()
     val ev  = Tables.events(spark, sf)
