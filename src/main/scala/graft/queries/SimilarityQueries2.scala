@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
 /** Similarity search, part 2: the IVF (inverted-file) ANN variant and
   * skew/scale patterns over the event log.
   *
-  * IVF here: the coarse quantizer's centroids are SEED VECTORS (the
-  * members with vec_id < k) rather than k-means float means — a float
-  * centroid mean is not order-stable across engines, seeds are, so the
-  * whole index is oracle-checkable. Assignment is argmax cosine to the
-  * seeds (n·k dots, linear scan); search probes only the query's cell.
+  * IVF here: seed vectors (vec_id < k) initialize the coarse quantizer,
+  * then ONE k-means refinement step replaces them with true cell
+  * centroids — computed over INTEGER-QUANTIZED component sums
+  * (floor(x·10⁴) summed as BIGINT, divided back in double), because an
+  * exact-associative integer sum is engine-portable where a float mean's
+  * accumulation order is not. Every vector re-assigns to its nearest
+  * refined centroid; search probes the TWO nearest cells (nprobe=2).
+  * The whole index — seeds, centroids, assignment, probe — is therefore
+  * oracle-checkable bit-for-bit.
   */
 object SimilarityQueries2 {
 
   private val NSEEDS = 8
+  private val DIM    = 64
 
   /** Every vector → nearest seed by cosine (tiebreak smaller seed id),
     * carrying embedding + norm for downstream rescoring. Shared by
@@ -35,48 +40,101 @@ object SimilarityQueries2 {
               col("sid").as("cluster"), col("cos").as("cluster_cos"))
   }
 
+  /** One deterministic k-means step + re-assignment, every vector ranked
+    * against every refined centroid (rn = 1 → its cell; rn ≤ 2 → its
+    * probe set). Shape: posexplode → (cluster, dim) BIGINT sums — a
+    * map-side-combined aggregate whose shuffle is k·dim longs total —
+    * then an 8-row centroid table broadcast against the corpus. At scale
+    * the centroid table stays tiny (k rows) regardless of corpus size.
+    */
+  private def refined(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val comp = assignClusters(e)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("cluster", "j")
+      .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
+           count(lit(1)).as("n"))
+    val centroids = comp
+      .select(col("cluster"),
+        struct(col("j"),
+          (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj")).as("p"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("cluster").as("ccluster"),
+              transform(col("ps"), p => p.getField("cj")).as("cvec"))
+      .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("ccluster"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("ccluster"),
+              (dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** DuckDB twin of `refined` (CTE list; defines `refined(vec_id, label,
+    * embedding, cluster, cos, rn)`). */
+  private val duckRefinedCte: String =
+    s"""seeds AS (
+       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
+       |s0 AS (
+       |  SELECT e.vec_id, e.embedding, s.sid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.sid) AS rn
+       |  FROM embeddings e, seeds s),
+       |assign0 AS (SELECT vec_id, embedding, sid AS cluster FROM s0 WHERE rn = 1),
+       |comp AS (
+       |  SELECT cluster, j,
+       |         SUM(CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000) AS BIGINT)) AS sq,
+       |         COUNT(*) AS n
+       |  FROM assign0, range(1, ${DIM + 1}) t(j)
+       |  GROUP BY cluster, j),
+       |centroid AS (
+       |  SELECT cluster,
+       |         list(CAST(sq AS DOUBLE) / CAST(10000 AS DOUBLE) / CAST(n AS DOUBLE)
+       |              ORDER BY j) AS cvec
+       |  FROM comp GROUP BY cluster),
+       |rscore AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cluster,
+       |         ${duckCosine("e.embedding", "c.cvec")} AS cos
+       |  FROM embeddings e, centroid c),
+       |refined AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                               ORDER BY cos DESC, cluster) AS rn
+       |  FROM rscore)""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
-    // IVF cell assignment: every vector → nearest seed (cosine, tiebreak
-    // smaller seed id). The "inverted file" is the (cluster → members)
+    // IVF cell assignment AFTER one k-means refinement step: every
+    // vector → nearest refined centroid (cosine, tiebreak smaller
+    // cluster id). The "inverted file" is the (cluster → members)
     // grouping; emitted per-vector for checkability.
     "ss_ivf_assign" -> Q(
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
-         |scored AS (
-         |  SELECT e.vec_id, e.label, s.sid,
-         |         ${duckCosine("e.embedding", "s.sv")} AS cos,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.sid) AS rn
-         |  FROM embeddings e, seeds s)
-         |SELECT vec_id, label, CAST(sid AS INTEGER) AS cluster, cos AS cluster_cos
-         |FROM scored WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      s"""WITH $duckRefinedCte
+         |SELECT vec_id, label, CAST(cluster AS INTEGER) AS cluster, cos AS cluster_cos
+         |FROM refined WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      assignClusters(e)
-        .select(col("vec_id"), col("label"), col("cluster").cast("int").as("cluster"),
-                col("cluster_cos"))
+      refined(e).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("ccluster").cast("int").as("cluster"),
+                col("cos").as("cluster_cos"))
         .orderBy("vec_id")
     },
 
-    // IVF probe: queries (vec_id in [8,18)) search ONLY their own cell —
-    // candidates meet in an equi-join on the cluster id, exact cosine
-    // rescoring, top-3. The nprobe=1 trade: recall < 1, candidate set
-    // ~n/k. (LSH twin: ss_lsh_ann; exact baseline: ss_cosine_topk.)
+    // IVF probe, nprobe=2: queries (vec_id in [8,18)) search their TWO
+    // nearest refined cells — candidates meet in an equi-join on the
+    // cluster id, exact cosine rescoring, top-3. Doubling nprobe is the
+    // standard recall/latency dial; candidates stay ~2n/k. (LSH twin:
+    // ss_lsh_ann; exact baseline: ss_cosine_topk; recall asserted in
+    // SimilaritySpec.)
     "ss_ivf_ann" -> Q(
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
-         |scored AS (
-         |  SELECT e.vec_id, e.label, e.embedding, s.sid,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.sid) AS rn
-         |  FROM embeddings e, seeds s),
-         |assign AS (SELECT vec_id, label, embedding, sid AS cluster FROM scored WHERE rn = 1),
+      s"""WITH $duckRefinedCte,
+         |members AS (
+         |  SELECT vec_id, label, embedding, cluster FROM refined WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cluster FROM refined
+         |  WHERE rn <= 2 AND vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
          |cand AS (
-         |  SELECT q.vec_id AS qid, m.vec_id, m.label,
-         |         ${duckCosine("q.embedding", "m.embedding")} AS cosine
-         |  FROM assign q JOIN assign m ON q.cluster = m.cluster AND q.vec_id <> m.vec_id
-         |  WHERE q.vec_id >= $NSEEDS AND q.vec_id < ${NSEEDS + 10}),
+         |  SELECT p.qid, m.vec_id, m.label,
+         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+         |  FROM probes p JOIN members m ON p.cluster = m.cluster AND p.qid <> m.vec_id),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          |  FROM cand)
@@ -84,12 +142,16 @@ object SimilarityQueries2 {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val assign = assignClusters(e)
-      val q = assign.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+      val r = refined(e)
+      val members = r.filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+                col("ccluster").as("cluster"))
+      val probes = r.filter(col("rn") <= 2 &&
+                            col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-                col("nrm").as("qnrm"), col("cluster").as("qcluster"))
+                col("nrm").as("qnrm"), col("ccluster").as("qcluster"))
       val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      q.join(assign, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
+      probes.join(members, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), col("label"),
                 (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
         .withColumn("rank", row_number().over(wR))
