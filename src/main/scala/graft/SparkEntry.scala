@@ -47,6 +47,7 @@ object SparkEntry {
     graft.queries.RelationalQueries6.defs ++
     graft.queries.RelationalQueries7.defs ++
     graft.queries.DedupQueries.defs ++
+    graft.queries.ClusterQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.WinnowQueries.defs ++
     graft.queries.SimilarityQueries.defs ++

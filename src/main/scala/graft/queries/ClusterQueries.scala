@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER assignment — the pipeline stage between candidate
+  * pairs and canonical dedup: near-dup pairs are edges, and every
+  * document in a connected component gets the component's minimum doc_id
+  * as its cluster id (the canonical representative). A training-data
+  * pipeline needs this step because near-duplication is transitive in
+  * effect but the pair list is not: A~B and B~C must dedup as ONE group
+  * of three, not two independent pairs.
+  *
+  * Spark-first shape: iterative min-label propagation over the edge
+  * list — the standard distributed connected-components loop (each round
+  * is one equi-join + min-aggregate, both shuffle-lean; rounds needed =
+  * component diameter, tiny for near-dup clusters). Each round is
+  * materialized with an eager localCheckpoint: the canonical lineage
+  * truncation for iterative algorithms (without it, round k re-executes
+  * rounds 1..k-1 and plan depth grows unboundedly). Convergence is
+  * detected by the label-sum fixpoint — labels only ever decrease, so an
+  * unchanged sum means no label moved; the driver sees ONE long per
+  * round, never row data.
+  *
+  * The oracle states the same semantics declaratively: a recursive CTE
+  * enumerating (doc, reachable-id) closure, MIN per doc.
+  */
+object ClusterQueries {
+
+  /** Hard cap on propagation rounds — a safety net only; the loop exits
+    * on the fixpoint, and near-dup components converge in a handful of
+    * rounds (diameter, and label propagation halves odd paths). */
+  private val MaxRounds = 20
+
+  private[queries] def dupClusters(docs: DataFrame): DataFrame = {
+    val cand = DedupQueries.bandCandidates(docs)
+    // symmetric edge list; nodes = docs in >=1 candidate pair
+    val edges = cand.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(cand.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true) // candidates are reused every round
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lab"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
+    var round   = 0
+    var done    = false
+    while (!done && round < MaxRounds) {
+      val viaNeighbor = edges.join(labels, col("src") === col("doc"))
+        .select(col("dst").as("doc"), col("lab"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy("doc").agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      val curSum = labels.agg(sum(col("lab"))).head().getLong(0)
+      done = curSum == prevSum
+      prevSum = curSum
+      round += 1
+    }
+    labels
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // Connected components over MinHash-band candidate edges: doc_id →
+    // (cluster id = min doc_id in component, component size). Only
+    // documents that appear in at least one candidate pair are emitted —
+    // singletons are their own trivial cluster and stay out of the way.
+    "dd_dup_clusters" -> Q(
+      s"""WITH RECURSIVE ${DedupQueries.duckCandCte},
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM cand
+         |  UNION
+         |  SELECT db AS src, da AS dst FROM cand),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS lab FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc AS doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val labels = dupClusters(Tables.documents(s, d))
+      val w = Window.partitionBy(col("cluster_id"))
+      labels
+        .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    },
+
+    // Canonical-survivor selection: one row per duplicate cluster — the
+    // representative (min doc_id), the dropped count, and the longest
+    // member text's length (the usual "keep the longest variant" policy
+    // signal). This is the REMOVAL side of dedup: total docs minus
+    // sum(cluster_size - 1) is the post-dedup corpus size.
+    "dd_dedup_survivors" -> Q(
+      s"""WITH RECURSIVE ${DedupQueries.duckCandCte},
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM cand
+         |  UNION
+         |  SELECT db AS src, da AS dst FROM cand),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS lab FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT l.cluster_id,
+         |       COUNT(*) AS n_members,
+         |       COUNT(*) - 1 AS n_dropped,
+         |       MAX(CAST(length(d.text) AS INTEGER)) AS max_text_len
+         |FROM lab l JOIN documents d ON l.doc = d.doc_id
+         |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs   = Tables.documents(s, d)
+      val labels = dupClusters(docs)
+      labels
+        .join(docs, labels("doc") === docs("doc_id"))
+        .groupBy(col("lab").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+             (count(lit(1)) - 1).as("n_dropped"),
+             max(length(col("text")).cast("int")).as("max_text_len"))
+        .orderBy("cluster_id")
+    }
+  )
+}

@@ -40,32 +40,54 @@ object SimilarityQueries2 {
               col("sid").as("cluster"), col("cos").as("cluster_cos"))
   }
 
-  /** One deterministic k-means step + re-assignment, every vector ranked
-    * against every refined centroid (rn = 1 → its cell; rn ≤ 2 → its
-    * probe set). Shape: posexplode → (cluster, dim) BIGINT sums — a
-    * map-side-combined aggregate whose shuffle is k·dim longs total —
-    * then an 8-row centroid table broadcast against the corpus. At scale
-    * the centroid table stays tiny (k rows) regardless of corpus size.
+  /** The trained coarse quantizer, MATERIALIZED: one k-means step over
+    * integer-quantized component sums, collected to k·dim doubles — the
+    * "centroid artifact" a production IVF system trains once, persists,
+    * and broadcasts. The collect is bounded by the index size (k rows),
+    * never the corpus; the heavy work (assign + component sums) is one
+    * scalable map-side-combined aggregate whose shuffle is k·dim longs.
     */
-  private def refined(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val comp = assignClusters(e)
+  private def centroids(e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] = {
+    assignClusters(e)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
       .groupBy("cluster", "j")
       .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
            count(lit(1)).as("n"))
-    val centroids = comp
-      .select(col("cluster"),
-        struct(col("j"),
-          (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj")).as("p"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(col("p"))).as("ps"))
-      .select(col("cluster").as("ccluster"),
-              transform(col("ps"), p => p.getField("cj")).as("cvec"))
-      .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+      .select(col("cluster"), col("j"),
+        (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq
+      .map { case (k, rows) =>
+        val cvec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        // same left-to-right fold as the HOF norm — bit-identical
+        var s = 0.0
+        cvec.foreach(c => s += c * c)
+        (k, cvec, math.sqrt(s))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Re-assignment against the materialized quantizer: every vector
+    * ranked against every refined centroid (rn = 1 → its cell; rn ≤ 2 →
+    * its probe set). The centroids enter the plan as LITERALS (explode
+    * of a k-element array), so ranking is one corpus pass of k codegen'd
+    * dots + a per-vector window — the expensive training aggregate runs
+    * exactly once even when callers branch this frame into a self-join.
+    */
+  private def refined(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val centArr = array(centroids(e).map { case (k, v, cn) =>
+      struct(lit(k).as("ccluster"),
+             array(v.map(lit(_)): _*).as("cvec"),
+             lit(cn).as("cnrm"))
+    }: _*)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("ccluster"))
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("ccluster"),
-              (dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("cos"))
+    e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+             explode(centArr).as("c"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+              col("c.ccluster").as("ccluster"),
+              (dot(col("embedding"), col("c.cvec")) /
+               (col("nrm") * col("c.cnrm"))).as("cos"))
       .withColumn("rn", row_number().over(w))
   }
 
