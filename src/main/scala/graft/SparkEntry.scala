@@ -54,5 +54,6 @@ object SparkEntry {
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
+    graft.queries.QualityQueries.defs ++
     graft.queries.MultimodalQueries.defs
 }

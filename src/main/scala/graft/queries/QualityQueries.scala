@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality signals beyond ta_quality's per-document surface
+  * ratios: n-gram repetitiveness (the Gopher-rule "repetition" filter —
+  * heavily duplicated n-grams mark low-quality/generated text) and
+  * rare-token share (documents dominated by low-frequency vocabulary are
+  * OOV-heavy or noisy). Both are the filters a training-data pipeline
+  * runs corpus-wide before tokenization.
+  */
+object QualityQueries {
+
+  /** POSITIONAL 3-token shingles (repetition is about recurrence, so no
+    * dedup here — contrast DedupQueries.shinglesFrom). <3-token docs
+    * degrade to one whole-doc shingle, same as the dedup tiering. */
+  private def posShingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  private val duckPosShingles: String =
+    """CASE WHEN len(string_split(text,' ')) >= 3
+      |  THEN [array_to_string((string_split(text,' '))[i:i+2],' ')
+      |        for i in range(1, len(string_split(text,' '))-1)]
+      |  ELSE [text] END""".stripMargin.replace("\n", " ")
+
+  def defs: Map[String, Q] = Map(
+
+    // Repetition profile: how much of each document is duplicated
+    // 3-grams, and how often its single most-repeated 3-gram occurs.
+    // Shape: one HOF pass for the ratio; explode → two-level aggregate
+    // (map-side combined) for the max recurrence — both shuffle-lean.
+    "ta_repetition" -> Q(
+      s"""WITH sh AS (SELECT doc_id, $duckPosShingles AS hs FROM documents),
+         |flat AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+         |rep AS (
+         |  SELECT doc_id, s, COUNT(*) AS c FROM flat GROUP BY doc_id, s),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_shingles,
+         |         CAST(COUNT(*) AS INTEGER) AS n_distinct,
+         |         CAST(MAX(c) AS INTEGER) AS max_rep
+         |  FROM rep GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_distinct, max_rep,
+         |       CAST(n_shingles - n_distinct AS DOUBLE)
+         |         / CAST(n_shingles AS DOUBLE) AS dup_ratio
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val flat = Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the shingle projection (1-file scan)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(posShingles(col("toks"))).as("s"))
+      flat
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("int").as("n_shingles"),
+             count(lit(1)).cast("int").as("n_distinct"),
+             max(col("c")).cast("int").as("max_rep"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"), col("max_rep"),
+          ((col("n_shingles") - col("n_distinct")).cast("double") /
+           col("n_shingles").cast("double")).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Rare-token share: the fraction of each document's tokens whose
+    // CORPUS frequency is below the mean token frequency
+    // (total_tokens / vocabulary_size — an exact integer-derived
+    // threshold, no percentile needed). The token-frequency dimension is
+    // a broadcast (bounded by vocabulary, not corpus) joined against the
+    // exploded token stream; per-doc share is one conditional aggregate.
+    "ta_rare_token_share" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+        |thr AS (
+        |  SELECT CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_f
+        |  FROM freq)
+        |SELECT k.doc_id,
+        |       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+        |       CAST(SUM(CASE WHEN f.f < t.mean_f THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS n_rare,
+        |       CAST(SUM(CASE WHEN f.f < t.mean_f THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS rare_share
+        |FROM tok k JOIN freq f ON k.t = f.t CROSS JOIN thr t
+        |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+      val thr  = freq.agg(
+        (sum(col("f")).cast("double") / count(lit(1)).cast("double")).as("mean_f"))
+      val isRare = when(col("f") < col("mean_f"), 1).otherwise(0)
+      tok.join(broadcast(freq), "t")
+        .crossJoin(broadcast(thr))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+             sum(isRare).cast("int").as("n_rare"),
+             (sum(isRare).cast("double") / count(lit(1)).cast("double")).as("rare_share"))
+        .orderBy("doc_id")
+    }
+  )
+}
