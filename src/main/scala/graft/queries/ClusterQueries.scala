@@ -40,8 +40,11 @@ object ClusterQueries {
     val edges = cand.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(cand.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true) // candidates are reused every round
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("lab"))
+    // init = min(own id, direct neighbors): the first propagation round
+    // fused into one aggregation (and nodes fall out of the groupBy —
+    // every node appears as src of the symmetric edge list)
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc"), least(col("src"), col("nmin")).as("lab"))
       .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
     var round   = 0

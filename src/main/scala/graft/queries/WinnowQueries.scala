@@ -35,12 +35,15 @@ object WinnowQueries {
 
   /** Distinct window minima over the hash sequence; short docs degrade
     * to a single whole-sequence minimum, empty sequences to no
-    * fingerprints (identical tiering in the oracle). */
+    * fingerprints (identical tiering in the oracle). The minima loop is
+    * the codegen'd `graft_window_min` expression (same values as the
+    * declarative transform/slice/array_min form, which evaluates as
+    * interpreted HOF lambdas with a per-window array copy — measured
+    * hotspot of both winnow queries); callers must register
+    * [[graft.functions.WindowMin]] on the session first. */
   private def fingerprints(hs: Column): Column =
     array_distinct(
-      when(size(hs) >= W,
-        transform(sequence(lit(0), size(hs) - W), j =>
-          array_min(slice(hs, j + 1, lit(W)))))
+      when(size(hs) >= W, call_function("graft_window_min", hs, lit(W)))
         .when(size(hs) > 0, array(array_min(hs)))
         .otherwise(array().cast("array<bigint>")))
 
@@ -60,6 +63,7 @@ object WinnowQueries {
          |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
          |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.WindowMin.register(s)
       Tables.documents(s, d)
         .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -85,6 +89,7 @@ object WinnowQueries {
          |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  JOIN rare r ON a.fp = r.fp)
          |SELECT da, db FROM cand ORDER BY da, db""".stripMargin) { (s, d) =>
+      graft.functions.WindowMin.register(s)
       val f = Tables.documents(s, d)
         .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -40,6 +40,25 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum(col("total_bytes"))).head().getLong(0) === textBytes)
   }
 
+  test("graft_window_min equals the declarative transform/slice form") {
+    import spark.implicits._
+    graft.functions.WindowMin.register(spark)
+    val df = Seq(
+      Seq.empty[Long], Seq(5L), Seq(9L, 2L), Seq(4L, 4L, 4L),
+      Seq(7L, 3L, 8L, 1L), Seq(10L, 9L, 8L, 7L, 6L, 5L),
+      Seq(-3L, 0L, -9L, 2L, 2L, -1L, 4L)).toDF("hs")
+    val w = 4
+    val native = df.select(call_function("graft_window_min", col("hs"), lit(w)).as("m"))
+      .collect().map(_.getSeq[Long](0).toList)
+    val declarative = df.select(
+      when(size(col("hs")) >= w,
+        transform(sequence(lit(0), size(col("hs")) - w), j =>
+          array_min(slice(col("hs"), j + 1, lit(w)))))
+        .otherwise(array().cast("array<bigint>")).as("m"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(native.toSeq === declarative.toSeq)
+  }
+
   test("stream-static enrich joins the customer dim without losing events") {
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString + "/t"
     Tables.events(spark, sf).limit(500).repartition(2).write.parquet(dir)
