@@ -181,6 +181,63 @@ object SimilarityQueries2 {
         .orderBy("qid", "rank")
     },
 
+    // Scalar int8 quantization of the embedding column — the memory
+    // compression a 100 TB ANN index runs before anything else (4×
+    // smaller vectors, cheaper distance scans). Per-dimension corpus
+    // min/max train the quantizer (one posexplode aggregate, collected
+    // to a DIM-row artifact like the IVF centroids); codes are
+    // floor((x-min)/scale) clamped to [0,255]; the emitted metrics are
+    // the reconstruction error profile per vector — all IEEE-exact
+    // double steps, so the oracle matches bit-for-bit.
+    "ss_quantize_int8" -> Q(
+      s"""WITH stats AS (
+         |  SELECT j, MIN(CAST(embedding[j] AS DOUBLE)) AS mn,
+         |         MAX(CAST(embedding[j] AS DOUBLE)) AS mx
+         |  FROM embeddings, range(1, ${DIM + 1}) t(j) GROUP BY j),
+         |arrs AS (
+         |  SELECT list(mn ORDER BY j) AS mns,
+         |         list((mx - mn) / CAST(255 AS DOUBLE) ORDER BY j) AS scs
+         |  FROM stats),
+         |errs AS (
+         |  SELECT vec_id,
+         |         [CAST(embedding[i] AS DOUBLE) -
+         |            (mns[i] + (CASE WHEN scs[i] = 0 THEN CAST(0 AS DOUBLE)
+         |                       ELSE least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i]),
+         |                                  CAST(255 AS DOUBLE)) END
+         |                       + 0.5) * scs[i])
+         |          for i in range(1, ${DIM + 1})] AS es
+         |  FROM embeddings, arrs)
+         |SELECT vec_id,
+         |       list_sum([e * e for e in es]) / CAST($DIM AS DOUBLE) AS mse,
+         |       list_max([abs(e) for e in es]) AS max_abs_err
+         |FROM errs ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val stats = e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("j")
+        .agg(min(col("x").cast("double")).as("mn"),
+             max(col("x").cast("double")).as("mx"))
+        .orderBy("j")
+        .collect()
+      val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
+      val scs = array(stats.map(r => lit((r.getDouble(2) - r.getDouble(1)) / 255.0)): _*)
+      val errs = transform(col("embedding"), (x, i) => {
+        val mn   = element_at(mns, i + 1)
+        val sc   = element_at(scs, i + 1)
+        val xd   = x.cast("double")
+        val code = when(sc === 0, lit(0.0))
+          .otherwise(least(floor((xd - mn) / sc), lit(255.0)))
+        xd - (mn + (code + lit(0.5)) * sc)
+      })
+      // materialize the error array once: the two metric folds below
+      // would otherwise each re-quantize the vector (no CSE in HOFs)
+      e.select(col("vec_id"), errs.as("es"))
+        .select(col("vec_id"),
+          (aggregate(col("es"), lit(0.0), (a, v) => a + v * v) /
+            lit(DIM.toDouble)).as("mse"),
+          array_max(transform(col("es"), v => abs(v))).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
     // Range (band) join, scalably: same-user event pairs within 5
     // minutes. The naive form is a theta join (quadratic); here the time
     // axis is bucketed to 5-minute cells and candidates meet in TWO
