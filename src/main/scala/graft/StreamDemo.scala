@@ -36,6 +36,25 @@ object StreamDemo {
     println("INGRESS acks: " + Seq(7, 8, 9).map(v =>
       if (cascade.ingestValue("ingress", v, capacity = 2)) 1 else 0).mkString(","))
 
+    // 1b. LIVE push ingress (R1, the reference's defining entry point):
+    //     data pushed from application code lands in a RUNNING stream
+    //     via the graft-push DSv2 source, then drains into a durable
+    //     topic — the Express → ring → drain loop end-to-end
+    val live = cascade.liveStream("live", capacity = 4)
+      .select(col("offset").as("event_id"), col("ts"),
+              lit(0L).as("user_id"), lit("ingress").as("event_type"),
+              col("data").cast("double").as("value"), lit("{}").as("props"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Topic.publish(batch, s"$base/live")
+      }
+      .option("checkpointLocation", s"$base/ckpt-live")
+      .start()
+    val acks = (1 to 5).map(v => if (cascade.ingestLive("live", v, capacity = 4)) 1 else 0)
+    live.processAllAvailable(); live.stop()
+    println(s"LIVE acks: ${acks.mkString(",")} (5th rejected: ring full)")
+    println(s"LIVE drained rows: ${spark.read.parquet(s"$base/live").count()}")
+
     // 2. stream it back out, rate-limited, exactly-once (R1-R3 + R10)
     EventStream.publishStream(
       EventStream.ingest(spark, s"$base/topic", maxFilesPerTrigger = 2),

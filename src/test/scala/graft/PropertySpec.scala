@@ -55,6 +55,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_window_min equals a reference sliding-min for arbitrary arrays") {
+    import spark.implicits._
+    graft.functions.WindowMin.register(spark)
+    val arrays: Gen[List[List[Long]]] = Gen.listOfN(40,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))))
+    for (w <- Seq(1, 2, 4, 7); data <- samples(arrays, 2)) {
+      val got = data.toDF("hs")
+        .select(call_function("graft_window_min", col("hs"), lit(w)).as("m"))
+        .collect().map(_.getSeq[Long](0).toList).toList
+      val want = data.map(a => if (a.size < w) Nil else a.sliding(w).map(_.min).toList)
+      assert(got === want, s"w=$w")
+    }
+  }
+
   test("portable hashes stay in range") {
     import spark.implicits._
     samples(Gen.listOfN(30, Gen.alphaNumStr), 4).foreach { words =>
