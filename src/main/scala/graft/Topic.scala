@@ -152,6 +152,18 @@ object Topic {
       .filter(col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")
 
+  /** Point/batched read from ONE shard of a `publishPartitioned` topic —
+    * the Kafka read model (a consumer addresses (partition, offset)).
+    * The shard predicate prunes whole partition directories at planning
+    * time; the offset predicate prunes row groups within them.
+    */
+  def consumeShard(spark: SparkSession, topicDir: String, shard: Int,
+                   from: Long, count: Int = 1): DataFrame =
+    spark.read.parquet(topicDir)
+      .filter(col("shard") === shard &&
+              col("offset") >= from && col("offset") < from + count)
+      .orderBy("offset")
+
   /** Log compaction — the Kafka feature the reference lacks entirely
     * (SURVEY.md §1.2: "no keys/compaction"): keep only the LATEST event
     * per key (by offset), rewriting the topic in place. One window over

@@ -65,6 +65,63 @@ object QualityQueries {
         .orderBy("doc_id")
     },
 
+    // Eval-set contamination scan: how many corpus documents share a
+    // long n-gram with each "benchmark" document (the held-out split is
+    // the deterministic doc_id % 50 == 0 slice). 6-token grams make the
+    // collision space big enough that only genuine text reuse matches —
+    // on random text a shared 6-gram is ~vocab⁻⁶ per position — so hits
+    // mean near-duplication across the train/eval boundary, the thing a
+    // training pipeline must catch before it reports eval numbers. The
+    // gram value is the blocking key: candidates meet in an equi-join,
+    // never a benchmark × corpus cross product.
+    "ta_contamination" -> Q(
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(string_split(text,' ')) >= 6
+        |           THEN [array_to_string((string_split(text,' '))[i:i+5],' ')
+        |                 for i in range(1, len(string_split(text,' '))-4)]
+        |           ELSE [] END) AS gs
+        |  FROM documents),
+        |bsh AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0),
+        |csh AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 50 <> 0),
+        |pairs AS (
+        |  SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared
+        |  FROM bsh b JOIN csh c ON b.g = c.g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT bid, CAST(COUNT(*) AS INTEGER) AS n_contaminated,
+        |         CAST(MAX(shared) AS INTEGER) AS max_shared
+        |  FROM pairs GROUP BY bid)
+        |SELECT d.doc_id, COALESCE(a.n_contaminated, 0) AS n_contaminated,
+        |       COALESCE(a.max_shared, 0) AS max_shared
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.bid
+        |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .repartition(col("doc_id")) // spread the gram projection (1-file scan)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), array_distinct(
+          when(size(col("toks")) >= 6,
+            transform(sequence(lit(0), size(col("toks")) - 6), i =>
+              concat_ws(" ", slice(col("toks"), i + 1, lit(6)))))
+            .otherwise(array().cast("array<string>"))).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+      val bsh = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"), col("g"))
+      val csh = grams.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("cid"), col("g").as("g2"))
+      val agg = bsh.join(csh, col("g") === col("g2"))
+        .groupBy("bid", "cid").agg(count(lit(1)).as("shared"))
+        .groupBy("bid")
+        .agg(count(lit(1)).cast("int").as("n_contaminated"),
+             max(col("shared")).cast("int").as("max_shared"))
+      docs.filter(col("doc_id") % 50 === 0)
+        .join(agg, col("doc_id") === col("bid"), "left_outer")
+        .select(col("doc_id"),
+                coalesce(col("n_contaminated"), lit(0)).as("n_contaminated"),
+                coalesce(col("max_shared"), lit(0)).as("max_shared"))
+        .orderBy("doc_id")
+    },
+
     // Rare-token share: the fraction of each document's tokens whose
     // CORPUS frequency is below the mean token frequency
     // (total_tokens / vocabulary_size — an exact integer-derived

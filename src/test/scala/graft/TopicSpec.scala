@@ -102,6 +102,26 @@ class TopicSpec extends SparkSpec {
     }
   }
 
+  test("consumeShard addresses (shard, offset) like a Kafka partition read") {
+    val dir = tmpDir()
+    Topic.publishPartitioned(Tables.events(spark, sf).limit(100), dir, shards = 4)
+    (0 until 4).foreach { sh =>
+      val got = Topic.consumeShard(spark, dir, sh, 0, 3).collect()
+      assert(got.length === 3, s"shard $sh")
+      assert(got.map(_.getAs[Long]("offset")).toSeq === Seq(0L, 1L, 2L))
+      assert(got.forall(_.getAs[Int]("shard") === sh))
+      // shard-local (ts, event_id) order
+      val expected = spark.read.parquet(dir).filter(col("shard") === sh)
+        .orderBy("ts", "event_id").limit(3)
+        .collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(got.map(_.getAs[Long]("event_id")).toSeq === expected)
+    }
+    // the shard predicate prunes partitions at planning time
+    val plan = Topic.consumeShard(spark, dir, 2, 0, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+  }
+
   test("compact keeps only the latest event per key") {
     val dir = tmpDir()
     val ev  = Tables.events(spark, sf).limit(300)
