@@ -59,6 +59,28 @@ object EventLogQueries {
         .orderBy("log_offset")
     },
 
+    // R11 sharded: the Kafka read model (consume addresses (partition,
+    // offset)) over the round-robin sharding of R7 — shard 2, offsets
+    // [5, 10). The shard predicate lands BEFORE the ordinal window, so
+    // it pushes to the scan and the ranking only ever sees one shard's
+    // prefix (orderBy+limit → TakeOrderedAndProject, as el_consume_offset).
+    "el_consume_shard" -> Q(
+      """WITH log AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |         ROW_NUMBER() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS log_offset
+        |  FROM events WHERE event_id % 4 = 2)
+        |SELECT CAST(2 AS INTEGER) AS shard, log_offset, event_id, ts, event_type, value
+        |FROM log WHERE log_offset >= 5 AND log_offset < 10 ORDER BY log_offset""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(4)) === 2)
+        .orderBy(logOrder: _*).limit(10)
+        .withColumn("log_offset", row_number().over(Window.orderBy(logOrder: _*)) - 1L)
+        .filter(col("log_offset") >= 5 && col("log_offset") < 10)
+        .select(lit(2).cast("int").as("shard"), col("log_offset"), col("event_id"),
+                col("ts"), col("event_type"), col("value"))
+        .orderBy("log_offset")
+    },
+
     // R10: publish acks — log cardinality + bounds (the broker acks every
     // append, /root/reference/src/broker/main.rs:100-108).
     "el_publish_ack_count" -> Q(
