@@ -33,4 +33,14 @@ object FileFormats {
       .option("header", "true")
       .option("timestampFormat", TsFmt)
       .csv(dir)
+
+  // ORC: the second columnar format Spark bundles — binary-typed,
+  // µs-exact timestamps, predicate pushdown and column pruning like
+  // parquet (the archive/interop encoding; the topic log itself stays
+  // parquet).
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
 }

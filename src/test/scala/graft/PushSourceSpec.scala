@@ -51,6 +51,31 @@ class PushSourceSpec extends SparkSpec {
     }
   }
 
+  test("push source composes with windowed aggregation") {
+    val topic = s"push-agg-${System.nanoTime()}"
+    PushBuffers.remove(topic)
+    val cascade = new Cascade(spark, tmp("cascade-root3"))
+    (1 to 20).foreach(v => assert(cascade.ingestLive(topic, v)))
+    val q = cascade.liveStream(topic)
+      .groupBy(window(col("ts"), "1 minute"), (col("data") % 2 === 0).as("even"))
+      .agg(count(lit(1)).as("n"), sum(col("data")).as("total"))
+      .writeStream.format("memory").queryName("push_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt-push-agg"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("push_agg")
+        .groupBy("even").agg(sum("n").as("n"), sum("total").as("total"))
+        .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows(true) == (10L, 110L))  // 2+4+...+20
+      assert(rows(false) == (10L, 100L)) // 1+3+...+19
+    } finally {
+      q.stop()
+      PushBuffers.remove(topic)
+    }
+  }
+
   test("live ring drains into the durable topic via foreachBatch") {
     val topic = s"push-drain-${System.nanoTime()}"
     PushBuffers.remove(topic)

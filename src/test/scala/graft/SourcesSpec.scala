@@ -27,6 +27,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip preserves the event rows and pushes filters") {
+    val dir = Files.createTempDirectory("orc").toString + "/d"
+    FileFormats.writeOrc(events, dir)
+    val back = FileFormats.readOrc(spark, dir)
+    assert(back.count() === 300)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    // ORC scans push predicates like parquet does
+    val plan = back.filter(col("event_id") === 7L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("event_id"), plan)
+  }
+
   test("GraftExtensions injects graft_dot for SQL on a fresh session") {
     // force a NEW session over the shared context (getOrCreate would
     // hand back the active session, which has no extensions bound)
