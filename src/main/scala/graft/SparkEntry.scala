@@ -39,6 +39,7 @@ object SparkEntry {
 
   private def all: Map[String, Q] =
     graft.queries.EventLogQueries.defs ++
+    graft.queries.FunnelQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.RelationalQueries2.defs ++
     graft.queries.RelationalQueries3.defs ++
