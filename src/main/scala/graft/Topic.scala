@@ -184,15 +184,23 @@ object Topic {
     val tmp = topicDir + ".compact.tmp"
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
     // crash-safe swap: move the live dir ASIDE first, then the compacted
-    // one into place, then drop the old — a failure between steps leaves
-    // either the old or the new log at the canonical path, never nothing
-    // (the delete-then-rename order stranded the topic on a mid-swap
-    // crash). Like publish, compact requires exclusive access.
+    // one into place, then drop the old — at every step a full copy of
+    // the log exists on disk (at the canonical path, at .compact.old, or
+    // at .compact.tmp), and the old copy is deleted only after the new
+    // one is VERIFIED in place (Hadoop rename reports failure via its
+    // return value, not an exception — ignoring it could delete the only
+    // surviving copy). Like publish, compact requires exclusive access.
     val (hfs, p) = fs(spark, topicDir)
     val old = new org.apache.hadoop.fs.Path(topicDir + ".compact.old")
     hfs.delete(old, true) // clear any previous failed swap's leftovers
-    hfs.rename(p, old)
-    hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (!hfs.rename(p, old))
+      throw new java.io.IOException(
+        s"compact: failed to move $topicDir aside; topic left untouched")
+    if (!hfs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      hfs.rename(old, p) // restore; old data was never touched
+      throw new java.io.IOException(
+        s"compact: failed to move compacted data into $topicDir; original restored")
+    }
     hfs.delete(old, true)
   }
 

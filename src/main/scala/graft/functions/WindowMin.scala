@@ -42,6 +42,14 @@ case class WindowMin(left: Expression, right: Expression)
     if (w <= 0 || n < w) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val res = new Array[Long](n - w + 1)
     var i = 0
+    while (i < n) {
+      // getLong on a null slot silently yields 0/garbage — fail loudly
+      // instead of returning a wrong minimum (hash arrays are dense)
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_window_min: null element at index $i (input must be a dense array)")
+      i += 1
+    }
+    i = 0
     while (i + w <= n) {
       var m = arr.getLong(i)
       var j = i + 1
@@ -70,6 +78,12 @@ case class WindowMin(left: Expression, right: Expression)
          |if ($b <= 0 || $n < $b) {
          |  ${ev.value} = $uad.fromPrimitiveArray(new long[0]);
          |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) {
+         |      throw new IllegalArgumentException(
+         |        "graft_window_min: null element (input must be a dense array)");
+         |    }
+         |  }
          |  long[] $res = new long[$n - $b + 1];
          |  for (int $i = 0; $i + $b <= $n; $i++) {
          |    long $m = $a.getLong($i);

@@ -89,9 +89,15 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
+        // gate on the TYPED kind, never content-sniffing: a text payload
+        // that happens to start with a codec magic ("BM", "GIF8") must
+        // not be misdecoded as an image — and malformed headers can make
+        // ImageIO plugins throw RuntimeExceptions, hence NonFatal
         val img =
-          try ImageIO.read(new ByteArrayInputStream(a.payload))
-          catch { case _: java.io.IOException => null }
+          if (a.kind != "image") null
+          else
+            try ImageIO.read(new ByteArrayInputStream(a.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img != null) {
           val hist = new Array[Long](histBins)
           var y = 0

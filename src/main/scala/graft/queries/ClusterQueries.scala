@@ -60,6 +60,13 @@ object ClusterQueries {
       prevSum = curSum
       round += 1
     }
+    // never return silently-wrong clusters: a component with diameter
+    // beyond the cap would leave non-minimal labels that disagree with
+    // the closure oracle
+    if (!done) throw new IllegalStateException(
+      s"duplicate-cluster propagation did not converge in $MaxRounds rounds " +
+        "(a candidate-graph component has extreme diameter); raise MaxRounds " +
+        "or inspect the band buckets feeding it")
     labels
   }
 

@@ -47,26 +47,37 @@ object SimilarityQueries2 {
     * never the corpus; the heavy work (assign + component sums) is one
     * scalable map-side-combined aggregate whose shuffle is k·dim longs.
     */
-  private def centroids(e: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double], Double)] = {
-    assignClusters(e)
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
-      .groupBy("cluster", "j")
-      .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
-           count(lit(1)).as("n"))
-      .select(col("cluster"), col("j"),
-        (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .toSeq
-      .map { case (k, rows) =>
-        val cvec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        // same left-to-right fold as the HOF norm — bit-identical
-        var s = 0.0
-        cvec.foreach(c => s += c * c)
-        (k, cvec, math.sqrt(s))
-      }
-      .sortBy(_._1)
-  }
+  /** Trained-artifact caches, keyed by the corpus dir: a production
+    * index trains ONCE and persists; without this, every DataFrame
+    * CONSTRUCTION (plan sweeps, explain audits, the two IVF queries
+    * each) re-runs the full training aggregate eagerly. The fixture
+    * dirs are immutable, so the key is sound. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double], Double)]]()
+  private val quantCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Double, Double)]]()
+
+  private def centroids(e: org.apache.spark.sql.DataFrame,
+                        dir: String): Seq[(Long, Array[Double], Double)] =
+    centroidCache.computeIfAbsent(dir, _ =>
+      assignClusters(e)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("cluster", "j")
+        .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
+             count(lit(1)).as("n"))
+        .select(col("cluster"), col("j"),
+          (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .toSeq
+        .map { case (k, rows) =>
+          val cvec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          // same left-to-right fold as the HOF norm — bit-identical
+          var s = 0.0
+          cvec.foreach(c => s += c * c)
+          (k, cvec, math.sqrt(s))
+        }
+        .sortBy(_._1))
 
   /** Re-assignment against the materialized quantizer: every vector
     * ranked against every refined centroid (rn = 1 → its cell; rn ≤ 2 →
@@ -75,8 +86,9 @@ object SimilarityQueries2 {
     * dots + a per-vector window — the expensive training aggregate runs
     * exactly once even when callers branch this frame into a self-join.
     */
-  private def refined(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val centArr = array(centroids(e).map { case (k, v, cn) =>
+  private def refined(e: org.apache.spark.sql.DataFrame,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    val centArr = array(centroids(e, dir).map { case (k, v, cn) =>
       struct(lit(k).as("ccluster"),
              array(v.map(lit(_)): _*).as("cvec"),
              lit(cn).as("cnrm"))
@@ -134,7 +146,7 @@ object SimilarityQueries2 {
          |FROM refined WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      refined(e).filter(col("rn") === 1)
+      refined(e, d).filter(col("rn") === 1)
         .select(col("vec_id"), col("label"), col("ccluster").cast("int").as("cluster"),
                 col("cos").as("cluster_cos"))
         .orderBy("vec_id")
@@ -164,7 +176,7 @@ object SimilarityQueries2 {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val r = refined(e)
+      val r = refined(e, d)
       val members = r.filter(col("rn") === 1)
         .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
                 col("ccluster").as("cluster"))
@@ -212,14 +224,16 @@ object SimilarityQueries2 {
          |       list_max([abs(e) for e in es]) AS max_abs_err
          |FROM errs ORDER BY vec_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val stats = e.select(posexplode(col("embedding")).as(Seq("j", "x")))
-        .groupBy("j")
-        .agg(min(col("x").cast("double")).as("mn"),
-             max(col("x").cast("double")).as("mx"))
-        .orderBy("j")
-        .collect()
-      val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
-      val scs = array(stats.map(r => lit((r.getDouble(2) - r.getDouble(1)) / 255.0)): _*)
+      val stats = quantCache.computeIfAbsent(d, _ =>
+        e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+          .groupBy("j")
+          .agg(min(col("x").cast("double")).as("mn"),
+               max(col("x").cast("double")).as("mx"))
+          .orderBy("j")
+          .collect()
+          .toSeq.map(r => (r.getDouble(1), (r.getDouble(2) - r.getDouble(1)) / 255.0)))
+      val mns = array(stats.map { case (mn, _) => lit(mn) }: _*)
+      val scs = array(stats.map { case (_, sc) => lit(sc) }: _*)
       val errs = transform(col("embedding"), (x, i) => {
         val mn   = element_at(mns, i + 1)
         val sc   = element_at(scs, i + 1)

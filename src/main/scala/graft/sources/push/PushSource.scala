@@ -94,8 +94,17 @@ final class PushBuffer(val capacity: Int) {
 object PushBuffers {
   val DefaultCapacity = 1000
   private val buffers = new ConcurrentHashMap[String, PushBuffer]()
-  def get(name: String, capacity: Int = DefaultCapacity): PushBuffer =
-    buffers.computeIfAbsent(name, _ => new PushBuffer(capacity))
+  /** Get-or-create the named ring. The capacity is a property of the
+    * ring, fixed at creation — a later caller asking for a DIFFERENT
+    * capacity has mismatched pusher/stream configuration, and silently
+    * keeping the first value would un-enforce the admission bound they
+    * declared, so it fails loudly instead. */
+  def get(name: String, capacity: Int = DefaultCapacity): PushBuffer = {
+    val b = buffers.computeIfAbsent(name, _ => new PushBuffer(capacity))
+    require(b.capacity == capacity,
+      s"push ring '$name' exists with capacity ${b.capacity}, requested $capacity")
+    b
+  }
   /** Drop a ring (tests / topic teardown). */
   def remove(name: String): Unit = buffers.remove(name)
 }

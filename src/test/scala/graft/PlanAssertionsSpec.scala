@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+
 /** Locks in the scale-audit plan shapes for the canonical queries so a
   * future refactor can't silently regress pushdown/broadcast/partial-agg
   * (the .explain review SURVEY.md §7 mandates, as assertions).
@@ -44,40 +46,52 @@ class PlanAssertionsSpec extends SparkSpec {
 
   // ---- full-surface sweep: every declared query's physical plan ----
 
-  /** Queries whose semantics would require a total order over the whole
-    * input, accepted as a declared scale trade. Currently EMPTY: every
-    * declared window is partitioned (even the "global" ranking queries
-    * frame per-group), so any query growing a single-partition window
-    * fails the suite until it is listed here with a rationale. */
-  private val globalWindowByDesign = Set.empty[String]
+  /** Queries allowed a WindowExec with an empty partition spec: the
+    * consume point-reads rank a prefix ALREADY bounded by orderBy+limit
+    * (≤ 110 rows reach the window — the TakeOrderedAndProject above it
+    * is asserted separately), so the "global" window never sees
+    * unbounded input. Anything else growing one fails the suite until
+    * listed here with a rationale. */
+  private val globalWindowByDesign = Set(
+    "el_consume_offset", "el_consume_batch", "el_consume_shard")
 
-  private lazy val allPlans: Map[String, String] =
-    SparkEntry.queries.keys.map(n => n -> plan(n)).toMap
+  /** One shared plan build per query. The window sweep inspects
+    * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
+    * `executedPlan` under AQE is an AdaptiveSparkPlanExec LEAF whose
+    * `.collect` never descends into the real operators (a sweep over it
+    * is vacuously green). */
+  private lazy val allExec: Map[String, (String, SparkPlan)] =
+    SparkEntry.queries.keys.map { n =>
+      val qe = SparkEntry.queries(n)(spark, sf).queryExecution
+      n -> (qe.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+        qe.sparkPlan)
+    }.toMap
 
   test("sweep: no non-broadcast cartesian product in any declared plan") {
-    val offenders = allPlans.collect {
-      case (n, p) if p.contains("CartesianProduct") => n
+    val offenders = allExec.collect {
+      case (n, (p, _)) if p.contains("CartesianProduct") => n
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("sweep: no cached-relation leaks in any declared plan") {
-    val offenders = allPlans.collect {
-      case (n, p) if p.contains("InMemoryRelation") => n
+    val offenders = allExec.collect {
+      case (n, (p, _)) if p.contains("InMemoryRelation") => n
     }
     assert(offenders.isEmpty, s"InMemoryRelation in: $offenders")
   }
 
-  test("sweep: single-partition windows only where total order is the semantics") {
+  test("sweep: single-partition windows only where input is bounded") {
     // inspect the tree, not the dump: a scalar aggregate also plans a
     // SinglePartition exchange (one output row — fine); what must not
     // appear unannounced is a WindowExec with an EMPTY partition spec,
-    // which funnels the whole input through one task
-    val actual = SparkEntry.queries.keys.filter { n =>
-      SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.collect {
+    // which funnels its whole input through one task
+    val actual = allExec.collect {
+      case (n, (_, sp)) if sp.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
-      }.nonEmpty
+      }.nonEmpty => n
     }.toSet
     // exact equality: an unannounced global window fails, and so does a
     // stale allowlist entry (a query that no longer needs the trade)
