@@ -93,6 +93,15 @@ object DedupQueries {
     * never on a coarse (lang, source)-blocked cross product that turns
     * quadratic when one bucket is the corpus. Single signature pass,
     * bucket-local pair fan-out (same shape as dd_minhash_pairs).
+    *
+    * Degenerate-band guard at production scale: a band bucket holding a
+    * near-identical-content family grows with the corpus, and a real
+    * pipeline caps bucket size (skip + report buckets over ~10⁴ members
+    * as "trivially duplicated, handle out-of-band" — the MinHashLSH
+    * standard practice). The cap is NOT applied here because the oracle
+    * states the uncapped semantics and the fixtures sit orders of
+    * magnitude below any sane cap; AQE skew-splitting covers the
+    * in-between.
     */
   private[queries] def bandCandidates(docs: DataFrame): DataFrame = {
     val banded = sigDf(docs).select(col("doc_id"),
