@@ -40,7 +40,15 @@ final class Cascade(spark: SparkSession, root: String) {
 
   private def requireTopic(topic: String): Unit = {
     val (hfs, p) = Topic.fs(spark, dir(topic))
-    require(hfs.exists(p), s"topic not found: $topic")
+    // an existing-but-empty dir (failed job leftovers) is NOT a topic:
+    // letting it through would crash schema inference downstream with a
+    // raw AnalysisException instead of this clean contract error. Data
+    // entries are files or shard=N dirs; `_`/`.`-prefixed entries are
+    // markers Spark ignores too.
+    require(hfs.exists(p) && hfs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }, s"topic not found: $topic")
   }
 
   /** Consume from an event-time position — the `startingTimestamp`

@@ -55,8 +55,12 @@ object Topic {
   def highWaterMark(spark: SparkSession, topicDir: String): Long = {
     val (hfs, p) = fs(spark, topicDir)
     if (!hfs.exists(p)) return -1L
-    // max over the offset column: parquet footer stats make this a
-    // metadata-only scan (no row materialization at scale).
+    // max over the offset column: column pruning makes this a
+    // single-column scan. It is NOT footer-metadata-only — Spark's
+    // default (v1) parquet reader doesn't push MAX into footer stats —
+    // so cost is O(log size); publish callers amortize it by passing
+    // knownHighWaterMark, and a real deployment would keep a hwm
+    // sidecar (or enable DSv2 parquet aggregate pushdown).
     val row =
       try spark.read.parquet(topicDir).agg(max(col("offset"))).head()
       catch { case _: org.apache.spark.sql.AnalysisException => return -1L } // dir w/o data files
@@ -74,7 +78,11 @@ object Topic {
     * the textbook justified one: dense global indexing is per-partition
     * imperative logic Catalyst has no operator for.
     */
-  private[graft] def assignOffsets(events: DataFrame, base: Long): DataFrame = {
+  private[graft] def assignOffsets(events0: DataFrame, base: Long): DataFrame = {
+    // publish always assigns FRESH ordinals: rows re-published from a
+    // consume/compact carry an old offset column, and appending another
+    // would brick the topic with an ambiguous duplicate name
+    val events = if (events0.columns.contains("offset")) events0.drop("offset") else events0
     val spark  = events.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       events.schema.fields :+
@@ -172,17 +180,27 @@ object Topic {
     */
   def compact(spark: SparkSession, topicDir: String, keyCol: String,
               orderCol: String = "offset"): Unit = {
-    require(spark.read.parquet(topicDir).columns.contains(orderCol),
+    val src = spark.read.parquet(topicDir)
+    require(src.columns.contains(orderCol),
       s"compact needs ordering column '$orderCol' — raw stream sinks " +
         "(publishStream) carry no offsets; compact those by event_id")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
-    val compacted = spark.read.parquet(topicDir)
+    // sharded topics (publishPartitioned): offsets are dense PER SHARD,
+    // so a cross-shard orderBy(offset) ties arbitrarily — compaction is
+    // per (key, shard), exactly Kafka's model (each partition compacts
+    // independently), and the rewrite preserves the shard directory
+    // layout so consumeShard keeps pruning
+    val sharded = src.columns.contains("shard")
+    val w =
+      if (sharded) Window.partitionBy(col(keyCol), col("shard")).orderBy(col(orderCol).desc)
+      else Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+    val compacted = src
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
       .sortWithinPartitions(orderCol)
     val tmp = topicDir + ".compact.tmp"
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val writer = compacted.write.mode(SaveMode.Overwrite)
+    (if (sharded) writer.partitionBy("shard") else writer).parquet(tmp)
     // crash-safe swap: move the live dir ASIDE first, then the compacted
     // one into place, then drop the old — at every step a full copy of
     // the log exists on disk (at the canonical path, at .compact.old, or

@@ -34,7 +34,19 @@ object ClusterQueries {
     * rounds (diameter, and label propagation halves odd paths). */
   private val MaxRounds = 20
 
-  private[queries] def dupClusters(docs: DataFrame): DataFrame = {
+  /** Converged labels per corpus dir: the propagation runs EAGERLY at
+    * DataFrame construction (checkpoints + fixpoint actions), and two
+    * declared queries plus every plan sweep would otherwise re-run it
+    * per construction. Fixture dirs are immutable; the checkpointed
+    * frame is session-lifetime (same rationale as
+    * SimilarityQueries2.centroidCache). */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def dupClusters(docs: DataFrame, dir: String): DataFrame =
+    labelCache.computeIfAbsent(dir, _ => propagate(docs))
+
+  private def propagate(docs: DataFrame): DataFrame = {
     val cand = DedupQueries.bandCandidates(docs)
     // symmetric edge list; nodes = docs in >=1 candidate pair
     val edges = cand.select(col("da").as("src"), col("db").as("dst"))
@@ -91,7 +103,7 @@ object ClusterQueries {
          |SELECT doc AS doc_id, cluster_id,
          |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val labels = dupClusters(Tables.documents(s, d))
+      val labels = dupClusters(Tables.documents(s, d), d)
       val w = Window.partitionBy(col("cluster_id"))
       labels
         .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
@@ -123,7 +135,7 @@ object ClusterQueries {
          |FROM lab l JOIN documents d ON l.doc = d.doc_id
          |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val docs   = Tables.documents(s, d)
-      val labels = dupClusters(docs)
+      val labels = dupClusters(docs, d)
       labels
         .join(docs, labels("doc") === docs("doc_id"))
         .groupBy(col("lab").as("cluster_id"))

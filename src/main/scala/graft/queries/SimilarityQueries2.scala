@@ -98,7 +98,9 @@ object SimilarityQueries2 {
              explode(centArr).as("c"))
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
               col("c.ccluster").as("ccluster"),
-              (dot(col("embedding"), col("c.cvec")) /
+              // nativeDot handles FLOAT×DOUBLE — same sequential fold as
+              // the HOF dot, codegen'd (callers register FloatDot first)
+              (nativeDot(col("embedding"), col("c.cvec")) /
                (col("nrm") * col("c.cnrm"))).as("cos"))
       .withColumn("rn", row_number().over(w))
   }

@@ -158,11 +158,21 @@ object EventStream {
     * `publishStream` (the file-sink commit protocol).
     */
   def mergePublish(events: DataFrame, topicDir: String, checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // markers are scoped to the CHECKPOINT LINEAGE, not just the epoch id:
+    // epoch ids restart at 0 for every fresh checkpoint, so a bare
+    // `_epoch_<id>` marker left by an earlier stream into the same topic
+    // would silently swallow the first batches of a new one (data loss,
+    // not dedup). A digest of the checkpoint path tags each lineage;
+    // restarts of the SAME checkpoint still dedup their replays.
+    val lineage = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     events.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val (hfs, _) = graft.Topic.fs(batch.sparkSession, topicDir)
-        val marker = new org.apache.hadoop.fs.Path(topicDir, s"_epoch_$epochId")
+        val marker =
+          new org.apache.hadoop.fs.Path(topicDir, s"_epoch_${lineage}_$epochId")
         if (!hfs.exists(marker)) {
           graft.Topic.publish(batch.dropDuplicates("event_id"), topicDir)
           hfs.create(marker, true).close()
@@ -171,6 +181,7 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   // ---- consumer-group progress (typed stateful op) ------------------------
 

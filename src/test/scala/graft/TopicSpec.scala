@@ -137,6 +137,34 @@ class TopicSpec extends SparkSpec {
     assert(log.select("offset").distinct().count() === nUsers)
   }
 
+  test("compact on a sharded topic is per (key, shard) and keeps the layout") {
+    val dir = tmpDir()
+    Topic.publishPartitioned(Tables.events(spark, sf).limit(200), dir, shards = 4)
+    Topic.compact(spark, dir, "user_id")
+    val log = spark.read.parquet(dir)
+    // Kafka semantics: one survivor per key PER SHARD (offsets are only
+    // comparable within a shard)
+    assert(log.groupBy("user_id", "shard").count().filter(col("count") > 1).count() === 0)
+    // each survivor is that (user, shard)'s max offset
+    val orig = Topic.consumeShard(spark, dir, 0, 0, 1000) // post-compact read works
+    assert(orig.count() === log.filter(col("shard") === 0).count())
+    // the shard directory layout survived the rewrite (consumeShard prunes)
+    val (hfs, p) = Topic.fs(spark, dir)
+    assert(hfs.listStatus(p).exists(_.getPath.getName.startsWith("shard=")))
+  }
+
+  test("publish drops a pre-existing offset column and assigns fresh ordinals") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Topic.publish(Tables.events(spark, sf).limit(50), dirA)
+    // re-publish consumed rows (they carry an offset column) — must not
+    // produce a duplicate column or stale ordinals
+    Topic.publish(Topic.consume(spark, dirA, 10, 20), dirB)
+    val log = spark.read.parquet(dirB)
+    assert(log.columns.count(_ == "offset") === 1)
+    assert(log.select("offset").orderBy("offset").collect().map(_.getLong(0)).toSeq
+      === (0L until 20L))
+  }
+
   test("registered topic view sees later publishes after refresh") {
     val dir = tmpDir()
     Topic.publish(Tables.events(spark, sf).limit(10), dir)
