@@ -23,9 +23,13 @@ class CascadeSpec extends SparkSpec {
     val desc = c.describe("telemetry").head()
     assert(desc.getAs[Long]("n_events") === 120L)
     assert(desc.getAs[Long]("high_water_mark") === 119L)
-    // consumeSince honors event time
+    // consumeSince honors event time: EXACT count of events at/after the
+    // cut (a consumeSince that ignored the timestamp would return all
+    // 120 and fail)
     val mid = ev.orderBy("ts").limit(60).agg(max(col("ts"))).head().getTimestamp(0)
-    assert(c.consumeSince("telemetry", mid).count() >= 60L)
+    val expectedSince = ev.filter(col("ts") >= mid).count()
+    assert(expectedSince < 120L)
+    assert(c.consumeSince("telemetry", mid).count() === expectedSince)
     // HTTP-ingress datum (ExpressDataToProducer{int32}) appends one event
     c.ingestValue("ingress", 42)
     assert(c.consume("ingress", 0).head().getAs[Double]("value") === 42.0)

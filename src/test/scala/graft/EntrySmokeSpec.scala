@@ -9,10 +9,17 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs on sf0.001") {
+  /** Queries whose CORRECT answer is zero rows at sf0.001 (the oracle
+    * confirms the emptiness): the anti-join finds customers without
+    * orders, and at this scale every customer has one. */
+  private val emptyAtTinyScale = Set("q06_anti_join")
+
+  test("every declared query runs and is non-degenerate on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      withClue(name) { assert(n >= 0) }
+      withClue(name) {
+        if (emptyAtTinyScale(name)) assert(n >= 0) else assert(n > 0)
+      }
     }
   }
 

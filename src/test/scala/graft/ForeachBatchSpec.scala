@@ -23,4 +23,36 @@ class ForeachBatchSpec extends SparkSpec {
     // offsets assigned by Topic.publish are dense
     assert(log.agg(max(col("offset"))).head().getLong(0) === 199L)
   }
+
+  private def lineageTag(ckpt: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  test("epoch markers are checkpoint-lineage scoped: fresh streams are not swallowed, replays are") {
+    val ev  = Tables.events(spark, sf)
+    val out = Files.createTempDirectory("fb-out2").toString + "/t"
+    def run(events: org.apache.spark.sql.DataFrame, ckpt: String): Unit = {
+      val src = Files.createTempDirectory("fb-src2").toString + "/t"
+      events.repartition(1).write.parquet(src)
+      EventStream.mergePublish(
+        EventStream.ingest(spark, src, maxFilesPerTrigger = 8), out, ckpt)
+        .awaitTermination()
+    }
+    // stream A into the topic
+    run(ev.filter(col("event_id") < 100), Files.createTempDirectory("fb-ck-a").toString)
+    assert(spark.read.parquet(out).count() === 100)
+    // stream B: FRESH checkpoint, same topic dir — its epoch also numbers
+    // 0, so un-scoped markers would silently swallow it (the data-loss
+    // bug): all 50 rows must land
+    run(ev.filter(col("event_id") >= 100 && col("event_id") < 150),
+        Files.createTempDirectory("fb-ck-b").toString)
+    assert(spark.read.parquet(out).count() === 150)
+    // stream C: its lineage marker already exists (simulated replay of a
+    // published-but-uncommitted epoch) — the batch must be SKIPPED
+    val ckptC = Files.createTempDirectory("fb-ck-c").toString
+    val (hfs, _) = Topic.fs(spark, out)
+    hfs.create(new org.apache.hadoop.fs.Path(out, s"_epoch_${lineageTag(ckptC)}_0"), true).close()
+    run(ev.filter(col("event_id") >= 150 && col("event_id") < 170), ckptC)
+    assert(spark.read.parquet(out).count() === 150) // replayed epoch not re-published
+  }
 }
