@@ -126,6 +126,17 @@ final class Cascade(spark: SparkSession, root: String) {
                  capacity: Int = sources.push.PushBuffers.DefaultCapacity): Boolean =
     sources.push.PushBuffers.get(topic, capacity).offer(data)
 
+  /** The NETWORK edge of `ingestLive`: an HTTP server translating
+    * `GET /data?data=<int>` into ring offers with the reference's exact
+    * response contract (/root/reference/server/server.js:22-42) — the
+    * first interaction a cascade user has with the system. Returns the
+    * running server (its `port` is the bound port; call `stop()` when
+    * done). Port 0 picks an ephemeral port. */
+  def serveHttp(topic: String, port: Int = 0,
+                capacity: Int = sources.push.PushBuffers.DefaultCapacity)
+      : sources.push.HttpIngress =
+    sources.push.HttpIngress.start(topic, port, capacity)
+
   /** The drain side of `ingestLive`: an unbounded streaming DataFrame
     * over the topic's push ring (schema: offset, ts, data). Compose with
     * any transform and sink — e.g. `.writeStream.foreachBatch` into
