@@ -87,46 +87,72 @@ object DedupQueries {
       .withColumn("band1", md5(concat_ws(",", (K / 2 until K).map(j => col(s"s$j")): _*)))
   }
 
+  /** Degenerate-band cap, ENFORCED: a band bucket holding a
+    * near-identical-content family grows with the corpus, and its
+    * bucket-local pair fan-out is quadratic in the family size — the one
+    * way LSH blocking degrades to all-pairs at 100 TB. Buckets over this
+    * size are excluded from candidate generation (every verifier consumes
+    * [[bandCandidates]], so jaccard / edit-distance / cluster propagation
+    * all inherit the bound) and reported out-of-band by `dd_band_stats`
+    * as "trivially duplicated — handle with exact dedup, not pairwise
+    * verification" (the MinHashLSH standard practice). The SAME cap is
+    * stated in the DuckDB CTEs, so the oracle semantics and the code
+    * agree exactly; the fixtures sit orders of magnitude below it
+    * (largest fixture bucket ≈ 10² members), so fixture counts are
+    * unchanged by enforcement. */
+  private[queries] val BandCap = 10000L
+
+  /** Band-bucket membership: (doc_id, bid, bkey) — one row per document
+    * per band. The bucket surface shared by candidate generation and the
+    * `dd_band_stats` report. */
+  private[queries] def bandedDf(docs: DataFrame): DataFrame =
+    sigDf(docs).select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("bid"), col("band0").as("bkey")),
+          struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
+
   /** LSH candidate pairs (da < db) from shared band buckets — the ONLY
     * pair generator the dedup verifiers are allowed to use: every
     * pairwise measure (jaccard, edit distance) runs on this bounded set,
     * never on a coarse (lang, source)-blocked cross product that turns
     * quadratic when one bucket is the corpus. Single signature pass,
-    * bucket-local pair fan-out (same shape as dd_minhash_pairs).
-    *
-    * Degenerate-band guard at production scale: a band bucket holding a
-    * near-identical-content family grows with the corpus, and a real
-    * pipeline caps bucket size (skip + report buckets over ~10⁴ members
-    * as "trivially duplicated, handle out-of-band" — the MinHashLSH
-    * standard practice). The cap is NOT applied here because the oracle
-    * states the uncapped semantics and the fixtures sit orders of
-    * magnitude below any sane cap; AQE skew-splitting covers the
-    * in-between.
+    * bucket-local pair fan-out, over-[[BandCap]] buckets skipped — so the
+    * per-bucket work is ≤ cap² by construction, with AQE skew-splitting
+    * handling the in-between sizes.
     */
-  private[queries] def bandCandidates(docs: DataFrame): DataFrame = {
-    val banded = sigDf(docs).select(col("doc_id"),
-        explode(array(
-          struct(lit(0).as("bid"), col("band0").as("bkey")),
-          struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
-    banded
+  private[queries] def bandCandidates(docs: DataFrame): DataFrame =
+    bandedDf(docs)
       .groupBy("bid", "bkey").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= BandCap)
       .select(explode(col("ds")).as("da"), col("ds"))
       .select(col("da"), explode(col("ds")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
-  }
 
-  /** The same candidate set in DuckDB (prefix with WITH; defines `banded`
-    * and `cand(da, db)`). */
+  /** Per-band bucket sizes in DuckDB (defines `bsz(bid, bkey,
+    * bucket_size)`); append after `banded`. */
+  private[queries] val duckBszCte: String =
+    """bsz AS (
+      |  SELECT 0 AS bid, band0 AS bkey, COUNT(*) AS bucket_size FROM banded GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 1 AS bid, band1 AS bkey, COUNT(*) AS bucket_size FROM banded GROUP BY 1, 2)""".stripMargin
+
+  /** The same capped candidate set in DuckDB (prefix with WITH; defines
+    * `banded`, `bsz`, and `cand(da, db)`). */
   private[queries] lazy val duckCandCte: String =
     s"""$duckSigCte,
+       |$duckBszCte,
        |cand AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db
        |  FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  JOIN bsz s0 ON s0.bid = 0 AND s0.bkey = a.band0
+       |  WHERE s0.bucket_size <= $BandCap
        |  UNION
        |  SELECT a.doc_id AS da, b.doc_id AS db
-       |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  JOIN bsz s1 ON s1.bid = 1 AND s1.bkey = a.band1
+       |  WHERE s1.bucket_size <= $BandCap)""".stripMargin
 
   private[queries] val duckSigCte: String = {
     val sigs  = (0 until K).map(j => s"${duckSig(j)} AS s$j").mkString(", ")
@@ -167,26 +193,30 @@ object DedupQueries {
     // formulation (no theta join; bucket sizes bound the pair space).
     "dd_minhash_pairs" -> Q(
       s"""WITH $duckSigCte,
+         |$duckBszCte,
          |pairs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db,
          |         CAST((${(0 until K).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")})
          |              AS DOUBLE) / $K AS est_jaccard
          |  FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  JOIN bsz s0 ON s0.bid = 0 AND s0.bkey = a.band0
+         |  WHERE s0.bucket_size <= $BandCap
          |  UNION
          |  SELECT a.doc_id AS da, b.doc_id AS db,
          |         CAST((${(0 until K).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")})
          |              AS DOUBLE) / $K AS est_jaccard
-         |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+         |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |  JOIN bsz s1 ON s1.bid = 1 AND s1.bkey = a.band1
+         |  WHERE s1.bucket_size <= $BandCap)
          |SELECT da, db, est_jaccard FROM pairs ORDER BY da, db""".stripMargin) { (s, d) =>
       // Single-pass formulation: ONE signature aggregate, bands exploded
       // to (band_id, band_key) rows, bucket members gathered with
       // collect_list and pairs generated INSIDE each bucket — no
       // self-join, so the expensive shingle+md5+groupBy lineage runs
       // exactly once (the round-1 two-joins-of-two-sides plan ran it 4×).
-      // LSH bucket sizes are small by construction, so the per-bucket
-      // collect_list + pair fan-out is bounded at any corpus scale (a hot
-      // band is a near-identical-content cluster — a data-quality signal —
-      // and AQE splits the skewed reducers).
+      // Over-BandCap buckets are skipped (reported by dd_band_stats), so
+      // the per-bucket collect_list + pair fan-out is ≤ cap² at any
+      // corpus scale; AQE splits the skewed-but-under-cap reducers.
       val sig    = sigDf(Tables.documents(s, d))
       val member = struct(col("doc_id") +: (0 until K).map(j => col(s"s$j")): _*)
       val banded = sig.select(member.as("m"),
@@ -196,6 +226,7 @@ object DedupQueries {
         .select(col("m"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
       val pairs = banded
         .groupBy("bid", "bkey").agg(collect_list(col("m")).as("ms"))
+        .filter(size(col("ms")) <= BandCap)
         .select(explode(col("ms")).as("a"), col("ms"))
         .select(col("a"), explode(col("ms")).as("b"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -205,6 +236,34 @@ object DedupQueries {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), est.as("est_jaccard"))
         .dropDuplicates("da", "db")
         .orderBy("da", "db")
+    },
+
+    // Band-bucket size distribution + the over-cap report: the out-of-band
+    // companion to the enforced BandCap — at 100 TB this is the query an
+    // operator runs to see how much "trivially duplicated" mass was
+    // excluded from pairwise verification (over_cap=1 rows) and how the
+    // candidate-pair budget distributes over bucket sizes. candidate_pairs
+    // counts size·(size−1)/2 per bucket BEFORE the cap, so the over-cap
+    // rows quantify exactly the work the cap avoided.
+    "dd_band_stats" -> Q(
+      s"""WITH $duckSigCte,
+         |$duckBszCte
+         |SELECT CAST(bucket_size AS INTEGER) AS bucket_size,
+         |       COUNT(*) AS n_buckets,
+         |       CAST(bucket_size * COUNT(*) AS BIGINT) AS total_members,
+         |       CAST((bucket_size * (bucket_size - 1)) // 2 * COUNT(*) AS BIGINT) AS candidate_pairs,
+         |       CAST(bucket_size > $BandCap AS INTEGER) AS over_cap
+         |FROM bsz GROUP BY bucket_size ORDER BY bucket_size""".stripMargin) { (s, d) =>
+      bandedDf(Tables.documents(s, d))
+        .groupBy("bid", "bkey").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+        .select(col("bucket_size").cast("int").as("bucket_size"),
+                col("n_buckets"),
+                (col("bucket_size") * col("n_buckets")).as("total_members"),
+                (expr("bucket_size * (bucket_size - 1) div 2") * col("n_buckets"))
+                  .as("candidate_pairs"),
+                (col("bucket_size") > BandCap).cast("int").as("over_cap"))
+        .orderBy("bucket_size")
     },
 
     // SimHash: 16-bit fingerprint — per-token 16-bit hashes vote per bit
