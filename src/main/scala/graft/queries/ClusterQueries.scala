@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * list — the standard distributed connected-components loop (each round
   * is one equi-join + min-aggregate, both shuffle-lean; rounds needed =
   * component diameter, tiny for near-dup clusters). Each round is
-  * materialized with an eager localCheckpoint: the canonical lineage
-  * truncation for iterative algorithms (without it, round k re-executes
-  * rounds 1..k-1 and plan depth grows unboundedly). Convergence is
+  * materialized with an eager checkpoint — local by default, RELIABLE
+  * when `spark.graft.checkpointDir` is set (see [[materialize]]) — the
+  * canonical lineage truncation for iterative algorithms (without it,
+  * round k re-executes rounds 1..k-1 and plan depth grows unboundedly).
+  * Convergence is
   * detected by the label-sum fixpoint — labels only ever decrease, so an
   * unchanged sum means no label moved; the driver sees ONE long per
   * round, never row data.
@@ -39,34 +41,53 @@ object ClusterQueries {
     * declared queries plus every plan sweep would otherwise re-run it
     * per construction. Fixture dirs are immutable; the checkpointed
     * frame is session-lifetime (same rationale as
-    * SimilarityQueries2.centroidCache). */
+    * SimilarityQueries2.centroidCache), evicted by
+    * `ArtifactStore.invalidate(dir)`. */
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(labelCache.remove(_))
 
   private[queries] def dupClusters(docs: DataFrame, dir: String): DataFrame =
     labelCache.computeIfAbsent(dir, _ => propagate(docs))
 
+  /** Per-round materialization. Default is `localCheckpoint` — blocks on
+    * executor local storage, the right local-mode trade. It is NOT
+    * executor-loss-tolerant: on a real cluster a lost executor kills the
+    * truncated lineage. Setting `spark.graft.checkpointDir` switches to
+    * RELIABLE `checkpoint()` into that directory (shared storage on a
+    * cluster), which survives executor death at the cost of a
+    * write-to-FS per round. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(ckDir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(ckDir)) sc.setCheckpointDir(ckDir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+
   private def propagate(docs: DataFrame): DataFrame = {
     val cand = DedupQueries.bandCandidates(docs)
     // symmetric edge list; nodes = docs in >=1 candidate pair
-    val edges = cand.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(cand.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint(true) // candidates are reused every round
+    val edges = materialize(
+      cand.select(col("da").as("src"), col("db").as("dst"))
+        .unionByName(cand.select(col("db").as("src"), col("da").as("dst"))))
     // init = min(own id, direct neighbors): the first propagation round
     // fused into one aggregation (and nodes fall out of the groupBy —
     // every node appears as src of the symmetric edge list)
-    var labels = edges.groupBy("src").agg(min(col("dst")).as("nmin"))
-      .select(col("src").as("doc"), least(col("src"), col("nmin")).as("lab"))
-      .localCheckpoint(true)
+    var labels = materialize(
+      edges.groupBy("src").agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("doc"), least(col("src"), col("nmin")).as("lab")))
     var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
     var round   = 0
     var done    = false
     while (!done && round < MaxRounds) {
       val viaNeighbor = edges.join(labels, col("src") === col("doc"))
         .select(col("dst").as("doc"), col("lab"))
-      labels = labels.unionByName(viaNeighbor)
-        .groupBy("doc").agg(min(col("lab")).as("lab"))
-        .localCheckpoint(true)
+      labels = materialize(
+        labels.unionByName(viaNeighbor)
+          .groupBy("doc").agg(min(col("lab")).as("lab")))
       val curSum = labels.agg(sum(col("lab"))).head().getLong(0)
       done = curSum == prevSum
       prevSum = curSum

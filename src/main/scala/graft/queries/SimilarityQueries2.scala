@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries2 {
 
+  /** Default IVF config (fixture-scaled: 500-vector corpora). Both are
+    * per-query parameters now — `ss_ivf_ann_k16` declares the larger
+    * config over the same corpus. */
   private val NSEEDS = 8
   private val DIM    = 64
 
   /** Every vector → nearest seed by cosine (tiebreak smaller seed id),
     * carrying embedding + norm for downstream rescoring. Shared by
     * assignment and probe so the IVF index definition cannot drift. */
-  private def assignClusters(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val seeds = e.filter(col("vec_id") < NSEEDS)
+  private def assignClusters(e: org.apache.spark.sql.DataFrame,
+                             k: Int): org.apache.spark.sql.DataFrame = {
+    val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("sid"), col("embedding").as("sv"), col("nrm").as("snrm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))
     e.crossJoin(broadcast(seeds))
@@ -46,38 +50,67 @@ object SimilarityQueries2 {
     * and broadcasts. The collect is bounded by the index size (k rows),
     * never the corpus; the heavy work (assign + component sums) is one
     * scalable map-side-combined aggregate whose shuffle is k·dim longs.
+    *
+    * Persistence is two-layer via [[graft.ArtifactStore]]: a JVM cache
+    * (plan sweeps and the IVF queries construct these frames repeatedly)
+    * over a parquet artifact (train once per corpus, reload across
+    * JVMs). `ArtifactStore.invalidate(dir)` drops both layers.
     */
-  /** Trained-artifact caches, keyed by the corpus dir: a production
-    * index trains ONCE and persists; without this, every DataFrame
-    * CONSTRUCTION (plan sweeps, explain audits, the two IVF queries
-    * each) re-runs the full training aggregate eagerly. The fixture
-    * dirs are immutable, so the key is sound. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Double], Double)]]()
   private val quantCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Double, Double)]]()
 
-  private def centroids(e: org.apache.spark.sql.DataFrame,
-                        dir: String): Seq[(Long, Array[Double], Double)] =
-    centroidCache.computeIfAbsent(dir, _ =>
-      assignClusters(e)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
-        .groupBy("cluster", "j")
-        .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
-             count(lit(1)).as("n"))
-        .select(col("cluster"), col("j"),
-          (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .toSeq
-        .map { case (k, rows) =>
-          val cvec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          // same left-to-right fold as the HOF norm — bit-identical
-          var s = 0.0
-          cvec.foreach(c => s += c * c)
-          (k, cvec, math.sqrt(s))
-        }
-        .sortBy(_._1))
+  graft.ArtifactStore.onInvalidate { dir =>
+    centroidCache.keySet.removeIf(_.startsWith(dir + "|"))
+    quantCache.remove(dir)
+  }
+
+  private def trainCentroids(e: org.apache.spark.sql.DataFrame,
+                             k: Int): Seq[(Long, Array[Double], Double)] =
+    assignClusters(e, k)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("cluster", "j")
+      .agg(sum(floor(col("x").cast("double") * 10000).cast("long")).as("sq"),
+           count(lit(1)).as("n"))
+      .select(col("cluster"), col("j"),
+        (col("sq").cast("double") / lit(10000.0) / col("n").cast("double")).as("cj"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toSeq
+      .map { case (c, rows) =>
+        val cvec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        // same left-to-right fold as the HOF norm — bit-identical
+        var s = 0.0
+        cvec.foreach(x => s += x * x)
+        (c, cvec, math.sqrt(s))
+      }
+      .sortBy(_._1)
+
+  /** Trained centroids for (corpus, k): JVM cache → parquet artifact →
+    * train-and-persist. Doubles round-trip parquet exactly, so a reload
+    * is bit-identical to the original training output. */
+  private[queries] def centroids(e: org.apache.spark.sql.DataFrame, dir: String,
+                                 k: Int): Seq[(Long, Array[Double], Double)] =
+    centroidCache.computeIfAbsent(s"$dir|ivf-k$k", _ => {
+      val spark = e.sparkSession
+      val path  = graft.ArtifactStore.pathFor(dir, s"ivf-centroids-k$k")
+      val (hfs, p) = graft.Topic.fs(spark, path)
+      if (hfs.exists(p)) {
+        spark.read.parquet(path).collect()
+          .map(r => (r.getAs[Long]("cluster"),
+                     r.getAs[scala.collection.Seq[Double]]("cvec").toArray,
+                     r.getAs[Double]("cnrm")))
+          .toSeq.sortBy(_._1)
+      } else {
+        val trained = trainCentroids(e, k)
+        import spark.implicits._
+        trained.map { case (c, v, n) => (c, v.toSeq, n) }
+          .toDF("cluster", "cvec", "cnrm")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        trained
+      }
+    })
 
   /** Re-assignment against the materialized quantizer: every vector
     * ranked against every refined centroid (rn = 1 → its cell; rn ≤ 2 →
@@ -86,10 +119,10 @@ object SimilarityQueries2 {
     * dots + a per-vector window — the expensive training aggregate runs
     * exactly once even when callers branch this frame into a self-join.
     */
-  private def refined(e: org.apache.spark.sql.DataFrame,
-                      dir: String): org.apache.spark.sql.DataFrame = {
-    val centArr = array(centroids(e, dir).map { case (k, v, cn) =>
-      struct(lit(k).as("ccluster"),
+  private def refined(e: org.apache.spark.sql.DataFrame, dir: String,
+                      k: Int = NSEEDS): org.apache.spark.sql.DataFrame = {
+    val centArr = array(centroids(e, dir, k).map { case (c, v, cn) =>
+      struct(lit(c).as("ccluster"),
              array(v.map(lit(_)): _*).as("cvec"),
              lit(cn).as("cnrm"))
     }: _*)
@@ -106,10 +139,11 @@ object SimilarityQueries2 {
   }
 
   /** DuckDB twin of `refined` (CTE list; defines `refined(vec_id, label,
-    * embedding, cluster, cos, rn)`). */
-  private val duckRefinedCte: String =
+    * embedding, cluster, cos, rn)`), parameterized by k like the Spark
+    * side. */
+  private def duckRefinedCte(k: Int): String =
     s"""seeds AS (
-       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $NSEEDS),
+       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $k),
        |s0 AS (
        |  SELECT e.vec_id, e.embedding, s.sid,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -136,6 +170,49 @@ object SimilarityQueries2 {
        |                               ORDER BY cos DESC, cluster) AS rn
        |  FROM rscore)""".stripMargin
 
+  /** The IVF ANN probe, parameterized: queries (vec_id in [k, k+10))
+    * search their `nprobe` nearest refined cells — candidates meet in an
+    * equi-join on the cluster id, exact cosine rescoring, top-3. The
+    * query range starts at k so queries are never seed vectors. */
+  private def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
+                     k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    FloatDot.register(s)
+    val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+    val r = refined(e, d, k)
+    val members = r.filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+              col("ccluster").as("cluster"))
+    val probes = r.filter(col("rn") <= nprobe &&
+                          col("vec_id") >= k && col("vec_id") < k + 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"), col("ccluster").as("qcluster"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(members, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"),
+              (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[ivfAnn]]. */
+  private def duckIvfAnn(k: Int, nprobe: Int): String =
+    s"""WITH ${duckRefinedCte(k)},
+       |members AS (
+       |  SELECT vec_id, label, embedding, cluster FROM refined WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qv, cluster FROM refined
+       |  WHERE rn <= $nprobe AND vec_id >= $k AND vec_id < ${k + 10}),
+       |cand AS (
+       |  SELECT p.qid, m.vec_id, m.label,
+       |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+       |  FROM probes p JOIN members m ON p.cluster = m.cluster AND p.qid <> m.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // IVF cell assignment AFTER one k-means refinement step: every
@@ -143,7 +220,7 @@ object SimilarityQueries2 {
     // cluster id). The "inverted file" is the (cluster → members)
     // grouping; emitted per-vector for checkability.
     "ss_ivf_assign" -> Q(
-      s"""WITH $duckRefinedCte
+      s"""WITH ${duckRefinedCte(NSEEDS)}
          |SELECT vec_id, label, CAST(cluster AS INTEGER) AS cluster, cos AS cluster_cos
          |FROM refined WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       FloatDot.register(s)
@@ -156,43 +233,20 @@ object SimilarityQueries2 {
 
     // IVF probe, nprobe=2: queries (vec_id in [8,18)) search their TWO
     // nearest refined cells — candidates meet in an equi-join on the
-    // cluster id, exact cosine rescoring, top-3. Doubling nprobe is the
-    // standard recall/latency dial; candidates stay ~2n/k. (LSH twin:
-    // ss_lsh_ann; exact baseline: ss_cosine_topk; recall asserted in
-    // SimilaritySpec.)
-    "ss_ivf_ann" -> Q(
-      s"""WITH $duckRefinedCte,
-         |members AS (
-         |  SELECT vec_id, label, embedding, cluster FROM refined WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS qid, embedding AS qv, cluster FROM refined
-         |  WHERE rn <= 2 AND vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
-         |cand AS (
-         |  SELECT p.qid, m.vec_id, m.label,
-         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
-         |  FROM probes p JOIN members m ON p.cluster = m.cluster AND p.qid <> m.vec_id),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM cand)
-         |SELECT qid, vec_id, label, cosine, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      FloatDot.register(s)
-      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val r = refined(e, d)
-      val members = r.filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-                col("ccluster").as("cluster"))
-      val probes = r.filter(col("rn") <= 2 &&
-                            col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-                col("nrm").as("qnrm"), col("ccluster").as("qcluster"))
-      val wR = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      probes.join(members, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("label"),
-                (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
-        .withColumn("rank", row_number().over(wR))
-        .filter(col("rank") <= 3)
-        .orderBy("qid", "rank")
+    // cluster id, exact cosine rescoring, top-3. (LSH twin: ss_lsh_ann;
+    // exact baseline: ss_cosine_topk; recall asserted in SimilaritySpec.)
+    "ss_ivf_ann" -> Q(duckIvfAnn(NSEEDS, 2)) {
+      (s, d) => ivfAnn(s, d, NSEEDS, 2)
+    },
+
+    // The same probe at the SECOND declared config, k=16 / nprobe=3: k
+    // and nprobe are the standard recall/latency dials (cells shrink to
+    // ~n/16, three of them are scanned — candidate count drops to ~3n/16
+    // while recall holds; SimilaritySpec asserts the floor at BOTH
+    // configs). Each config trains its own centroid artifact, persisted
+    // separately by ArtifactStore ("ivf-centroids-k8" / "-k16").
+    "ss_ivf_ann_k16" -> Q(duckIvfAnn(16, 3)) {
+      (s, d) => ivfAnn(s, d, 16, 3)
     },
 
     // Scalar int8 quantization of the embedding column — the memory
