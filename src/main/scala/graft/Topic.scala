@@ -94,6 +94,35 @@ object Topic {
     spark.createDataFrame(indexed, schema)
   }
 
+  /** Best-effort single-writer enforcement: an atomic-create lock file
+    * (`_publish.lock`, underscore-prefixed so parquet readers ignore it)
+    * held for the duration of a publish/compact critical section. A
+    * second writer fails LOUDLY instead of silently corrupting the
+    * ordinal sequence (two writers reading the same high-water mark
+    * would assign duplicate offsets). Best-effort on purpose: a crashed
+    * writer leaves the lock behind — the error says how to recover —
+    * and `create(overwrite=false)` is check-then-create on some
+    * filesystems; this turns the overwhelmingly common race into an
+    * error without pretending to be a distributed lock service (the
+    * reference coordinates nothing across brokers either; Kafka solves
+    * this with a single partition leader).
+    */
+  private def withPublishLock[T](spark: SparkSession, topicDir: String)(body: => T): T = {
+    val (hfs, p) = fs(spark, topicDir)
+    if (!hfs.exists(p)) hfs.mkdirs(p)
+    val lock = new org.apache.hadoop.fs.Path(p, "_publish.lock")
+    val stream =
+      try hfs.create(lock, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"topic $topicDir has an active publisher ($lock exists). " +
+            "publish/compact require a single writer per topic; if a " +
+            "previous writer crashed, delete the lock file to recover.", e)
+      }
+    try { stream.writeBytes(s"${java.time.Instant.now()}\n") } finally stream.close()
+    try body finally hfs.delete(lock, false)
+  }
+
   /** Append a batch of events, assigning dense offsets after the current
     * high-water mark. Batch-internal order is `(ts, event_id)` — the total
     * order SURVEY.md §7.4 fixes for the reference's single-log semantics.
@@ -102,12 +131,13 @@ object Topic {
     * written file covers a disjoint offset range and parquet min/max
     * stats still prune point reads to one file.
     *
-    * SINGLE WRITER PER TOPIC: the read-modify-write of the high-water mark
-    * is not locked — exactly the reference's model, where the broker's
-    * file mutexes serialize one process's writers but nothing coordinates
-    * across brokers (its 4 replicas keep disjoint logs). Concurrent
-    * publishers to one topic dir must be externally serialized, as with a
-    * Kafka partition's single leader.
+    * SINGLE WRITER PER TOPIC, now enforced by [[withPublishLock]]: the
+    * hwm read-modify-write runs under the topic's lock file, so a
+    * concurrent publisher gets a loud IllegalStateException instead of
+    * silently duplicating offsets (the reference has the same contract
+    * implicitly — its file mutexes serialize one process, nothing
+    * coordinates across brokers; Kafka's answer is one partition
+    * leader).
     *
     * @param knownHighWaterMark pass the current hwm when the caller just
     *   read it (e.g. Cascade.ingestValue's admission check) to avoid a
@@ -116,9 +146,11 @@ object Topic {
   def publish(events: DataFrame, topicDir: String,
               knownHighWaterMark: Option[Long] = None): Unit = {
     val spark = events.sparkSession
-    val base  = knownHighWaterMark.getOrElse(highWaterMark(spark, topicDir)) + 1L
-    assignOffsets(events, base)
-      .write.mode(SaveMode.Append).parquet(topicDir)
+    withPublishLock(spark, topicDir) {
+      val base = knownHighWaterMark.getOrElse(highWaterMark(spark, topicDir)) + 1L
+      assignOffsets(events, base)
+        .write.mode(SaveMode.Append).parquet(topicDir)
+    }
   }
 
   /** Kafka-style relaxation: ordinals dense per shard (`pmod(hash, n)`),
@@ -128,6 +160,7 @@ object Topic {
     */
   def publishPartitioned(events: DataFrame, topicDir: String, shards: Int): Unit = {
     val spark = events.sparkSession
+    withPublishLock(spark, topicDir) {
     // per-shard high-water marks so repeated publishes continue each
     // shard's dense ordinal sequence instead of restarting at 0
     val (hfs, p) = fs(spark, topicDir)
@@ -149,6 +182,7 @@ object Topic {
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "offset")
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(topicDir)
+    }
   }
 
   /** Batched consume: events with `offset ∈ [from, from+count)`, in order.
@@ -179,7 +213,7 @@ object Topic {
     * not a per-read path.
     */
   def compact(spark: SparkSession, topicDir: String, keyCol: String,
-              orderCol: String = "offset"): Unit = {
+              orderCol: String = "offset"): Unit = withPublishLock(spark, topicDir) {
     val src = spark.read.parquet(topicDir)
     require(src.columns.contains(orderCol),
       s"compact needs ordering column '$orderCol' — raw stream sinks " +

@@ -207,4 +207,40 @@ class TopicSpec extends SparkSpec {
       .collect()
     perShard.foreach(r => assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1))
   }
+
+  test("contended publish fails loudly instead of corrupting ordinals") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).limit(20)
+    Topic.publish(ev, dir)
+    // simulate a writer holding the topic: the lock file exists for the
+    // duration of its critical section
+    val lockPath = java.nio.file.Paths.get(dir, "_publish.lock")
+    java.nio.file.Files.createFile(lockPath)
+    val e = intercept[IllegalStateException] { Topic.publish(ev, dir) }
+    assert(e.getMessage.contains("active publisher"))
+    val e2 = intercept[IllegalStateException] {
+      Topic.publishPartitioned(ev, dir, shards = 2)
+    }
+    assert(e2.getMessage.contains("active publisher"))
+    // no partial data landed: still exactly the first publish's 20 rows
+    assert(spark.read.parquet(dir).count() === 20)
+    // crashed-writer recovery path stated in the error: drop the lock
+    java.nio.file.Files.delete(lockPath)
+    Topic.publish(ev, dir)
+    val offsets = spark.read.parquet(dir).select("offset")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(offsets === (0L until 40L), "post-recovery offsets not dense")
+  }
+
+  test("lock is released after publish and compact") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sf).limit(10)
+    Topic.publish(ev, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_publish.lock")))
+    Topic.compact(spark, dir, "user_id")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_publish.lock")))
+    // the topic is still publishable after the compact swap
+    Topic.publish(ev, dir)
+    assert(spark.read.parquet(dir).count() > 0)
+  }
 }
