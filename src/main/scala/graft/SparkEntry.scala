@@ -56,5 +56,6 @@ object SparkEntry {
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.QualityQueries.defs ++
+    graft.queries.PipelineQueries.defs ++
     graft.queries.MultimodalQueries.defs
 }

@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.functions._
+
+/** Pipeline-ASSEMBLY operators: the steps between a filtered corpus and
+  * a training run — split assignment, stratified sampling, sequence
+  * packing, normalization, sketch-based decontamination, and boilerplate
+  * measurement. All deterministic (hash-derived randomness, integer
+  * accounting), so every one is DuckDB-oracle-checked like the rest of
+  * the surface.
+  */
+object PipelineQueries {
+
+  /** Distinct 6-token grams per document (ta_contamination's blocking
+    * unit), as a (doc_id, g) stream. */
+  private def gramStream(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .repartition(col("doc_id")) // spread the gram projection (1-file scan)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("tk")) >= 6,
+          transform(sequence(lit(0), size(col("tk")) - 6), i =>
+            concat_ws(" ", slice(col("tk"), i + 1, lit(6)))))
+          .otherwise(array().cast("array<string>"))).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+
+  private val duckGramsCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 6
+      |      THEN [array_to_string(tk[i:i+5],' ') for i in range(1, len(tk)-4)]
+      |      ELSE [] END)) AS g
+      |  FROM toks)""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+
+    // Deterministic train/val/test assignment: the split is a pure
+    // function of doc_id (md5 bucket), so it is stable across runs,
+    // machines, and engines — the property a training pipeline needs so
+    // that re-running assignment never migrates a test document into
+    // train. 90/5/5; per-split token/char accounting in exact integers.
+    "ta_split_assign" -> Q(
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |         ${duckH("CAST(doc_id AS VARCHAR)", 15)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |       MIN(doc_id) AS first_doc
+         |FROM s GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("ntok"),
+                pmod(h60(col("doc_id")), lit(100L)).as("bucket"))
+        .groupBy(when(col("bucket") < 90, "train")
+                   .when(col("bucket") < 95, "val")
+                   .otherwise("test").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             sum(col("ntok")).as("total_tokens"),
+             min(col("doc_id")).as("first_doc"))
+        .orderBy("split")
+    },
+
+    // Stratified sampling, deterministically: 3 documents per
+    // (lang, source) stratum, chosen by md5 rank — the "seeded" sample a
+    // pipeline can reproduce anywhere. One partitioned window, no
+    // global sort, no RNG state.
+    "ta_sample_stratified" -> Q(
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         ${duckH("'smp|' || CAST(doc_id AS VARCHAR)", 15)} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+         |                               ORDER BY hv, doc_id) AS rnk
+         |  FROM h)
+         |SELECT lang, source, CAST(rnk AS INTEGER) AS rnk, doc_id
+         |FROM r WHERE rnk <= 3 ORDER BY lang, source, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source").orderBy(col("hv"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+                h60(concat(lit("smp|"), col("doc_id").cast("string"))).as("hv"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("lang"), col("source"), col("rnk").cast("int").as("rnk"), col("doc_id"))
+        .orderBy("lang", "source", "rnk")
+    },
+
+    // Sequence packing: documents stream into fixed 2048-token context
+    // windows in doc_id order WITHIN each language (training batches
+    // don't mix languages here, and the per-lang partitioning is also
+    // what keeps the running sum parallel — one global cumsum would be a
+    // single-partition window, the 100 TB anti-pattern). A document's
+    // bin is the budget cell its running total STARTS in — the standard
+    // streaming-packing approximation (documents may straddle bins).
+    "ta_pack_sequences" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, ntok,
+        |         CAST(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - ntok) // 2048 AS INTEGER) AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .groupBy(col("lang"), expr("(cum - ntok) div 2048").cast("int").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ntok")).as("total_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+
+    // Normalization: collapse ADJACENT repeated tokens ("value value
+    // table" → "value table") — the cheap dedup-within-document pass a
+    // pipeline runs before tokenization. The collapsed text is verified
+    // by content hash, not just by count, so the oracle pins the exact
+    // output string.
+    "ta_collapse_repeats" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |         [tk[i] for i in range(1, len(tk)+1)
+        |          if i = 1 OR tk[i] != tk[i-1]] AS ck
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(len(tk) AS INTEGER) AS n_tokens,
+        |       CAST(len(ck) AS INTEGER) AS n_after,
+        |       md5(array_to_string(ck, ' ')) AS collapsed_hash
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // tk is a materialized column: the filter lambda references the
+      // array by position and an inline split would re-tokenize per
+      // element (no CSE inside HOF lambdas)
+      val collapsed = filter(col("tk"), (t, i) =>
+        when(i === 0, lit(true)).otherwise(t =!= element_at(col("tk"), i)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"), collapsed.as("ck"))
+        .select(col("doc_id"),
+                size(col("tk")).as("n_tokens"),
+                size(col("ck")).as("n_after"),
+                md5(concat_ws(" ", col("ck"))).as("collapsed_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination — the SKETCH form of ta_contamination
+    // for the 100 TB shape: the benchmark's 6-gram set compresses to a
+    // 4096-bit filter (128 32-bit words, 3 md5-derived probes per gram)
+    // that BROADCASTS to every executor, so the corpus-side scan never
+    // shuffles gram strings. Emitted per corpus document: gram count,
+    // Bloom hits, and the exact equi-join hits — so the query also
+    // MEASURES the filter's false-positive behavior against ground
+    // truth. Deterministic bit math in both engines (masks stay below
+    // 2^32 as BIGINTs; no sign games).
+    "ta_bloom_contamination" -> Q(
+      s"""WITH $duckGramsCte,
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+         |pos AS (
+         |  SELECT ${duckH("'bl' || j || '|' || g", 15)} % 4096 AS p
+         |  FROM bg, range(0, 3) t(j)),
+         |filt AS (
+         |  SELECT p // 32 AS word,
+         |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS BIGINT) AS w
+         |  FROM pos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, g,
+         |         ${duckH("'bl' || j || '|' || g", 15)} % 4096 AS p
+         |  FROM cg, range(0, 3) t(j)),
+         |checks AS (
+         |  SELECT doc_id, g,
+         |         SUM(CASE WHEN f.w IS NOT NULL
+         |                   AND (f.w & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INTEGER))) <> 0
+         |                  THEN 1 ELSE 0 END) AS nset
+         |  FROM probe pr LEFT JOIN filt f ON pr.p // 32 = f.word
+         |  GROUP BY doc_id, g),
+         |bloom AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |         SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS bloom_hits
+         |  FROM checks GROUP BY doc_id),
+         |ex AS (SELECT c.doc_id, COUNT(*) AS exact_hits
+         |       FROM cg c JOIN bg b ON c.g = b.g GROUP BY 1)
+         |SELECT bl.doc_id AS doc_id, CAST(bl.n_grams AS INTEGER) AS n_grams,
+         |       CAST(bl.bloom_hits AS INTEGER) AS bloom_hits,
+         |       CAST(COALESCE(ex.exact_hits, 0) AS INTEGER) AS exact_hits
+         |FROM bloom bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
+         |ORDER BY bl.doc_id""".stripMargin) { (s, d) =>
+      val grams = gramStream(Tables.documents(s, d))
+      val bg = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+      val cg = grams.filter(col("doc_id") % 50 =!= 0)
+      def posOf(g: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+        pmod(h60(concat(lit("bl"), j.cast("string"), lit("|"), g)), lit(4096L))
+      val filt = bg
+        .select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
+        .select(posOf(col("g"), col("j")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").as("w"))
+      val probe = cg
+        .select(col("doc_id"), col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
+        .select(col("doc_id"), col("g"), posOf(col("g"), col("j")).as("p"))
+      val checks = probe
+        .join(broadcast(filt), expr("p div 32") === col("word"), "left_outer")
+        .groupBy("doc_id", "g")
+        .agg(sum(when(col("w").isNotNull &&
+                      expr("w & shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))") =!= 0L,
+                      1).otherwise(0)).as("nset"))
+      val bloom = checks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("nset") === 3, 1).otherwise(0)).as("bloom_hits"))
+      val exact = cg.join(bg.select(col("g").as("g2")), col("g") === col("g2"))
+        .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+        .select(col("doc_id").as("edoc"), col("exact_hits"))
+      bloom.join(exact, col("doc_id") === col("edoc"), "left_outer")
+        .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+                col("bloom_hits").cast("int").as("bloom_hits"),
+                coalesce(col("exact_hits"), lit(0L)).cast("int").as("exact_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Boilerplate share: the fraction of each document's positional
+    // 3-gram stream covered by CORPUS-frequent shingles (document
+    // frequency ≥ 40% of docs — the integer comparison df·10 ≥ total·4
+    // avoids a float threshold). The frequent set is a broadcast dim
+    // bounded by the shingle vocabulary; high shares mark template/
+    // generated text a pipeline down-weights or strips.
+    "ta_boilerplate" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |psh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)]
+        |      ELSE [array_to_string(tk,' ')] END) AS sh
+        |  FROM t),
+        |df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM psh GROUP BY sh),
+        |tot AS (SELECT COUNT(*) AS total FROM documents),
+        |boiler AS (SELECT sh FROM df, tot WHERE df * 10 >= total * 4),
+        |perdoc AS (
+        |  SELECT p.doc_id, COUNT(*) AS n_sh,
+        |         SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM psh p LEFT JOIN boiler b ON p.sh = b.sh
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n_sh AS INTEGER) AS n_sh,
+        |       CAST(n_boiler AS INTEGER) AS n_boiler,
+        |       CAST(n_boiler AS DOUBLE) / CAST(n_sh AS DOUBLE) AS boiler_ratio
+        |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val psh = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(
+          when(size(col("tk")) >= 3,
+            transform(sequence(lit(0), size(col("tk")) - 3), i =>
+              concat_ws(" ", element_at(col("tk"), i + 1),
+                        element_at(col("tk"), i + 2), element_at(col("tk"), i + 3))))
+            .otherwise(array(concat_ws(" ", col("tk"))))).as("sh"))
+      val dfDim = psh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val boiler = dfDim.crossJoin(broadcast(total))
+        .filter(col("df") * 10 >= col("total") * 4)
+        .select(col("sh").as("bsh"))
+      psh.join(broadcast(boiler), col("sh") === col("bsh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+             sum(when(col("bsh").isNotNull, 1).otherwise(0)).as("n_boiler"))
+        .select(col("doc_id"), col("n_sh").cast("int").as("n_sh"),
+                col("n_boiler").cast("int").as("n_boiler"),
+                (col("n_boiler").cast("double") / col("n_sh").cast("double"))
+                  .as("boiler_ratio"))
+        .orderBy("doc_id")
+    }
+  )
+}
