@@ -76,7 +76,18 @@ object DedupQueries {
       // CPU-dense shingle+md5 projection across the cluster
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(shinglesFrom(col("toks"))).as("s"))
+      // positional shingles, NOT shinglesFrom: min() is unaffected by
+      // duplicate shingles, and array_distinct is O(n²) interpreted
+      // string comparison per document — pure overhead before a
+      // min-aggregate (set semantics only matter where arrays are
+      // compared, i.e. dd_ngram_jaccard)
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3), i =>
+            concat_ws(" ",
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))
+          .otherwise(array(concat_ws(" ", col("toks"))))).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
     val withSigs = exploded
       .groupBy("doc_id")

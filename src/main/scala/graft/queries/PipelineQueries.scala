@@ -14,17 +14,30 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   /** Distinct 6-token grams per document (ta_contamination's blocking
-    * unit), as a (doc_id, g) stream. */
+    * unit), as a (doc_id, g) stream. Deduped at ROW level (one shuffle
+    * of short strings) — array_distinct inside the projection is O(n²)
+    * interpreted string comparison per document and measured ~4×
+    * slower than the explode+distinct shape at sf0.1. */
   private def gramStream(docs: org.apache.spark.sql.DataFrame) =
     docs
       .repartition(col("doc_id")) // spread the gram projection (1-file scan)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(
+      .select(col("doc_id"), explode(
         when(size(col("tk")) >= 6,
           transform(sequence(lit(0), size(col("tk")) - 6), i =>
             concat_ws(" ", slice(col("tk"), i + 1, lit(6)))))
-          .otherwise(array().cast("array<string>"))).as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+
+  /** Trained Bloom artifacts per corpus dir: (128 filter words, the
+    * checkpointed bench-gram frame). Same rationale and eviction story
+    * as SimilarityQueries2.centroidCache — the training jobs run eagerly
+    * at DataFrame construction, and plan sweeps/Verify construct these
+    * frames repeatedly. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], org.apache.spark.sql.DataFrame)]()
+
+  graft.ArtifactStore.onInvalidate(bloomCache.remove(_))
 
   private val duckGramsCte =
     """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -207,35 +220,55 @@ object PipelineQueries {
          |       CAST(COALESCE(ex.exact_hits, 0) AS INTEGER) AS exact_hits
          |FROM bloom bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
          |ORDER BY bl.doc_id""".stripMargin) { (s, d) =>
-      val grams = gramStream(Tables.documents(s, d))
-      val bg = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
-      val cg = grams.filter(col("doc_id") % 50 =!= 0)
+      // The filter IS a trained artifact: ≤128 words regardless of corpus
+      // size, so it collects to the driver (the bounded-collect pattern
+      // of the IVF centroids) and re-enters the plan as a LITERAL array.
+      // The probe side is then a pure codegen projection + one per-doc
+      // aggregate — no join, no shuffle of gram strings — and the gram
+      // lineage runs ONCE (the join formulation ran it for the filter
+      // build, the probe, and the exact check separately). bit_or of
+      // longs is order-independent, so the collected literals stay
+      // oracle-parity-safe.
       def posOf(g: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
         pmod(h60(concat(lit("bl"), j.cast("string"), lit("|"), g)), lit(4096L))
-      val filt = bg
-        .select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
-        .select(posOf(col("g"), col("j")).as("p"))
-        .groupBy(expr("p div 32").as("word"))
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").as("w"))
-      val probe = cg
-        .select(col("doc_id"), col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
-        .select(col("doc_id"), col("g"), posOf(col("g"), col("j")).as("p"))
-      val checks = probe
-        .join(broadcast(filt), expr("p div 32") === col("word"), "left_outer")
-        .groupBy("doc_id", "g")
-        .agg(sum(when(col("w").isNotNull &&
-                      expr("w & shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))") =!= 0L,
-                      1).otherwise(0)).as("nset"))
-      val bloom = checks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-             sum(when(col("nset") === 3, 1).otherwise(0)).as("bloom_hits"))
-      val exact = cg.join(bg.select(col("g").as("g2")), col("g") === col("g2"))
-        .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
-        .select(col("doc_id").as("edoc"), col("exact_hits"))
-      bloom.join(exact, col("doc_id") === col("edoc"), "left_outer")
-        .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
-                col("bloom_hits").cast("int").as("bloom_hits"),
-                coalesce(col("exact_hits"), lit(0L)).cast("int").as("exact_hits"))
+      // train once per corpus: the bench-gram frame is bounded by the
+      // EVAL SUITE size, not the corpus (and the %50 predicate pushes
+      // below the explode to the scan, so deriving it is a 2%-of-corpus
+      // pass); it is consumed twice (filter-word collect + exact-dim
+      // broadcast), hence the eager checkpoint
+      val (words, bg) = bloomCache.computeIfAbsent(d, _ => {
+        val bgF = gramStream(Tables.documents(s, d))
+          .filter(col("doc_id") % 50 === 0).select("g").localCheckpoint(true)
+        val ws = new Array[Long](128)
+        bgF.select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
+          .select(posOf(col("g"), col("j")).as("p"))
+          .groupBy(expr("p div 32").as("word"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").as("w"))
+          .collect()
+          .foreach(r => ws(r.getLong(0).toInt) = r.getLong(1))
+        (ws, bgF)
+      })
+      val flit = array(words.map(lit(_)): _*)
+      // materialize p0..p2 once (each is referenced twice below — word
+      // index + mask — and HOF/column re-references re-run the md5)
+      val probed = gramStream(Tables.documents(s, d))
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("g"),
+                posOf(col("g"), lit(0)).as("p0"),
+                posOf(col("g"), lit(1)).as("p1"),
+                posOf(col("g"), lit(2)).as("p2"))
+      def bitSet(p: String) =
+        (element_at(flit, (expr(s"$p div 32")).cast("int") + 1)
+          .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p % 32 AS INT))"))) =!= 0L
+      probed
+        .join(broadcast(bg.select(col("g").as("g2"))), col("g") === col("g2"), "left_outer")
+        .select(col("doc_id"),
+                (bitSet("p0") && bitSet("p1") && bitSet("p2")).as("bhit"),
+                col("g2").isNotNull.as("ehit"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_grams"),
+             sum(when(col("bhit"), 1).otherwise(0)).cast("int").as("bloom_hits"),
+             sum(when(col("ehit"), 1).otherwise(0)).cast("int").as("exact_hits"))
         .orderBy("doc_id")
     },
 

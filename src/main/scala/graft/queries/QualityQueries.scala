@@ -96,15 +96,18 @@ object QualityQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.bid
         |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // row-level distinct, not array_distinct: the in-projection dedup
+      // is O(n²) interpreted string comparison per document (~4× the
+      // whole gram explode at sf0.1); one shuffle of short grams is cheap
       val grams = docs
         .repartition(col("doc_id")) // spread the gram projection (1-file scan)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), array_distinct(
+        .select(col("doc_id"), explode(
           when(size(col("toks")) >= 6,
             transform(sequence(lit(0), size(col("toks")) - 6), i =>
               concat_ws(" ", slice(col("toks"), i + 1, lit(6)))))
-            .otherwise(array().cast("array<string>"))).as("gs"))
-        .select(col("doc_id"), explode(col("gs")).as("g"))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .distinct()
       val bsh = grams.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"), col("g"))
       val csh = grams.filter(col("doc_id") % 50 =!= 0)
