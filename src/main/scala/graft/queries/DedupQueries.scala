@@ -31,8 +31,7 @@ object DedupQueries {
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ",
-            element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+          concat_ws(" ", slice(toks, i + 1, lit(3)))))
         .otherwise(array(concat_ws(" ", toks))))
 
   /** Same shingle set in DuckDB. */
@@ -80,13 +79,13 @@ object DedupQueries {
       // duplicate shingles, and array_distinct is O(n²) interpreted
       // string comparison per document — pure overhead before a
       // min-aggregate (set semantics only matter where arrays are
-      // compared, i.e. dd_ngram_jaccard)
+      // compared, i.e. dd_ngram_jaccard). slice+concat_ws, not
+      // element_at×3 (each element_at is a separately-interpreted
+      // lambda subexpression — measured ~4× slower).
       .select(col("doc_id"), explode(
         when(size(col("toks")) >= 3,
           transform(sequence(lit(0), size(col("toks")) - 3), i =>
-            concat_ws(" ",
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))
+            concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
           .otherwise(array(concat_ws(" ", col("toks"))))).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
     val withSigs = exploded

@@ -305,8 +305,7 @@ object PipelineQueries {
         .select(col("doc_id"), explode(
           when(size(col("tk")) >= 3,
             transform(sequence(lit(0), size(col("tk")) - 3), i =>
-              concat_ws(" ", element_at(col("tk"), i + 1),
-                        element_at(col("tk"), i + 2), element_at(col("tk"), i + 3))))
+              concat_ws(" ", slice(col("tk"), i + 1, lit(3)))))
             .otherwise(array(concat_ws(" ", col("tk"))))).as("sh"))
       val dfDim = psh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
       val total = docs.agg(count(lit(1)).as("total"))

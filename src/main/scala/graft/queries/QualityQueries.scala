@@ -19,8 +19,9 @@ object QualityQueries {
   private def posShingles(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        // slice+concat_ws, not element_at×3 (each element_at is a
+        // separately-interpreted lambda subexpression — ~4× slower)
+        concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks)))
 
   private val duckPosShingles: String =
