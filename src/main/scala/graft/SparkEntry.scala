@@ -47,6 +47,7 @@ object SparkEntry {
     graft.queries.RelationalQueries5.defs ++
     graft.queries.RelationalQueries6.defs ++
     graft.queries.RelationalQueries7.defs ++
+    graft.queries.RelationalQueries8.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.ClusterQueries.defs ++
     graft.queries.SketchQueries.defs ++

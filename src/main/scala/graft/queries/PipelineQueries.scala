@@ -237,8 +237,12 @@ object PipelineQueries {
       // pass); it is consumed twice (filter-word collect + exact-dim
       // broadcast), hence the eager checkpoint
       val (words, bg) = bloomCache.computeIfAbsent(d, _ => {
+        // distinct on g ALONE: gramStream dedups (doc_id, g), and a gram
+        // shared by two benchmark docs would otherwise fan out the
+        // exact-hit left join below
         val bgF = gramStream(Tables.documents(s, d))
-          .filter(col("doc_id") % 50 === 0).select("g").localCheckpoint(true)
+          .filter(col("doc_id") % 50 === 0).select("g").distinct()
+          .localCheckpoint(true)
         val ws = new Array[Long](128)
         bgF.select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
           .select(posOf(col("g"), col("j")).as("p"))

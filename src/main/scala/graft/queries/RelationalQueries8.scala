@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface, batch 8: ordered string aggregation,
+  * the regexp function family, the remaining array higher-order
+  * functions (exists/forall/filter/zip_with), and conditional/filtered
+  * aggregates — rounding out the scalar/aggregate checklist with
+  * portable formulations.
+  */
+object RelationalQueries8 {
+
+  def defs: Map[String, Q] = Map(
+
+    // Ordered string aggregation (LISTAGG/string_agg): top-3 customers
+    // by balance per market segment, concatenated IN RANK ORDER. The
+    // Spark side sorts (rn, name) structs before joining — collect_list
+    // order is nondeterministic, array_sort makes it exact — which is
+    // the portable form of DuckDB's string_agg(... ORDER BY rn).
+    "q45_listagg" -> Q(
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_name, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |       string_agg(c_name, ',' ORDER BY rn) AS top_names,
+        |       COUNT(*) AS n
+        |FROM r WHERE rn <= 3 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("c_mktsegment")
+        .agg(array_join(
+               transform(array_sort(collect_list(struct(col("rn"), col("c_name")))),
+                         x => x.getField("c_name")), ",").as("top_names"),
+             count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Regexp family: extract (first match), extract_all (+ count), and
+    // match-test over the part strings. Patterns stay in the basic
+    // character-class subset where Java regex (Spark) and RE2 (DuckDB)
+    // agree.
+    "q46_regexp_suite" -> Q(
+      """SELECT p_partkey,
+        |       CAST(regexp_extract(p_brand, '[0-9]+') AS INTEGER) AS brand_num,
+        |       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words,
+        |       regexp_extract_all(p_name, '[a-z]+')[1] AS first_word,
+        |       CAST(regexp_matches(p_name, '^[aeiou]') AS INTEGER) AS vowel_start,
+        |       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+                regexp_extract(col("p_brand"), "[0-9]+", 0).cast("int").as("brand_num"),
+                size(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("n_words"),
+                element_at(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), 1).as("first_word"),
+                col("p_name").rlike("^[aeiou]").cast("int").as("vowel_start"),
+                regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_masked"))
+        .orderBy("p_partkey")
+    },
+
+    // Array higher-order functions not yet covered: exists / forall /
+    // filter-count / zip_with. All comparisons and sums go through
+    // explicit double casts so both engines do identical IEEE ops
+    // (a bare 0.99 literal is DECIMAL in DuckDB).
+    "q47_hof_suite" -> Q(
+      """SELECT vec_id,
+        |       CAST(list_bool_or([CAST(x AS DOUBLE) > CAST(0.99 AS DOUBLE) for x in embedding]) AS INTEGER) AS any_hot,
+        |       CAST(list_bool_and([CAST(x AS DOUBLE) > CAST(-2 AS DOUBLE) for x in embedding]) AS INTEGER) AS all_gt_neg2,
+        |       CAST(len([x for x in embedding if CAST(x AS DOUBLE) > CAST(0 AS DOUBLE)]) AS INTEGER) AS n_pos,
+        |       CAST(embedding[1] AS DOUBLE) + CAST(embedding[len(embedding)] AS DOUBLE) AS palin1,
+        |       CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) AS palin2,
+        |       list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS abs_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      // materialize the double array once — six HOFs reference it
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), ed.as("ed"))
+        .select(col("vec_id"),
+                exists(col("ed"), _ > 0.99).cast("int").as("any_hot"),
+                forall(col("ed"), _ > -2.0).cast("int").as("all_gt_neg2"),
+                size(filter(col("ed"), _ > 0.0)).as("n_pos"),
+                element_at(zip_with(col("ed"), reverse(col("ed")), _ + _), 1).as("palin1"),
+                element_at(zip_with(col("ed"), reverse(col("ed")), _ + _), 2).as("palin2"),
+                array_max(transform(col("ed"), abs(_))).as("abs_max"))
+        .orderBy("vec_id")
+    },
+
+    // Conditional / filtered aggregates: count-if, bool_and/bool_or
+    // (EVERY/SOME), and a filtered DISTINCT count via the NULL-ing CASE
+    // (both engines skip NULLs in COUNT DISTINCT).
+    "q48_conditional_aggs" -> Q(
+      """SELECT l_linestatus,
+        |       CAST(COUNT(CASE WHEN l_quantity = 50 THEN 1 END) AS BIGINT) AS n_max_qty,
+        |       CAST(bool_and(l_quantity > 0) AS INTEGER) AS all_pos,
+        |       CAST(bool_or(l_discount > CAST(0.09 AS DOUBLE)) AS INTEGER) AS any_big_disc,
+        |       CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END) AS BIGINT) AS r_parts
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(count(when(col("l_quantity") === 50, 1)).as("n_max_qty"),
+             expr("bool_and(l_quantity > 0)").cast("int").as("all_pos"),
+             expr("bool_or(l_discount > CAST(0.09 AS DOUBLE))").cast("int").as("any_big_disc"),
+             countDistinct(when(col("l_returnflag") === "R", col("l_partkey"))).as("r_parts"))
+        .orderBy("l_linestatus")
+    }
+  )
+}
