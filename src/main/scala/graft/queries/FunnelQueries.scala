@@ -73,6 +73,35 @@ object FunnelQueries {
              min(col("gap_us")).cast("long").as("min_gap_us"),
              max(col("gap_us")).cast("long").as("max_gap_us"))
         .orderBy("gap_min_bucket")
+    },
+
+    // Cohort retention: users grouped by FIRST-SEEN day, distinct-user
+    // activity counted at each day offset — the classic retention
+    // triangle. Two shuffles (first-seen agg, cohort-cell agg) plus one
+    // equi-join on user_id; day boundaries are UTC in both engines, and
+    // the offset is exact integer date arithmetic.
+    "el_cohort_retention" -> Q(
+      """WITH f AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |firstd AS (SELECT user_id, MIN(day) AS cohort_day FROM f GROUP BY user_id),
+        |m AS (
+        |  SELECT fd.cohort_day, CAST(f.day - fd.cohort_day AS INTEGER) AS offset_days,
+        |         f.user_id
+        |  FROM f JOIN firstd fd ON f.user_id = fd.user_id)
+        |SELECT cohort_day, offset_days,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m GROUP BY cohort_day, offset_days
+        |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
+      val f = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstd = f.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      f.join(firstd, "user_id")
+        .select(col("cohort_day"),
+                datediff(col("day"), col("cohort_day")).as("offset_days"),
+                col("user_id"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
     }
   )
 }

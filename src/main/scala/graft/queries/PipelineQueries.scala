@@ -276,6 +276,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gram novelty: the fraction of each document's distinct 6-grams
+    // FIRST seen at this document in doc_id order — the corpus-diversity
+    // curve a pipeline watches while ingesting (novelty collapsing
+    // toward 0 means new data is re-treading old content; the dedup
+    // signal one level above near-dup pairs). One windowed min over the
+    // gram partitioning — no second gram lineage, no self-join.
+    "ta_gram_novelty" -> Q(
+      s"""WITH $duckGramsCte,
+         |firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+         |SELECT gr.doc_id AS doc_id,
+         |       CAST(COUNT(*) AS INTEGER) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS INTEGER) AS n_novel,
+         |       CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS novelty
+         |FROM grams gr JOIN firstg f ON gr.g = f.g
+         |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g")
+      gramStream(Tables.documents(s, d))
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+               .cast("int").as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+                (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // Boilerplate share: the fraction of each document's positional
     // 3-gram stream covered by CORPUS-frequent shingles (document
     // frequency ≥ 40% of docs — the integer comparison df·10 ≥ total·4
