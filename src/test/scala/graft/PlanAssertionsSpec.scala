@@ -50,6 +50,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ta_bloom_contamination: exact dim broadcasts; no sort-merge join") {
+    // the Bloom bits themselves are a literal-array projection (no join
+    // at all); the only join is the exact-hit check against the bounded
+    // bench-gram dim, which must broadcast — a sort-merge join here
+    // would shuffle the corpus gram stream by gram string
+    val p = plan("ta_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "gram stream shuffled by string:\n" + p)
+  }
+
+  test("ta_boilerplate: frequent-shingle dim and total broadcast") {
+    val p = plan("ta_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   // ---- full-surface sweep: every declared query's physical plan ----
 
   /** Queries allowed a WindowExec with an empty partition spec: the
