@@ -54,6 +54,7 @@ object SparkEntry {
     graft.queries.WinnowQueries.defs ++
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
+    graft.queries.SimilarityQueries3.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.QualityQueries.defs ++

@@ -56,4 +56,46 @@ class SimilaritySpec extends SparkSpec {
     val r = recallOf("ss_ivf_ann_k16", 16L until 26L)
     assert(r >= 0.25, s"k=16/probe-3 recall $r below floor")
   }
+
+  test("ss_pq_ann ADC recall beats chance by an order of magnitude; codes reconstruct") {
+    // PQ on STRUCTURELESS random embeddings keeps little direction
+    // signal (8 blocks × 16 centroids), so the honest gate is a
+    // chance-multiple, not an absolute: top-3 by ADC must land ≥10×
+    // random selection (measured ~20× at this fixture).
+    import org.apache.spark.sql.functions._
+    val qids = (16L until 26L).toSeq
+    val ann = SparkEntry.queries("ss_pq_ann")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    assert(ann.keySet == qids.toSet)
+    // exact squared-L2 top-3 (same metric ADC approximates)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = qids.map { q =>
+      val qv = vecs(q)
+      q -> vecs.view.filterKeys(_ != q).toSeq
+        .map { case (id, v) => (id, l2(qv, v)) }
+        .sortBy { case (id, dd) => (dd, id) }
+        .take(3).map(_._1).toSet
+    }.toMap
+    val recall = qids.map(q => (ann(q) & exact(q)).size.toDouble / 3).sum / qids.size
+    val chance = 3.0 / (vecs.size - 1)
+    assert(recall >= 10 * chance, s"ADC recall $recall below 10× chance ($chance)")
+
+    // reconstruction sanity: quantizing to the trained codebook must
+    // beat the zero-vector quantizer (mean squared component value)
+    val rows = SparkEntry.queries("ss_pq_codes")(spark, sf).collect()
+    val meanMse = rows.map(_.getAs[Double]("recon_mse")).sum / rows.length
+    val zeroMse = vecs.values.map(v => v.map(x => x.toDouble * x).sum / 64).sum / vecs.size
+    assert(meanMse > 0 && meanMse < zeroMse,
+      s"recon_mse $meanMse not inside (0, zero-baseline $zeroMse)")
+    // every code addresses a real centroid
+    for (b <- 0 until 8; r <- rows) {
+      val c = r.getAs[Int](s"code$b")
+      assert(c >= 0 && c < 16, s"code$b=$c out of range")
+    }
+  }
 }
