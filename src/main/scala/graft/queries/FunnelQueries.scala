@@ -102,6 +102,26 @@ object FunnelQueries {
         .groupBy("cohort_day", "offset_days")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "offset_days")
+    },
+
+    // Daily distinct users via the PORTABLE HLL sketch (the grouped form
+    // of q29's estimator — functions/PortableHll): at 100 TB this is the
+    // query where exact distinct stops being affordable, and the sketch
+    // shuffles ≤ 64 longs per day instead of the user-id set. Exact
+    // distinct is emitted alongside so the error is visible per window;
+    // the whole thing stays hash-checked because the sketch is
+    // deterministic in both engines.
+    "el_hll_daily" -> Q(
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+         |${graft.functions.PortableHll.duckSketchCtes(
+             Seq("day"), "CAST(user_id AS VARCHAR)", "ev")}
+         |SELECT day, hll_estimate, reg_sum, zero_regs, exact_distinct
+         |FROM sk ORDER BY day""".stripMargin) { (s, d) =>
+      graft.functions.PortableHll.distinctSketch(
+          Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id")),
+          Seq("day"), col("user_id"))
+        .orderBy("day")
     }
   )
 }

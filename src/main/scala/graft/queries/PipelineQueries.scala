@@ -39,6 +39,34 @@ object PipelineQueries {
 
   graft.ArtifactStore.onInvalidate(bloomCache.remove(_))
 
+  /** Bloom probe position j of gram g (j ∈ 0..2, 4096-bit space). */
+  private[graft] def posOf(g: org.apache.spark.sql.Column,
+                           j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(h60(concat(lit("bl"), j.cast("string"), lit("|"), g)), lit(4096L))
+
+  /** The trained benchmark Bloom filter for a corpus: 128 32-bit words
+    * (as longs) + the checkpointed distinct bench-gram frame. Shared by
+    * the declared batch query and the STREAMING decontamination probe
+    * (graft.streaming.DecontamStream). */
+  private[graft] def trainedBloom(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Long], org.apache.spark.sql.DataFrame) =
+    bloomCache.computeIfAbsent(d, _ => {
+      // distinct on g ALONE: gramStream dedups (doc_id, g), and a gram
+      // shared by two benchmark docs would otherwise fan out the
+      // exact-hit left join in the batch query
+      val bgF = gramStream(Tables.documents(s, d))
+        .filter(col("doc_id") % 50 === 0).select("g").distinct()
+        .localCheckpoint(true)
+      val ws = new Array[Long](128)
+      bgF.select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
+        .select(posOf(col("g"), col("j")).as("p"))
+        .groupBy(expr("p div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").as("w"))
+        .collect()
+        .foreach(r => ws(r.getLong(0).toInt) = r.getLong(1))
+      (ws, bgF)
+    })
+
   private val duckGramsCte =
     """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
       |grams AS (
@@ -229,29 +257,12 @@ object PipelineQueries {
       // build, the probe, and the exact check separately). bit_or of
       // longs is order-independent, so the collected literals stay
       // oracle-parity-safe.
-      def posOf(g: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-        pmod(h60(concat(lit("bl"), j.cast("string"), lit("|"), g)), lit(4096L))
       // train once per corpus: the bench-gram frame is bounded by the
       // EVAL SUITE size, not the corpus (and the %50 predicate pushes
       // below the explode to the scan, so deriving it is a 2%-of-corpus
       // pass); it is consumed twice (filter-word collect + exact-dim
       // broadcast), hence the eager checkpoint
-      val (words, bg) = bloomCache.computeIfAbsent(d, _ => {
-        // distinct on g ALONE: gramStream dedups (doc_id, g), and a gram
-        // shared by two benchmark docs would otherwise fan out the
-        // exact-hit left join below
-        val bgF = gramStream(Tables.documents(s, d))
-          .filter(col("doc_id") % 50 === 0).select("g").distinct()
-          .localCheckpoint(true)
-        val ws = new Array[Long](128)
-        bgF.select(col("g"), explode(array((0 to 2).map(lit(_)): _*)).as("j"))
-          .select(posOf(col("g"), col("j")).as("p"))
-          .groupBy(expr("p div 32").as("word"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").as("w"))
-          .collect()
-          .foreach(r => ws(r.getLong(0).toInt) = r.getLong(1))
-        (ws, bgF)
-      })
+      val (words, bg) = trainedBloom(s, d)
       val flit = array(words.map(lit(_)): _*)
       // materialize p0..p2 once (each is referenced twice below — word
       // index + mask — and HOF/column re-references re-run the md5)

@@ -213,58 +213,12 @@ object RelationalQueries2 {
     // Empty registers contribute rank 0 → 2^55 each. EXACT twin:
     // q13_distinct_agg; KMV sibling: q42_kmv_distinct.
     "q29_hll_distinct" -> Q(
-      s"""WITH h AS (
-         |  SELECT l_returnflag, ${duckH("CAST(l_partkey AS VARCHAR)", 15)} AS hv
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT l_returnflag, hv % 64 AS reg, hv,
-         |         CASE WHEN (hv >> 6) = 0 THEN 55
-         |              ELSE 55 - CAST(length(bin(hv >> 6)) AS INTEGER) END AS rk
-         |  FROM h),
-         |regs AS (
-         |  SELECT l_returnflag, reg, MAX(rk) AS mreg, COUNT(DISTINCT hv) AS nd
-         |  FROM r GROUP BY l_returnflag, reg),
-         |a AS (
-         |  SELECT l_returnflag,
-         |         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mreg AS INTEGER)) AS BIGINT) AS s_occ,
-         |         COUNT(*) AS occ,
-         |         CAST(SUM(nd) AS BIGINT) AS nd
-         |  FROM regs GROUP BY l_returnflag)
-         |SELECT l_returnflag,
-         |       CAST(709 AS DOUBLE) / CAST(1000 AS DOUBLE) * CAST(4096 AS DOUBLE)
-         |         * CAST(36028797018963968 AS DOUBLE)
-         |         / CAST(s_occ + (64 - occ) * 36028797018963968 AS DOUBLE) AS hll_estimate,
-         |       s_occ + (64 - occ) * 36028797018963968 AS reg_sum,
-         |       CAST(64 - occ AS INTEGER) AS zero_regs,
-         |       nd AS exact_distinct
-         |FROM a ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), h60(col("l_partkey")).as("hv"))
-        .select(col("l_returnflag"), col("hv"),
-                pmod(col("hv"), lit(64L)).as("reg"),
-                shiftright(col("hv"), 6).as("w"))
-        .select(col("l_returnflag"), col("hv"), col("reg"),
-                when(col("w") === 0L, lit(55))
-                  .otherwise(lit(55) - length(bin(col("w")))).as("rk"))
-      val regs = ranked
-        .groupBy("l_returnflag", "reg")
-        .agg(max(col("rk")).as("mreg"), countDistinct(col("hv")).as("nd"))
-      regs
-        .groupBy("l_returnflag")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mreg AS INT))")).as("s_occ"),
-             count(lit(1)).as("occ"),
-             sum(col("nd")).as("nd"))
-        .select(col("l_returnflag"),
-                (col("s_occ") + (lit(64L) - col("occ")) * lit(36028797018963968L))
-                  .as("reg_sum"),
-                (lit(64L) - col("occ")).cast("int").as("zero_regs"),
-                col("nd").as("exact_distinct"))
-        .select(col("l_returnflag"),
-                (lit(709).cast("double") / lit(1000).cast("double")
-                  * lit(4096).cast("double")
-                  * lit(36028797018963968L).cast("double")
-                  / col("reg_sum").cast("double")).as("hll_estimate"),
-                col("reg_sum"), col("zero_regs"), col("exact_distinct"))
+      s"""WITH ${graft.functions.PortableHll.duckSketchCtes(
+             Seq("l_returnflag"), "CAST(l_partkey AS VARCHAR)", "lineitem")}
+         |SELECT l_returnflag, hll_estimate, reg_sum, zero_regs, exact_distinct
+         |FROM sk ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.functions.PortableHll
+        .distinctSketch(Tables.lineitem(s, d), Seq("l_returnflag"), col("l_partkey"))
         .orderBy("l_returnflag")
     }
   )
