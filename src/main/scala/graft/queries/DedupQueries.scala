@@ -301,6 +301,41 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Containment |A∩B|/|A| — the ASYMMETRIC near-dup measure Jaccard
+    // misses: a short document quoted wholesale inside a long one has
+    // low Jaccard (the union is large) but containment ≈ 1 from the
+    // short side. Same band-candidate bounding as the other verifiers;
+    // emitted both directions per pair.
+    "dd_containment" -> Q(
+      s"""WITH $duckCandCte,
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM documents)
+         |SELECT c.da, c.db,
+         |       CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |         / len(ta.sh) AS contain_a,
+         |       CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |         / len(tb.sh) AS contain_b
+         |FROM cand c
+         |JOIN t ta ON c.da = ta.doc_id
+         |JOIN t tb ON c.db = tb.doc_id
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
+      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
+      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
+      bandCandidates(docs)
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+          size(col("a_sh")).as("na"), size(col("b_sh")).as("nb"))
+        .select(col("da"), col("db"),
+          (col("inter").cast("double") / col("na")).as("contain_a"),
+          (col("inter").cast("double") / col("nb")).as("contain_b"))
+        .orderBy("da", "db")
+    },
+
     // n-gram (3-token shingle) Jaccard, verified ONLY on MinHash-band
     // candidates (`bandCandidates`): LSH proposes, exact Jaccard
     // disposes. The candidate set — not a (lang, source) block that goes
