@@ -49,7 +49,7 @@ object ClusterQueries {
   graft.ArtifactStore.onInvalidate(labelCache.remove(_))
 
   private[queries] def dupClusters(docs: DataFrame, dir: String): DataFrame =
-    labelCache.computeIfAbsent(dir, _ => propagate(docs))
+    labelCache.computeIfAbsent(dir, _ => propagate(docs, dir))
 
   /** Per-round materialization. Default is `localCheckpoint` — blocks on
     * executor local storage, the right local-mode trade. It is NOT
@@ -67,8 +67,8 @@ object ClusterQueries {
       case None => df.localCheckpoint(true)
     }
 
-  private def propagate(docs: DataFrame): DataFrame = {
-    val cand = DedupQueries.bandCandidates(docs)
+  private def propagate(docs: DataFrame, dir: String): DataFrame = {
+    val cand = DedupQueries.bandCandidatesCached(docs, dir)
     // symmetric edge list; nodes = docs in >=1 candidate pair
     val edges = materialize(
       cand.select(col("da").as("src"), col("db").as("dst"))

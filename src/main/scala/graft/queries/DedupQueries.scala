@@ -140,6 +140,22 @@ object DedupQueries {
       .filter(col("da") < col("db"))
       .distinct()
 
+  /** The candidate frame per corpus dir, materialized once: FOUR
+    * declared verifiers (jaccard, edit distance, containment, cluster
+    * propagation) consume the same candidate set, and each would
+    * otherwise re-run the whole signature lineage (shingle → md5 →
+    * K-min aggregate → banding). Same cache/eviction story as the IVF
+    * centroids — `ArtifactStore.invalidate(dir)` drops it. The frame is
+    * SMALL (near-dup pairs, not the corpus), so the local checkpoint is
+    * cheap at any scale. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(candCache.remove(_))
+
+  private[queries] def bandCandidatesCached(docs: DataFrame, dir: String): DataFrame =
+    candCache.computeIfAbsent(dir, _ => bandCandidates(docs).localCheckpoint(true))
+
   /** Per-band bucket sizes in DuckDB (defines `bsz(bid, bkey,
     * bucket_size)`); append after `banded`. */
   private[queries] val duckBszCte: String =
@@ -324,7 +340,7 @@ object DedupQueries {
         .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
       val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
       val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
-      bandCandidates(docs)
+      bandCandidatesCached(docs, d)
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select(col("da"), col("db"),
@@ -358,7 +374,7 @@ object DedupQueries {
         .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
       val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
       val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
-      bandCandidates(docs)
+      bandCandidatesCached(docs, d)
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select(col("da"), col("db"),

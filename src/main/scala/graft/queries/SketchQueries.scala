@@ -76,7 +76,7 @@ object SketchQueries {
         substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
       val ta = t.select(col("doc_id").as("ta_id"), col("head").as("a_head"))
       val tb = t.select(col("doc_id").as("tb_id"), col("head").as("b_head"))
-      DedupQueries.bandCandidates(docs)
+      DedupQueries.bandCandidatesCached(docs, d)
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select(col("da"), col("db"),
