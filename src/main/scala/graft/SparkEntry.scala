@@ -59,5 +59,6 @@ object SparkEntry {
     graft.queries.TextQueries2.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
+    graft.queries.StatsQueries.defs ++
     graft.queries.MultimodalQueries.defs
 }

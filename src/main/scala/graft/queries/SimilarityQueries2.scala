@@ -249,6 +249,47 @@ object SimilarityQueries2 {
       (s, d) => ivfAnn(s, d, 16, 3)
     },
 
+    // SemDeDup (semantic dedup): prune near-duplicate MEANING, not
+    // near-duplicate text — the step after MinHash in a training
+    // pipeline (arXiv:2303.09540's recipe). Blocking is the IVF cell
+    // assignment (same trained quantizer artifact as ss_ivf_assign):
+    // within each cell, a vector is dropped when a smaller-id cell-mate
+    // sits above the cosine threshold — the greedy keep-first rule, so
+    // pair comparisons are bounded by cell sizes (k is the scale dial;
+    // never all-pairs). Threshold matches dd_embedding_neardup's 0.25
+    // (fixture embeddings are near-orthogonal random). Emitted as a
+    // per-vector keep/drop verdict.
+    "ss_semdedup" -> Q(
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, cluster, embedding FROM refined WHERE rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM members a JOIN members b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.25)
+         |SELECT m.vec_id, CAST(m.cluster AS INTEGER) AS cluster,
+         |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM members m LEFT JOIN drops d ON m.vec_id = d.vec_id
+         |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val m = refined(e, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+                col("ccluster").as("cluster"))
+      val a = m.select(col("cluster").as("ca"), col("vec_id").as("va"),
+                       col("embedding").as("ea"), col("nrm").as("na"))
+      val b = m.select(col("cluster").as("cb"), col("vec_id").as("vb"),
+                       col("embedding").as("eb"), col("nrm").as("nb"))
+      val drops = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
+        .filter(nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.25)
+        .select(col("vb").as("dropped")).distinct()
+      m.join(drops, col("vec_id") === col("dropped"), "left")
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+                when(col("dropped").isNull, 1).otherwise(0).cast("int").as("kept"))
+        .orderBy("vec_id")
+    },
+
     // Scalar int8 quantization of the embedding column — the memory
     // compression a 100 TB ANN index runs before anything else (4×
     // smaller vectors, cheaper distance scans). Per-dimension corpus

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import graft.functions.Portable.{cents, duckH}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-summary operators over the event log and corpus: a
+  * count-min sketch (the frequency twin of the HLL/KMV cardinality
+  * sketches), z-score outlier detection, and data-mixture sampling
+  * weights — the "how much of each source do we train on" step of a
+  * pipeline.
+  *
+  * All three follow the portable-determinism rules (Portable.scala):
+  * sketch cells from md5-derived hashes, aggregate sums over exact
+  * integers (cents / quantized), per-row double math written as the
+  * identical single expression in Spark and the DuckDB oracle.
+  */
+object StatsQueries {
+
+  /** CMS geometry: D independent hash rows × W counters. W = 256 keeps
+    * the sketch at 1 KB-scale while still showing real collision
+    * overcounts on the 150-user fixture; at 100 TB both are dials (the
+    * sketch stays a fixed-size aggregate either way). */
+  private val D = 4
+  private val W = 256
+
+  def defs: Map[String, Q] = Map(
+
+    // Count-min sketch: build D×W integer counters over the event
+    // stream (one map-side-combined groupBy — the sketch, not the
+    // stream, is what shuffles), then read back every user's estimate
+    // as min over its D cells. est ≥ exact always (counters only
+    // overcount); the emitted overcount column makes the collision
+    // error visible and oracle-checked. The probe side is the distinct
+    // user set joined against the ≤ D·W-row sketch — broadcast-sized
+    // at any corpus scale.
+    "el_cms_counts" -> Q(
+      s"""WITH cells AS (
+         |  SELECT d, ${duckH("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 8)} % $W AS cell,
+         |         COUNT(*) AS cnt
+         |  FROM events, range(0, $D) t(d)
+         |  GROUP BY d, cell),
+         |exact AS (
+         |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+         |probes AS (
+         |  SELECT user_id, exact_n, d,
+         |         ${duckH("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 8)} % $W AS cell
+         |  FROM exact, range(0, $D) t(d))
+         |SELECT p.user_id, MIN(c.cnt) AS cms_est, MIN(p.exact_n) AS exact_n,
+         |       MIN(c.cnt) - MIN(p.exact_n) AS overcount
+         |FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def cell(dd: org.apache.spark.sql.Column) = pmod(
+        Portable.h32(concat(dd.cast("string"), lit(":"), col("user_id").cast("string"))),
+        lit(W))
+      val cells = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("d"))
+        .select(col("d"), cell(col("d")).as("cell"))
+        .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+      val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .select(col("user_id"), col("exact_n"),
+                explode(sequence(lit(0), lit(D - 1))).as("d"))
+        .select(col("user_id"), col("exact_n"), col("d").as("pd"),
+                cell(col("d")).as("pcell"))
+      probes.join(broadcast(cells), col("pd") === col("d") && col("pcell") === col("cell"))
+        .groupBy("user_id")
+        .agg(min(col("cnt")).as("cms_est"), min(col("exact_n")).as("exact_n"))
+        .select(col("user_id"), col("cms_est"), col("exact_n"),
+                (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy("user_id")
+    },
+
+    // Z-score outliers: per-event-type mean/std from EXACT integer-cents
+    // sums (sum and sum-of-squares are associative longs, so the partial
+    // aggregation order cannot perturb them), then each event's z in one
+    // IEEE-exact expression, top-5 |z| per type. The |z| ordering key is
+    // computed in a prior step and only RANKED in the window (computed
+    // doubles never originate inside a window frame — oracle-parity
+    // rule). Stats dim is 5 rows → broadcast join back to the stream.
+    "el_anomaly_zscore" -> Q(
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c,
+        |         sqrt(CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |              - (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                * (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS std_c
+        |  FROM ev GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |         (CAST(e.c AS DOUBLE) - s.mean_c) / s.std_c AS zscore,
+        |         abs((CAST(e.c AS DOUBLE) - s.mean_c) / s.std_c) AS zabs
+        |  FROM ev e JOIN st s ON e.event_type = s.event_type),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |                               ORDER BY zabs DESC, event_id) AS rank
+        |  FROM z)
+        |SELECT event_id, event_type, value, zscore, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"), col("value"),
+        cents(col("value")).as("c"))
+      val meanC = sum(col("c")).cast("double") / count(lit(1)).cast("double")
+      val st = ev.groupBy(col("event_type").as("st_type"))
+        .agg(meanC.as("mean_c"),
+             sqrt(sum(col("c") * col("c")).cast("double") / count(lit(1)).cast("double")
+                  - meanC * meanC).as("std_c"))
+      val zcol = (col("c").cast("double") - col("mean_c")) / col("std_c")
+      val w = Window.partitionBy("event_type").orderBy(col("zabs").desc, col("event_id"))
+      ev.join(broadcast(st), col("event_type") === col("st_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+                zcol.as("zscore"), abs(zcol).as("zabs"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("event_id"), col("event_type"), col("value"), col("zscore"),
+                col("rank").cast("int").as("rank"))
+        .orderBy("event_type", "rank")
+    },
+
+    // Data-mixture sampling weights: the per-source "how much to train
+    // on" table. Weight ∝ tokens^0.5 (temperature-0.5 mixture — sqrt is
+    // the one IEEE-exact non-integer power), normalized over sources.
+    // Normalization sums go through floor(·1e6) BIGINT quantization
+    // (exact/associative — a raw double sum would be order-dependent),
+    // and the sampling boost (weight ÷ natural share) is one fixed
+    // left-to-right expression in both engines. The source dim is tiny,
+    // but every sum below is map-side combined off the full corpus scan,
+    // so the shape holds when sources number in the thousands.
+    "ta_mixture_weights" -> Q(
+      """WITH per_src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qs
+        |  FROM per_src),
+        |tot AS (
+        |  SELECT CAST(SUM(qs) AS BIGINT) AS tot_qs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+        |  FROM q)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(qs AS DOUBLE) / CAST(tot_qs AS DOUBLE) AS weight,
+        |       CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS natural_share,
+        |       CAST(qs AS DOUBLE) / CAST(tot_qs AS DOUBLE)
+        |         / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+        |FROM q, tot ORDER BY source""".stripMargin) { (s, d) =>
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(Portable.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+                floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long").as("qs"))
+      val tot = per.agg(sum(col("qs")).as("tot_qs"), sum(col("n_tokens")).as("tot_tokens"))
+      val weight = col("qs").cast("double") / col("tot_qs").cast("double")
+      val share  = col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+                weight.as("weight"), share.as("natural_share"),
+                (weight / share).as("boost"))
+        .orderBy("source")
+    }
+  )
+}
