@@ -73,6 +73,56 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Bitmap-index audience overlap: distinct-user intersections between
+    // event types WITHOUT ever shuffling raw user ids — each (type,
+    // 32-user word) packs membership into one BIGINT via bit_or, and
+    // intersections are bit_count(a & b) summed over words (the
+    // roaring-bitmap pattern of Druid/ClickHouse, in its fixed-width
+    // portable form). The shuffle is |types|·|users|/32 longs, and the
+    // pair join is an equi-join on the word index. All-integer until the
+    // final Jaccard division.
+    "el_bitmap_overlap" -> Q(
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |bm AS (
+        |  SELECT event_type, user_id // 32 AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bmask
+        |  FROM tu GROUP BY event_type, word),
+        |cnt AS (
+        |  SELECT event_type, CAST(SUM(bit_count(bmask)) AS BIGINT) AS n_users
+        |  FROM bm GROUP BY event_type),
+        |ov AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         CAST(SUM(bit_count(a.bmask & b.bmask)) AS BIGINT) AS overlap
+        |  FROM bm a JOIN bm b ON a.word = b.word AND a.event_type < b.event_type
+        |  GROUP BY ta, tb)
+        |SELECT o.ta, o.tb, ca.n_users AS users_a, cb.n_users AS users_b, o.overlap,
+        |       CAST(o.overlap AS DOUBLE)
+        |         / CAST(ca.n_users + cb.n_users - o.overlap AS DOUBLE) AS jaccard
+        |FROM ov o JOIN cnt ca ON o.ta = ca.event_type
+        |          JOIN cnt cb ON o.tb = cb.event_type
+        |ORDER BY ta, tb""".stripMargin) { (s, d) =>
+      val bm = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), expr("user_id div 32").as("word"),
+                expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bmask"))
+        .groupBy("event_type", "word").agg(bit_or(col("bmask")).as("bmask"))
+      val cnt = bm.groupBy("event_type")
+        .agg(sum(bit_count(col("bmask")).cast("long")).as("n_users"))
+      val a = bm.select(col("event_type").as("ta"), col("word").as("wa"), col("bmask").as("ba"))
+      val b = bm.select(col("event_type").as("tb"), col("word").as("wb"), col("bmask").as("bb"))
+      val ov = a.join(b, col("wa") === col("wb") && col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast("long")).as("overlap"))
+      ov.join(broadcast(cnt.select(col("event_type").as("ca_t"), col("n_users").as("users_a"))),
+              col("ta") === col("ca_t"))
+        .join(broadcast(cnt.select(col("event_type").as("cb_t"), col("n_users").as("users_b"))),
+              col("tb") === col("cb_t"))
+        .select(col("ta"), col("tb"), col("users_a"), col("users_b"), col("overlap"),
+                (col("overlap").cast("double") /
+                 (col("users_a") + col("users_b") - col("overlap")).cast("double")).as("jaccard"))
+        .orderBy("ta", "tb")
+    },
+
     // Z-score outliers: per-event-type mean/std from EXACT integer-cents
     // sums (sum and sum-of-squares are associative longs, so the partial
     // aggregation order cannot perturb them), then each event's z in one
