@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable
-import graft.functions.Portable.{cents, duckH}
+import graft.functions.Portable.cents
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,44 +28,39 @@ object StatsQueries {
 
   def defs: Map[String, Q] = Map(
 
-    // Count-min sketch: build D×W integer counters over the event
-    // stream (one map-side-combined groupBy — the sketch, not the
-    // stream, is what shuffles), then read back every user's estimate
-    // as min over its D cells. est ≥ exact always (counters only
-    // overcount); the emitted overcount column makes the collision
-    // error visible and oracle-checked. The probe side is the distinct
-    // user set joined against the ≤ D·W-row sketch — broadcast-sized
-    // at any corpus scale.
+    // Count-min sketch: D×W integer counters, read back as min over a
+    // key's D cells. est ≥ exact always (counters only overcount); the
+    // emitted overcount column makes the collision error visible and
+    // oracle-checked. Scale shape: the stream pre-aggregates per key
+    // FIRST (map-side combined — hash work is ∝ distinct keys, not
+    // stream length), then ONE md5 per key is sliced into the D
+    // independent 32-bit row hashes (hex chars [1,8], [9,16], … — the
+    // standard one-digest hash family), and the ≤ D·W-row sketch joins
+    // back broadcast-sized at any corpus scale.
     "el_cms_counts" -> Q(
-      s"""WITH cells AS (
-         |  SELECT d, ${duckH("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 8)} % $W AS cell,
-         |         COUNT(*) AS cnt
-         |  FROM events, range(0, $D) t(d)
-         |  GROUP BY d, cell),
-         |exact AS (
+      s"""WITH exact AS (
          |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
-         |probes AS (
+         |keyed AS (
          |  SELECT user_id, exact_n, d,
-         |         ${duckH("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", 8)} % $W AS cell
-         |  FROM exact, range(0, $D) t(d))
-         |SELECT p.user_id, MIN(c.cnt) AS cms_est, MIN(p.exact_n) AS exact_n,
-         |       MIN(c.cnt) - MIN(p.exact_n) AS overcount
-         |FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
-         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-      def cell(dd: org.apache.spark.sql.Column) = pmod(
-        Portable.h32(concat(dd.cast("string"), lit(":"), col("user_id").cast("string"))),
-        lit(W))
-      val cells = ev
-        .select(col("user_id"), explode(sequence(lit(0), lit(D - 1))).as("d"))
-        .select(col("d"), cell(col("d")).as("cell"))
-        .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
-      val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+         |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1 + 8*d, 8)) AS BIGINT) % $W AS cell
+         |  FROM exact, range(0, $D) t(d)),
+         |cells AS (
+         |  SELECT d, cell, CAST(SUM(exact_n) AS BIGINT) AS cnt
+         |  FROM keyed GROUP BY d, cell)
+         |SELECT k.user_id, MIN(c.cnt) AS cms_est, MIN(k.exact_n) AS exact_n,
+         |       MIN(c.cnt) - MIN(k.exact_n) AS overcount
+         |FROM keyed k JOIN cells c ON k.d = c.d AND k.cell = c.cell
+         |GROUP BY k.user_id ORDER BY k.user_id""".stripMargin) { (s, d) =>
+      val keyed = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
         .select(col("user_id"), col("exact_n"),
                 explode(sequence(lit(0), lit(D - 1))).as("d"))
-        .select(col("user_id"), col("exact_n"), col("d").as("pd"),
-                cell(col("d")).as("pcell"))
-      probes.join(broadcast(cells), col("pd") === col("d") && col("pcell") === col("cell"))
+        .select(col("user_id"), col("exact_n"), col("d"),
+                pmod(expr("conv(substring(md5(CAST(user_id AS STRING)), 1 + 8*d, 8), 16, 10)")
+                       .cast("long"), lit(W)).as("cell"))
+      val cells = keyed.groupBy(col("d").as("cd"), col("cell").as("ccell"))
+        .agg(sum(col("exact_n")).as("cnt"))
+      keyed.join(broadcast(cells), col("d") === col("cd") && col("cell") === col("ccell"))
         .groupBy("user_id")
         .agg(min(col("cnt")).as("cms_est"), min(col("exact_n")).as("exact_n"))
         .select(col("user_id"), col("cms_est"), col("exact_n"),
