@@ -78,6 +78,90 @@ object PipelineQueries {
 
   def defs: Map[String, Q] = Map(
 
+    // END-TO-END corpus funnel: the whole pipeline composed — quality
+    // gate → exact dedup → benchmark decontamination → train split —
+    // with per-stage survivor accounting (docs + tokens), i.e. the
+    // "where did my data go" report every curation run publishes.
+    // Stage gates are progressive (each applies to the previous stage's
+    // survivors) and all-integer: the quality ratio compares 10·distinct
+    // > 3·total (no division), dedup keeps min doc_id per md5(text)
+    // group (a partitioned window over the hash key — ≤ group-size
+    // rows per partition at any scale), decontamination anti-joins the
+    // candidate 6-gram stream against the benchmark grams, and the
+    // split bucket is the same md5 function ta_split_assign declares.
+    "ta_corpus_funnel" -> Q(
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist
+         |  FROM documents),
+         |s1 AS (SELECT * FROM base WHERE ntok >= 20 AND ndist*10 > ntok*3),
+         |s2 AS (
+         |  SELECT * FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM s1) WHERE doc_id = keeper),
+         |btoks AS (SELECT doc_id, string_split(text,' ') AS tk
+         |          FROM documents WHERE doc_id % 50 = 0),
+         |bgrams AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(tk) >= 6
+         |    THEN [array_to_string(tk[i:i+5],' ') for i in range(1, len(tk)-4)]
+         |    ELSE [] END) AS g
+         |  FROM btoks),
+         |ctoks AS (SELECT doc_id, string_split(text,' ') AS tk
+         |          FROM s2 WHERE doc_id % 50 <> 0),
+         |cgrams AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 6
+         |    THEN [array_to_string(tk[i:i+5],' ') for i in range(1, len(tk)-4)]
+         |    ELSE [] END)) AS g
+         |  FROM ctoks),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
+         |s3 AS (
+         |  SELECT s2.* FROM s2
+         |  WHERE s2.doc_id % 50 <> 0
+         |    AND s2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |s4 AS (
+         |  SELECT * FROM s3
+         |  WHERE ${duckH("CAST(doc_id AS VARCHAR)", 15)} % 100 < 90),
+         |stages AS (
+         |  SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+         |         CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM base
+         |  UNION ALL SELECT 1, 'quality', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, 'dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'decontam', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s3
+         |  UNION ALL SELECT 4, 'train', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s4)
+         |SELECT stage_id, stage, n_docs, n_tokens FROM stages ORDER BY stage_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("text"),
+                size(col("tk")).cast("long").as("ntok"),
+                size(array_distinct(col("tk"))).cast("long").as("ndist"))
+      val s1 = base.filter(col("ntok") >= 20 && col("ndist") * 10 > col("ntok") * 3)
+      val s2 = s1
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("keeper")
+      val bgrams = gramStream(
+          Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
+        .select(col("g")).distinct()
+      val contaminated = gramStream(s2.filter(col("doc_id") % 50 =!= 0))
+        .join(bgrams, "g").select(col("doc_id")).distinct()
+      val s3 = s2.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val s4 = s3.filter(pmod(h60(col("doc_id")), lit(100L)) < 90)
+      def stage(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+                  col("n_docs"), col("n_tokens"))
+      stage(base, 0, "raw")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "dedup"))
+        .unionByName(stage(s3, 3, "decontam"))
+        .unionByName(stage(s4, 4, "train"))
+        .orderBy("stage_id")
+    },
+
     // Deterministic train/val/test assignment: the split is a pure
     // function of doc_id (md5 bucket), so it is stable across runs,
     // machines, and engines — the property a training pipeline needs so
