@@ -131,34 +131,51 @@ object PipelineQueries {
          |  UNION ALL SELECT 3, 'decontam', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s3
          |  UNION ALL SELECT 4, 'train', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM s4)
          |SELECT stage_id, stage, n_docs, n_tokens FROM stages ORDER BY stage_id""".stripMargin) { (s, d) =>
+      // Single-pass execution: the five stage gates become per-doc
+      // FLAGS on one scan (the dedup keeper is a conditional min over
+      // the hash-key window, so non-quality rows don't vote), the
+      // decontamination verdict arrives by one gram equi-join, and each
+      // doc explodes into its ≤5 surviving (stage_id, ntok) rows for a
+      // single final aggregate — the 5-way union-of-aggregates form
+      // re-ran this lineage per stage (2.3 s → this shape at sf0.1).
       import org.apache.spark.sql.expressions.Window
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), col("text"),
                 size(col("tk")).cast("long").as("ntok"),
                 size(array_distinct(col("tk"))).cast("long").as("ndist"))
-      val s1 = base.filter(col("ntok") >= 20 && col("ndist") * 10 > col("ntok") * 3)
-      val s2 = s1
-        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-        .filter(col("doc_id") === col("keeper"))
-        .drop("keeper")
+        .withColumn("q1", col("ntok") >= 20 && col("ndist") * 10 > col("ntok") * 3)
+        .withColumn("keeper",
+          min(when(col("q1"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+        .withColumn("q2", col("q1") && col("doc_id") === col("keeper"))
       val bgrams = gramStream(
           Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
         .select(col("g")).distinct()
-      val contaminated = gramStream(s2.filter(col("doc_id") % 50 =!= 0))
+      val contaminated = gramStream(
+          base.filter(col("q2") && col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")))
         .join(bgrams, "g").select(col("doc_id")).distinct()
-      val s3 = s2.filter(col("doc_id") % 50 =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      val s4 = s3.filter(pmod(h60(col("doc_id")), lit(100L)) < 90)
-      def stage(df: org.apache.spark.sql.DataFrame, id: Int, name: String) =
-        df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-          .select(lit(id).as("stage_id"), lit(name).as("stage"),
-                  col("n_docs"), col("n_tokens"))
-      stage(base, 0, "raw")
-        .unionByName(stage(s1, 1, "quality"))
-        .unionByName(stage(s2, 2, "dedup"))
-        .unionByName(stage(s3, 3, "decontam"))
-        .unionByName(stage(s4, 4, "train"))
+        .withColumn("contam", lit(true))
+      val flagged = base
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .withColumn("q3", col("q2") && col("doc_id") % 50 =!= 0 && col("contam").isNull)
+        .withColumn("q4", col("q3") && pmod(h60(col("doc_id")), lit(100L)) < 90)
+      val stageArr = array(
+        struct(lit(0).as("sid"), lit(true).as("ok")),
+        struct(lit(1).as("sid"), col("q1").as("ok")),
+        struct(lit(2).as("sid"), col("q2").as("ok")),
+        struct(lit(3).as("sid"), col("q3").as("ok")),
+        struct(lit(4).as("sid"), col("q4").as("ok")))
+      flagged
+        .select(col("ntok"), explode(filter(stageArr, st => st("ok"))).as("st"))
+        .groupBy(col("st.sid").as("stage_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .select(col("stage_id"),
+                when(col("stage_id") === 0, "raw")
+                  .when(col("stage_id") === 1, "quality")
+                  .when(col("stage_id") === 2, "dedup")
+                  .when(col("stage_id") === 3, "decontam")
+                  .otherwise("train").as("stage"),
+                col("n_docs"), col("n_tokens"))
         .orderBy("stage_id")
     },
 
