@@ -23,8 +23,19 @@ object StatsQueries {
     * the sketch at 1 KB-scale while still showing real collision
     * overcounts on the 150-user fixture; at 100 TB both are dials (the
     * sketch stays a fixed-size aggregate either way). */
-  private val D = 4
-  private val W = 256
+  private[graft] val D = 4
+  private[graft] val W = 256
+
+  /** Fan a keyed frame out to its D (d, cell) sketch coordinates — ONE
+    * md5 per key sliced into D independent 32-bit row hashes. Shared by
+    * the batch query and the streaming twin (EventStream.cmsCells) so
+    * the hash family cannot drift between the two. */
+  private[graft] def withCmsCells(df: org.apache.spark.sql.DataFrame,
+                                  key: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("d", explode(sequence(lit(0), lit(D - 1))))
+      .withColumn("cell",
+        pmod(expr(s"conv(substring(md5(CAST($key AS STRING)), 1 + 8*d, 8), 16, 10)")
+               .cast("long"), lit(W)))
 
   def defs: Map[String, Q] = Map(
 
@@ -51,13 +62,9 @@ object StatsQueries {
          |       MIN(c.cnt) - MIN(k.exact_n) AS overcount
          |FROM keyed k JOIN cells c ON k.d = c.d AND k.cell = c.cell
          |GROUP BY k.user_id ORDER BY k.user_id""".stripMargin) { (s, d) =>
-      val keyed = Tables.events(s, d)
-        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-        .select(col("user_id"), col("exact_n"),
-                explode(sequence(lit(0), lit(D - 1))).as("d"))
-        .select(col("user_id"), col("exact_n"), col("d"),
-                pmod(expr("conv(substring(md5(CAST(user_id AS STRING)), 1 + 8*d, 8), 16, 10)")
-                       .cast("long"), lit(W)).as("cell"))
+      val keyed = withCmsCells(
+        Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("exact_n")),
+        "user_id")
       val cells = keyed.groupBy(col("d").as("cd"), col("cell").as("ccell"))
         .agg(sum(col("exact_n")).as("cnt"))
       keyed.join(broadcast(cells), col("d") === col("cd") && col("cell") === col("ccell"))

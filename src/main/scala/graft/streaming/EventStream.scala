@@ -55,6 +55,20 @@ object EventStream {
       .select(col("window.start").as("bucket_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Streaming count-min sketch: the D×W counter grid of
+    * el_cms_counts maintained INCREMENTALLY — each event fans out to
+    * its D (d, cell) coordinates (same shared hash family:
+    * StatsQueries.withCmsCells, so batch and stream cannot drift) and
+    * a streaming aggregation keeps the counters. State is bounded at
+    * D·W rows no matter how long the stream runs — the reason a sketch
+    * (not an exact per-key count) is what you keep over an unbounded
+    * stream. StatsSpec proves the streamed grid answers point queries
+    * identically to the batch oracle-checked estimates. */
+  def cmsCells(events: DataFrame): DataFrame =
+    graft.queries.StatsQueries.withCmsCells(events.select(col("user_id")), "user_id")
+      .groupBy("d", "cell")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Sliding windows: 10-minute windows every 5 minutes — each event
     * lands in two panes. */
   def slidingCounts(events: DataFrame): DataFrame =

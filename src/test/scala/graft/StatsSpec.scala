@@ -25,6 +25,34 @@ class StatsSpec extends SparkSpec {
     assert(rows.length == exactUsers)
   }
 
+  test("streaming CMS grid answers point queries identically to the batch sketch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val topic = java.nio.file.Files.createTempDirectory("cmstopic").toString + "/t"
+    Tables.events(spark, dir).repartition(4).write.parquet(topic)
+    val q = graft.streaming.EventStream.cmsCells(
+        graft.streaming.EventStream.ingest(spark, topic, 1))
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete")
+      .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("cmsckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // point-read every user's estimate from the STREAMED grid and
+    // compare with the oracle-checked batch query's rows
+    val grid = spark.table("cms_cells")
+      .select(col("d").as("gd"), col("cell").as("gcell"), col("cnt"))
+    val keyed = queries.StatsQueries.withCmsCells(
+      Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("exact_n")),
+      "user_id")
+    val streamedEst = keyed
+      .join(grid, col("d") === col("gd") && col("cell") === col("gcell"))
+      .groupBy("user_id")
+      .agg(min(col("cnt")).as("cms_est"), min(col("exact_n")).as("exact_n"))
+    val batch = SparkEntry.queries("el_cms_counts")(spark, dir)
+      .select(col("user_id"), col("cms_est"), col("exact_n"))
+    assert(streamedEst.exceptAll(batch).isEmpty && batch.exceptAll(streamedEst).isEmpty)
+  }
+
   test("el_bitmap_overlap: packed-word intersections equal brute-force set intersections") {
     val tu = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct().collect()
