@@ -66,6 +66,44 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("el_cms_counts: the sketch grid broadcasts back to the probe side") {
+    // the D·W-row counter table must broadcast — a sort-merge join here
+    // would shuffle the keyed probe stream by (d, cell)
+    val p = plan("el_cms_counts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "probe stream shuffled by cell:\n" + p)
+  }
+
+  test("dd_sorted_neighborhood: neighborhood meets in an equi-join, no theta join") {
+    // the w=3 window must be the exploded-successor EQUI-join —
+    // a BroadcastNestedLoopJoin would mean the rank-band predicate
+    // degenerated to a filtered cross product
+    val p = plan("dd_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "theta join in sorted-neighborhood:\n" + p)
+  }
+
+  test("el_bitmap_overlap: word packing partially aggregates below the exchange") {
+    val sp = SparkEntry.queries("el_bitmap_overlap")(spark, sf).queryExecution.sparkPlan
+    val hasPartial = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(
+          _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }.nonEmpty
+    assert(hasPartial, sp.toString)
+  }
+
+  test("ta_corpus_funnel: one documents scan feeds the stage flags (plus the gram branches)") {
+    // the single-pass rewrite reads documents 3× (flag lineage + two
+    // gram streams); the per-stage-union shape read it 7+×. Pin the
+    // ceiling so a refactor can't silently reintroduce the fan-out.
+    val sp = SparkEntry.queries("ta_corpus_funnel")(spark, sf).queryExecution.sparkPlan
+    val scans = sp.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(scans <= 3, s"documents scanned $scans times:\n" + sp)
+  }
+
   // ---- full-surface sweep: every declared query's physical plan ----
 
   /** Queries allowed a WindowExec with an empty partition spec: the
