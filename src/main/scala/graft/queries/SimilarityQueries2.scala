@@ -249,6 +249,28 @@ object SimilarityQueries2 {
       (s, d) => ivfAnn(s, d, 16, 3)
     },
 
+    // IVF index-quality profile: per-cell membership and cohesion — the
+    // observability report an ANN deployment watches to decide when to
+    // retrain (empty/overfull cells, falling cohesion). One pass over
+    // the shared refined assignment; the mean cos goes through the
+    // exact DECIMAL unit-sum (a raw double AVG would be
+    // accumulation-order-dependent).
+    "ss_centroid_profile" -> Q(
+      s"""WITH ${duckRefinedCte(NSEEDS)}
+         |SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_members,
+         |       ${graft.functions.Portable.duckDavgUnit("cos")} AS avg_cos,
+         |       MIN(cos) AS min_cos, MAX(cos) AS max_cos
+         |FROM refined WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      refined(e, d).filter(col("rn") === 1)
+        .groupBy(col("ccluster").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+             graft.functions.Portable.davgUnit(col("cos")).as("avg_cos"),
+             min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+        .orderBy("cluster")
+    },
+
     // SemDeDup (semantic dedup): prune near-duplicate MEANING, not
     // near-duplicate text — the step after MinHash in a training
     // pipeline (arXiv:2303.09540's recipe). Blocking is the IVF cell

@@ -175,6 +175,76 @@ object StatsQueries {
         .orderBy("event_type", "rank")
     },
 
+    // The SAMPLER that realizes the mixture weights: every doc draws a
+    // deterministic uniform from md5 (stable across runs/engines — a
+    // pipeline can re-run assignment and never flip a document), and
+    // keeps it when the draw falls under its source's boosted rate
+    // (base 0.5 × temperature boost, capped at 1). The per-source rate
+    // dim is broadcast; the scan stays one pass. Realized rates land
+    // within binomial noise of the targets and both are emitted, so the
+    // oracle checks target arithmetic AND the draw itself.
+    "ta_mixture_sample" -> Q(
+      """WITH per_src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qs
+        |  FROM per_src),
+        |tot AS (
+        |  SELECT CAST(SUM(qs) AS BIGINT) AS tot_qs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+        |  FROM q),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |         least(CAST(1000000 AS BIGINT),
+        |               CAST(floor(CAST(qs AS DOUBLE) / CAST(tot_qs AS DOUBLE)
+        |                    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+        |                    * CAST(0.5 AS DOUBLE) * 1000000) AS BIGINT)) AS thresh
+        |  FROM q, tot),
+        |drawn AS (
+        |  SELECT d.source, r.n_docs, r.thresh,
+        |         CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|sample'), 1, 15)) AS BIGINT)
+        |           % 1000000 AS draw,
+        |         CAST(length(string_split(d.text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents d JOIN rates r ON d.source = r.source)
+        |SELECT source,
+        |       CAST(thresh AS DOUBLE) / CAST(1000000 AS DOUBLE) AS target_rate,
+        |       COUNT(CASE WHEN draw < thresh THEN 1 END) AS sampled_docs,
+        |       CAST(SUM(CASE WHEN draw < thresh THEN ntok ELSE 0 END) AS BIGINT) AS sampled_tokens,
+        |       CAST(COUNT(CASE WHEN draw < thresh THEN 1 END) AS DOUBLE)
+        |         / CAST(MIN(n_docs) AS DOUBLE) AS realized_rate
+        |FROM drawn GROUP BY source, thresh ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(Portable.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+                floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long").as("qs"))
+      val tot = per.agg(sum(col("qs")).as("tot_qs"), sum(col("n_tokens")).as("tot_tokens"))
+      val boost = col("qs").cast("double") / col("tot_qs").cast("double") /
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select(col("source").as("r_source"), col("n_docs"),
+                least(lit(1000000L),
+                      floor(boost * lit(0.5) * lit(1000000)).cast("long")).as("thresh"))
+      docs.join(broadcast(rates), col("source") === col("r_source"))
+        .select(col("source"), col("n_docs"), col("thresh"),
+                pmod(Portable.h60(concat(col("doc_id").cast("string"), lit("|sample"))),
+                     lit(1000000L)).as("draw"),
+                size(Portable.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("source", "thresh")
+        .agg(count(when(col("draw") < col("thresh"), 1)).as("sampled_docs"),
+             sum(when(col("draw") < col("thresh"), col("ntok")).otherwise(0L)).as("sampled_tokens"),
+             (count(when(col("draw") < col("thresh"), 1)).cast("double") /
+              min(col("n_docs")).cast("double")).as("realized_rate"))
+        .select(col("source"),
+                (col("thresh").cast("double") / lit(1000000.0)).as("target_rate"),
+                col("sampled_docs"), col("sampled_tokens"), col("realized_rate"))
+        .orderBy("source")
+    },
+
     // Data-mixture sampling weights: the per-source "how much to train
     // on" table. Weight ∝ tokens^0.5 (temperature-0.5 mixture — sqrt is
     // the one IEEE-exact non-integer power), normalized over sources.
