@@ -125,6 +125,73 @@ object StatsQueries {
         .orderBy("ta", "tb")
     },
 
+    // Z-ORDER layout audit: the data-layout half of scan performance at
+    // 100 TB. Events get two candidate file-layout keys — the bit
+    // interleave of (user, day) (Z-curve, 8 bits each) and the
+    // day-major concatenation — and each layout's 256 "files" (key
+    // div 256) are profiled for per-file span of BOTH dimensions. The
+    // Z-curve bounds users AND days per file (≤16×16 cells), so a range
+    // predicate on EITHER column prunes ~15/16 of files, where the
+    // day-major layout prunes only on day and every file spans all
+    // users. Pure integer bit math — engine-portable to the bit.
+    "el_zorder_layout" -> Q {
+      val zTerms = (0 until 8).map(i =>
+        s"(((u >> $i) & 1) << ${2 * i + 1}) + (((dy >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT user_id % 256 AS u,
+         |         (epoch_ns(ts)//86400000000000) % 256 AS dy
+         |  FROM events),
+         |keyed AS (
+         |  SELECT u, dy, ($zTerms) AS zkey, dy * 256 + u AS ckey
+         |  FROM base),
+         |files AS (
+         |  SELECT 'zorder' AS layout, zkey // 256 AS file_id,
+         |         COUNT(*) AS n_rows,
+         |         MAX(u) - MIN(u) AS user_span, MAX(dy) - MIN(dy) AS day_span
+         |  FROM keyed GROUP BY file_id
+         |  UNION ALL
+         |  SELECT 'daymajor', ckey // 256,
+         |         COUNT(*), MAX(u) - MIN(u), MAX(dy) - MIN(dy)
+         |  FROM keyed GROUP BY 2)
+         |SELECT layout, COUNT(*) AS n_files,
+         |       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         |       MAX(user_span) AS max_user_span, MAX(day_span) AS max_day_span,
+         |       CAST(CAST(SUM(user_span) AS BIGINT) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_user_span,
+         |       CAST(CAST(SUM(day_span) AS BIGINT) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS avg_day_span
+         |FROM files GROUP BY layout ORDER BY layout""".stripMargin
+    } { (s, d) =>
+      val base = Tables.events(s, d).select(
+        pmod(col("user_id"), lit(256)).as("u"),
+        pmod(expr("unix_micros(ts) div 86400000000"), lit(256L)).as("dy"))
+      val zkey = (0 until 8).map(i =>
+        (shiftright(col("u"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +
+        (shiftright(col("dy"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i)))
+      ).reduce(_ + _)
+      val keyed = base.select(col("u"), col("dy"), zkey.as("zkey"),
+                              (col("dy") * 256 + col("u")).as("ckey"))
+      def profile(layout: String, key: org.apache.spark.sql.Column) =
+        keyed.groupBy((key / 256).cast("long").as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+               (max(col("u")) - min(col("u"))).as("user_span"),
+               (max(col("dy")) - min(col("dy"))).as("day_span"))
+          .select(lit(layout).as("layout"), col("file_id"),
+                  col("n_rows"), col("user_span"), col("day_span"))
+      profile("zorder", col("zkey")).unionByName(profile("daymajor", col("ckey")))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+             sum(col("n_rows")).as("total_rows"),
+             max(col("user_span")).as("max_user_span"),
+             max(col("day_span")).as("max_day_span"),
+             (sum(col("user_span")).cast("double") / count(lit(1)).cast("double"))
+               .as("avg_user_span"),
+             (sum(col("day_span")).cast("double") / count(lit(1)).cast("double"))
+               .as("avg_day_span"))
+        .orderBy("layout")
+    },
+
     // Z-score outliers: per-event-type mean/std from EXACT integer-cents
     // sums (sum and sum-of-squares are associative longs, so the partial
     // aggregation order cannot perturb them), then each event's z in one
