@@ -75,6 +75,45 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Markov transition matrix over per-user event sequences: the
+    // next-event-prediction feature table. One partitioned lag window
+    // (per user — never global), integer transition counts, and the row
+    // probability is a single BIGINT→DOUBLE division. At corpus scale
+    // the window is per-user-bounded and the count aggregate is
+    // map-side combined; the |types|² output is a broadcastable dim.
+    "el_markov_transitions" -> Q(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_ns(ts)//1000, event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type),
+        |tot AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+        |  FROM cnt GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.row_total AS BIGINT) AS prob
+        |FROM cnt c JOIN tot t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val cnt = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("prev_type").as("t_prev"))
+        .agg(sum(col("n")).as("row_total"))
+      cnt.join(broadcast(tot), col("prev_type") === col("t_prev"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+                (col("n").cast("double") / col("row_total")).as("prob"))
+        .orderBy("prev_type", "next_type")
+    },
+
     // Bitmap-index audience overlap: distinct-user intersections between
     // event types WITHOUT ever shuffling raw user ids — each (type,
     // 32-user word) packs membership into one BIGINT via bit_or, and
