@@ -9,10 +9,55 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries2 {
 
+  /** Feature-hashing dimensionality (hashing-trick buckets). */
+  private val FDIM = 64
+
   private val CHUNK  = 32 // tokens per chunk
   private val STRIDE = 24 // overlap = CHUNK - STRIDE
 
   def defs: Map[String, Q] = Map(
+
+    // Feature hashing (the hashing-trick vectorizer): every token maps
+    // to one of FDIM buckets via the portable md5 family — no vocabulary
+    // to build, no dictionary to broadcast, which is WHY the trick
+    // scales (sklearn's HashingVectorizer / VW's core idea). Per-doc
+    // bucket counts roll up map-side combined; the emitted profile
+    // (active dims, exact L2², dominant bucket with smallest-id
+    // tiebreak) is all-integer, so the whole vectorizer is
+    // oracle-checked bit-for-bit.
+    "ta_feature_hash" -> Q(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |bk AS (
+         |  SELECT doc_id,
+         |         ${graft.functions.Portable.duckH("token", 8)} % $FDIM AS bucket,
+         |         COUNT(*) AS n
+         |  FROM tok GROUP BY doc_id, bucket),
+         |ranked AS (
+         |  SELECT doc_id, bucket, n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bucket) AS rn
+         |  FROM bk)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS INTEGER) AS nnz,
+         |       CAST(SUM(n*n) AS BIGINT) AS l2sq,
+         |       CAST(MIN(CASE WHEN rn = 1 THEN bucket END) AS INTEGER) AS top_bucket,
+         |       CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_count
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .select(col("doc_id"),
+                pmod(graft.functions.Portable.h32(col("token")), lit(FDIM)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("bucket"))
+      bk.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("nnz"),
+             sum(col("n") * col("n")).as("l2sq"),
+             min(when(col("rn") === 1, col("bucket"))).cast("int").as("top_bucket"),
+             min(when(col("rn") === 1, col("n"))).as("top_count"))
+        .orderBy("doc_id")
+    },
 
     // Overlapping token-window chunking: one row per (doc, chunk) with
     // the chunk text and its token count — the explode shape a context-
