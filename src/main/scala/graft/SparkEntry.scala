@@ -39,6 +39,7 @@ object SparkEntry {
 
   private def all: Map[String, Q] =
     graft.queries.EventLogQueries.defs ++
+    graft.queries.EventLogQueries2.defs ++
     graft.queries.FunnelQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.RelationalQueries2.defs ++
@@ -49,6 +50,7 @@ object SparkEntry {
     graft.queries.RelationalQueries7.defs ++
     graft.queries.RelationalQueries8.defs ++
     graft.queries.DedupQueries.defs ++
+    graft.queries.DedupQueries2.defs ++
     graft.queries.ClusterQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.WinnowQueries.defs ++

@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of event-log analytics over the cascade topic model
+  * (reference events: /root/reference/proto/publish.proto:11-15 — the
+  * (name, event-time, value) telemetry triple): user segmentation,
+  * activity streaks, multi-touch attribution, and sliding-window
+  * distinct via HLL register merge.
+  *
+  * All four follow the portable-determinism rules (Portable.scala) and
+  * the no-global-sort rule: every window below is partitioned by a key
+  * (user or conversion id), never a single global ordering.
+  */
+object EventLogQueries2 {
+
+  /** 7 days in µs — the attribution lookback and the sliding-HLL span. */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  def defs: Map[String, Q] = Map(
+
+    // RFM user segmentation (recency / frequency / monetary), the
+    // classic audience-building table. Bins are EQUAL-WIDTH integer
+    // bins from two tiny broadcast stat dims — NOT ntile quintiles,
+    // which would demand a single global sort (the one window shape
+    // banned at 100 TB; PlanAssertionsSpec rejects it). Shape: one
+    // map-side-combined per-user aggregate off the scan, two 1-row
+    // aggregates over the 10^5-scale user dim, broadcast back, integer
+    // bin math, final ≤125-row rollup. All-integer until the output
+    // divisions.
+    "el_rfm_segments" -> Q(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts)//86400000000000 AS day, event_type,
+        |         CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS freq,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS mon
+        |  FROM ev GROUP BY user_id),
+        |g1 AS (SELECT MAX(last_day) AS gmax FROM u),
+        |u2 AS (SELECT u.*, g1.gmax - u.last_day AS recency FROM u, g1),
+        |g2 AS (SELECT MAX(recency) AS maxr, MAX(freq) AS maxf, MAX(mon) AS maxm FROM u2),
+        |b AS (
+        |  SELECT CAST(least(4, (recency * 5) // (maxr + 1)) AS INTEGER) AS r_bin,
+        |         CAST(least(4, (freq    * 5) // (maxf + 1)) AS INTEGER) AS f_bin,
+        |         CAST(least(4, (mon     * 5) // (maxm + 1)) AS INTEGER) AS m_bin,
+        |         freq, mon
+        |  FROM u2, g2)
+        |SELECT r_bin, f_bin, m_bin, COUNT(*) AS n_users,
+        |       CAST(CAST(SUM(mon) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS monetary_total,
+        |       CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_freq
+        |FROM b GROUP BY r_bin, f_bin, m_bin
+        |ORDER BY r_bin, f_bin, m_bin""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+                col("event_type"), Portable.cents(col("value")).as("c"))
+        .groupBy("user_id")
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+             sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("mon"))
+      val g1 = u.agg(max(col("last_day")).as("gmax"))
+      val u2 = u.crossJoin(broadcast(g1))
+        .withColumn("recency", col("gmax") - col("last_day"))
+      val g2 = u2.agg(max(col("recency")).as("maxr"), max(col("freq")).as("maxf"),
+                      max(col("mon")).as("maxm"))
+      u2.crossJoin(broadcast(g2))
+        .select(
+          least(lit(4L), expr("(recency * 5) div (maxr + 1)")).cast("int").as("r_bin"),
+          least(lit(4L), expr("(freq    * 5) div (maxf + 1)")).cast("int").as("f_bin"),
+          least(lit(4L), expr("(mon     * 5) div (maxm + 1)")).cast("int").as("m_bin"),
+          col("freq"), col("mon"))
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(count(lit(1)).as("n_users"),
+             (sum(col("mon")).cast("double") / lit(100.0)).as("monetary_total"),
+             (sum(col("freq")).cast("double") / count(lit(1)).cast("double")).as("avg_freq"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+
+    // Consecutive-day activity streaks — the gaps-and-islands pattern:
+    // island id = day − row_number over the per-user distinct-day
+    // sequence (constant within a run of consecutive days, distinct
+    // across runs). Every window is user-partitioned; day arithmetic is
+    // all-integer epoch days. Output is one row per user.
+    "el_streaks" -> Q(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts)//86400000000000 AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |st AS (
+        |  SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |       COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("active_days"), count(lit(1)).as("n_streaks"),
+             max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+
+    // Multi-touch attribution: each purchase credits the click/view/
+    // signup touches of the same user in the prior 7 days, under three
+    // models at once — last-touch, first-touch, and linear (1/n per
+    // touch). Zero-touch conversions surface as touch_type 'none' with
+    // full credit, so every model's credit column sums to the
+    // conversion count (asserted in AnalyticsSpec). The join is a
+    // user-equi + time-range join (per-user bounded fan-out); windows
+    // partition by conversion id; the linear credit sums through
+    // DECIMAL(24,12) quantization (Portable: raw double sums are
+    // aggregation-order-dependent).
+    "el_attribution" -> Q(
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, epoch_ns(ts)//1000 AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS tid, event_type AS ttype, epoch_ns(ts)//1000 AS tts
+        |  FROM events WHERE event_type IN ('click','view','signup')),
+        |j AS (
+        |  SELECT c.conv_id, t.ttype, t.tts, t.tid
+        |  FROM conv c LEFT JOIN t
+        |    ON c.user_id = t.user_id AND t.tts <= c.cts
+        |   AND t.tts > c.cts - 604800000000),
+        |r AS (
+        |  SELECT conv_id, coalesce(ttype, 'none') AS touch_type,
+        |         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC) AS rn_last,
+        |         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts ASC,  tid ASC)  AS rn_first,
+        |         COUNT(ttype) OVER (PARTITION BY conv_id) AS n
+        |  FROM j)
+        |SELECT touch_type,
+        |       COUNT(CASE WHEN rn_last  = 1 THEN 1 END) AS last_touch_convs,
+        |       COUNT(CASE WHEN rn_first = 1 THEN 1 END) AS first_touch_convs,
+        |       CAST(SUM(CASE WHEN n = 0 THEN CAST(1 AS DECIMAL(24,12))
+        |                     ELSE CAST(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(24,12))
+        |                END) AS DOUBLE) AS linear_credit
+        |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id").as("cu"),
+                unix_micros(col("ts")).as("cts"))
+      val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id").as("tu"), col("event_id").as("tid"),
+                col("event_type").as("ttype"), unix_micros(col("ts")).as("tts"))
+      val wLast  = Window.partitionBy("conv_id").orderBy(col("tts").desc, col("tid").desc)
+      val wFirst = Window.partitionBy("conv_id").orderBy(col("tts").asc,  col("tid").asc)
+      val wN     = Window.partitionBy("conv_id")
+      conv.join(touch,
+          col("cu") === col("tu") && col("tts") <= col("cts") &&
+          col("tts") > col("cts") - lit(WeekUs), "left")
+        .select(col("conv_id"), coalesce(col("ttype"), lit("none")).as("touch_type"),
+                col("tts"), col("tid"), col("ttype"))
+        .withColumn("rn_last",  row_number().over(wLast))
+        .withColumn("rn_first", row_number().over(wFirst))
+        .withColumn("n", count(col("ttype")).over(wN))
+        .groupBy("touch_type")
+        .agg(count(when(col("rn_last") === 1, 1)).as("last_touch_convs"),
+             count(when(col("rn_first") === 1, 1)).as("first_touch_convs"),
+             sum(when(col("n") === 0, lit(1).cast("decimal(24,12)"))
+                   .otherwise((lit(1.0) / col("n").cast("double")).cast("decimal(24,12)")))
+               .cast("double").as("linear_credit"))
+        .orderBy("touch_type")
+    },
+
+    // Sliding 7-day distinct users via HLL REGISTER MERGE — the sketch-
+    // algebra query that justifies sketches at 100 TB: daily registers
+    // are computed ONCE from the scan (≤ 64 longs per day), and every
+    // 7-day window is a max-merge of 7 daily sketches — no second pass
+    // over raw events, and a precomputed daily-sketch table would serve
+    // any window length the same way. The exact sliding distinct is
+    // emitted alongside (hash semantics, like el_hll_daily) so the per-
+    // window error is visible and oracle-checked. Fan-out is bounded:
+    // 7× the register rows, never 7× the events.
+    "el_hll_sliding" -> Q(
+      """WITH ev AS (
+        |  SELECT DISTINCT epoch_ns(ts)//86400000000000 AS day,
+        |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ev),
+        |r AS (
+        |  SELECT day, hv % 64 AS reg, hv,
+        |         CASE WHEN (hv >> 6) = 0 THEN 55
+        |              ELSE 55 - CAST(length(bin(hv >> 6)) AS INTEGER) END AS rk
+        |  FROM ev),
+        |daily AS (SELECT day, reg, MAX(rk) AS mreg FROM r GROUP BY day, reg),
+        |fan AS (SELECT day + i AS wday, reg, mreg FROM daily, range(0, 7) t(i)),
+        |m AS (SELECT wday, reg, MAX(mreg) AS mreg FROM fan GROUP BY wday, reg),
+        |a AS (
+        |  SELECT wday,
+        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mreg AS INTEGER)) AS BIGINT) AS s_occ,
+        |         COUNT(*) AS occ
+        |  FROM m GROUP BY wday),
+        |exf AS (SELECT day + i AS wday, hv FROM r, range(0, 7) t(i)),
+        |ex AS (SELECT wday, COUNT(DISTINCT hv) AS exact_distinct FROM exf GROUP BY wday),
+        |wd AS (
+        |  SELECT day + i AS wday, COUNT(*) AS days_in_window
+        |  FROM days, range(0, 7) t(i) GROUP BY wday)
+        |SELECT a.wday AS window_end_day, wd.days_in_window,
+        |       CAST(709 AS DOUBLE) / CAST(1000 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |         * CAST(36028797018963968 AS DOUBLE)
+        |         / CAST(a.s_occ + (64 - a.occ) * 36028797018963968 AS DOUBLE) AS hll_estimate,
+        |       CAST(64 - a.occ AS INTEGER) AS zero_regs, ex.exact_distinct
+        |FROM a JOIN ex ON a.wday = ex.wday
+        |       JOIN wd ON a.wday = wd.wday
+        |       JOIN days dd ON a.wday = dd.day
+        |ORDER BY window_end_day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+                Portable.h60(col("user_id")).as("hv"))
+        .distinct()
+      val r = ev.select(col("day"), pmod(col("hv"), lit(64L)).as("reg"), col("hv"),
+        when(shiftright(col("hv"), 6) === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(shiftright(col("hv"), 6)))).as("rk"))
+      val daily = r.groupBy("day", "reg").agg(max(col("rk")).as("mreg"))
+      val m = daily
+        .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy("wday", "reg").agg(max(col("mreg")).as("mreg"))
+      val a = m.groupBy("wday")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mreg AS INT))")).as("s_occ"),
+             count(lit(1)).as("occ"))
+      val ex = r.select(col("day"), col("hv"))
+        .withColumn("exday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy(col("exday")).agg(countDistinct(col("hv")).as("exact_distinct"))
+      val days = ev.select(col("day")).distinct()
+      val wd = days
+        .withColumn("wdday", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy(col("wdday")).agg(count(lit(1)).as("days_in_window"))
+      a.join(ex, col("wday") === col("exday"))
+        .join(broadcast(wd), col("wday") === col("wdday"))
+        .join(broadcast(days.select(col("day").as("realday"))), col("wday") === col("realday"),
+              "left_semi")
+        .select(col("wday").as("window_end_day"), col("days_in_window"),
+                (lit(709).cast("double") / lit(1000).cast("double")
+                  * lit(4096).cast("double") * lit(36028797018963968L).cast("double")
+                  / (col("s_occ") + (lit(64L) - col("occ")) * lit(36028797018963968L))
+                      .cast("double")).as("hll_estimate"),
+                (lit(64L) - col("occ")).cast("int").as("zero_regs"),
+                col("exact_distinct"))
+        .orderBy("window_end_day")
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent semantic checks for the EventLogQueries2 / DedupQueries2
+  * operators — each declared query is value-checked against the DuckDB
+  * oracle; these assert the operator CONTRACTS against brute-force
+  * recomputations that share no code with the query plans.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("el_attribution: every model's credit sums to the conversion count") {
+    val rows = SparkEntry.queries("el_attribution")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nConv = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    val li = rows.head.fieldIndex("last_touch_convs")
+    val fi = rows.head.fieldIndex("first_touch_convs")
+    val ci = rows.head.fieldIndex("linear_credit")
+    assert(rows.map(_.getLong(li)).sum == nConv)
+    assert(rows.map(_.getLong(fi)).sum == nConv)
+    assert(math.abs(rows.map(_.getDouble(ci)).sum - nConv.toDouble) < 1e-6)
+    // touch types are exactly the three touch channels (+ 'none' when a
+    // purchase has no prior-week touches)
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(Set("click", "view", "signup", "none")))
+  }
+
+  test("el_streaks: gaps-and-islands output matches brute-force streak runs") {
+    val rows = SparkEntry.queries("el_streaks")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toVector).toMap
+    assert(rows.keySet == days.keySet)
+    for ((u, ds) <- days) {
+      // brute-force runs of consecutive days
+      val runs = ds.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.last == d - 1) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      val (active, nStreaks, longest) = rows(u)
+      assert(active == ds.size, s"user $u active")
+      assert(nStreaks == runs.size, s"user $u streaks")
+      assert(longest == runs.map(_.size).max.toLong, s"user $u longest")
+    }
+  }
+
+  test("el_rfm_segments: partition is exhaustive and monetary adds up") {
+    val rows = SparkEntry.queries("el_rfm_segments")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_users"))).sum == nUsers)
+    val totalPurchase = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0)
+    val mSum = rows.map(_.getDouble(rows.head.fieldIndex("monetary_total"))).sum
+    assert(math.abs(mSum - totalPurchase / 100.0) < 1e-6)
+    // bins stay in range
+    for (r <- rows; i <- 0 to 2)
+      assert(r.getInt(i) >= 0 && r.getInt(i) <= 4)
+  }
+
+  test("el_hll_sliding: exact sliding distinct is right; sketch error bounded") {
+    val rows = SparkEntry.queries("el_hll_sliding")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dayUsers = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+              graft.functions.Portable.h60(col("user_id")).as("hv"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(rows.length == dayUsers.size) // one window per observed day
+    for (r <- rows) {
+      val end = r.getLong(0)
+      val expected = (end - 6 to end).flatMap(dayUsers.get).flatten.toSet
+      assert(r.getLong(r.fieldIndex("exact_distinct")) == expected.size, s"day $end")
+      val est   = r.getDouble(r.fieldIndex("hll_estimate"))
+      val zeros = r.getInt(r.fieldIndex("zero_regs"))
+      // The sf0.001 windows sit deep in the small-range regime
+      // (n ≈ 15 « m = 64), where the raw harmonic estimator is biased
+      // high BY DESIGN — that is why zero_regs is emitted: callers apply
+      // linear counting m·ln(m/V) when zeros remain. Assert the emitted
+      // registers support that correction; the raw estimate only gets a
+      // one-sided sanity bound (it must not UNDERcount here).
+      if (zeros > 0) {
+        val lc = 64.0 * math.log(64.0 / zeros)
+        assert(math.abs(lc - expected.size) <= math.max(3.0, 0.35 * expected.size),
+          s"day $end: linear-count $lc vs exact ${expected.size}")
+        assert(est > expected.size * 0.6,
+          s"day $end: raw est $est undercuts exact ${expected.size}")
+      } else {
+        // dense regime: the raw estimator's 3σ band (σ ≈ 1.04/√64)
+        assert(math.abs(est - expected.size) <= 0.4 * expected.size,
+          s"day $end: est $est vs exact ${expected.size}")
+      }
+    }
+  }
+
+  test("dd_chunk_dedup: retention matches a brute-force chunk census") {
+    val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector).toMap
+    assert(rows.length == docs.size)
+    // global chunk multiplicity + canonical owner
+    val chunks = docs.toVector.flatMap { case (id, toks) =>
+      toks.grouped(20).zipWithIndex.map { case (c, i) => (id, i.toLong, c.mkString(" ")) }
+    }
+    val mult  = chunks.groupBy(_._3).view.mapValues(_.size).toMap
+    val owner = chunks.groupBy(_._3).view
+      .mapValues(_.map { case (id, i, _) => id * 1000000L + i }.min).toMap
+    assert(chunks.count(c => mult(c._3) > 1) > 0, "fixture must contain dup chunks")
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val mine = chunks.filter(_._1 == id)
+      assert(r.getInt(r.fieldIndex("n_chunks")) == mine.size)
+      assert(r.getInt(r.fieldIndex("n_dup_chunks")) == mine.count(c => mult(c._3) > 1))
+      val removed = mine.count { case (d, i, t) =>
+        mult(t) > 1 && d * 1000000L + i != owner(t) }
+      assert(r.getInt(r.fieldIndex("n_removed")) == removed)
+      val share = (mine.size - removed).toDouble / mine.size
+      assert(math.abs(r.getDouble(r.fieldIndex("retained_share")) - share) < 1e-12)
+    }
+  }
+}
