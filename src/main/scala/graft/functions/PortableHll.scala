@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object PortableHll {
 
+  /** Append the (reg, rk) register coordinates of `valueCol`'s h60 hash
+    * to each row: reg = hv mod 64, rk = leading-rank of the remaining
+    * bits (0..55). `MAX(rk) GROUP BY key, reg` is then a mergeable HLL
+    * register table — the building block el_hll_sliding max-merges per
+    * window and EventStream.hllRegisters maintains incrementally, from
+    * ONE shared definition so batch and stream cannot drift. */
+  def registerCoords(df: DataFrame, valueCol: Column): DataFrame =
+    df.withColumn("hv", Portable.h60(valueCol))
+      .withColumn("reg", pmod(col("hv"), lit(64L)))
+      .withColumn("rk",
+        when(shiftright(col("hv"), 6) === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(shiftright(col("hv"), 6)))))
+
   /** Append (hll_estimate, reg_sum, zero_regs, exact_distinct) per
     * group. `keyCols` are the grouping columns; `valueCol` the counted
     * expression. exact_distinct counts distinct h60 values (hash

@@ -211,13 +211,14 @@ object EventLogQueries2 {
         |       JOIN wd ON a.wday = wd.wday
         |       JOIN days dd ON a.wday = dd.day
         |ORDER BY window_end_day""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"),
-                Portable.h60(col("user_id")).as("hv"))
+      // reg/rk are functions of hv, so distinct-after ≡ distinct-before
+      val r = graft.functions.PortableHll.registerCoords(
+          Tables.events(s, d)
+            .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id")),
+          col("user_id"))
+        .select(col("day"), col("reg"), col("hv"), col("rk"))
         .distinct()
-      val r = ev.select(col("day"), pmod(col("hv"), lit(64L)).as("reg"), col("hv"),
-        when(shiftright(col("hv"), 6) === 0L, lit(55))
-          .otherwise(lit(55) - length(bin(shiftright(col("hv"), 6)))).as("rk"))
+      val ev = r.select(col("day"), col("hv"))
       val daily = r.groupBy("day", "reg").agg(max(col("rk")).as("mreg"))
       val m = daily
         .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))

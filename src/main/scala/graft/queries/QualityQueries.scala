@@ -160,6 +160,59 @@ object QualityQueries {
              sum(isRare).cast("int").as("n_rare"),
              (sum(isRare).cast("double") / count(lit(1)).cast("double")).as("rare_share"))
         .orderBy("doc_id")
+    },
+
+    // Bigram-LM quality score — the CCNet-style "train a small LM on the
+    // corpus, keep documents the LM finds predictable" proxy, kept
+    // oracle-exact: conditional probabilities p(w2|w1) are corpus bigram
+    // counts over prefix counts, quantized to BIGINT at 1e-6 (floor of
+    // one IEEE division — deterministic in both engines), and a doc's
+    // score is the mean quantized probability over its bigram INSTANCES.
+    // Shape: the probability table is built once per corpus (two
+    // map-side-combined aggregates over distinct grams — prefix totals
+    // derive from the gram table, not a second scan), then one equi-join
+    // from exploded instances to the gram dim. No raw double ever
+    // aggregates: sums are BIGINT until the final division.
+    "ta_bigram_lm" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |inst AS (
+        |  SELECT doc_id, toks[s] || ' ' || toks[s+1] AS gram
+        |  FROM t, unnest(range(1, len(toks))) u(s)),
+        |bg AS (SELECT gram, COUNT(*) AS n2 FROM inst GROUP BY gram),
+        |pf AS (
+        |  SELECT split_part(gram, ' ', 1) AS prefix, CAST(SUM(n2) AS BIGINT) AS n1
+        |  FROM bg GROUP BY prefix),
+        |dim AS (
+        |  SELECT bg.gram,
+        |         CAST(floor(CAST(bg.n2 AS DOUBLE) / CAST(pf.n1 AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM bg JOIN pf ON split_part(bg.gram, ' ', 1) = pf.prefix)
+        |SELECT i.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+        |       CAST(CAST(SUM(d.q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         / CAST(1000000 AS DOUBLE) AS lm_score
+        |FROM inst i JOIN dim d ON i.gram = d.gram
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+      val inst = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // single-token guard: Spark's two-arg sequence(1, 0) counts DOWN
+        // ([1,0]) where the oracle's range(1, 1) is empty — emit an empty
+        // array so explode drops the doc, matching the oracle
+        .withColumn("i", explode(
+          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+      val bg = inst.groupBy("gram").agg(count(lit(1)).as("n2"))
+      val pf = bg.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))
+        .agg(sum(col("n2")).as("n1"))
+      val dim = bg.join(pf, substring_index(col("gram"), " ", 1) === col("prefix"))
+        .select(col("gram").as("d_gram"),
+                floor(col("n2").cast("double") / col("n1").cast("double") * 1000000)
+                  .cast("long").as("q"))
+      inst.join(dim, col("gram") === col("d_gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+             (sum(col("q")).cast("double") / count(lit(1)).cast("double")
+               / lit(1000000.0)).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -108,6 +108,58 @@ object RelationalQueries8 {
              expr("bool_or(l_discount > CAST(0.09 AS DOUBLE))").cast("int").as("any_big_disc"),
              countDistinct(when(col("l_returnflag") === "R", col("l_partkey"))).as("r_parts"))
         .orderBy("l_linestatus")
+    },
+
+    // Ordered-set aggregates done portably: MODE (most frequent value,
+    // ties → smallest) and the LOWER MEDIAN (k-th smallest, k=(n+1)/2)
+    // per event type — both engines' native mode()/median() have
+    // engine-specific tie/interpolation semantics, so both are computed
+    // manually over integer cents with deterministic tie-breaks. All
+    // windows partition by event_type (never global); the mode ranking
+    // runs over the (type, value) COUNTS, not the raw rows.
+    "q49_mode_median" -> Q(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |cnt AS (
+        |  SELECT event_type, c, COUNT(*) AS n FROM ev GROUP BY event_type, c),
+        |md AS (
+        |  SELECT event_type, c, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, c ASC) AS rn
+        |  FROM cnt),
+        |rk AS (
+        |  SELECT event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n_rows
+        |  FROM ev)
+        |SELECT m.event_type,
+        |       CAST(m.c AS DOUBLE) / CAST(100 AS DOUBLE) AS mode_value,
+        |       CAST(m.n AS BIGINT) AS mode_count,
+        |       CAST(r.c AS DOUBLE) / CAST(100 AS DOUBLE) AS median_value,
+        |       CAST(r.n_rows AS BIGINT) AS n_rows
+        |FROM (SELECT * FROM md WHERE rn = 1) m
+        |JOIN (SELECT * FROM rk WHERE pos = (n_rows + 1) // 2) r
+        |  ON m.event_type = r.event_type
+        |ORDER BY m.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), graft.functions.Portable.cents(col("value")).as("c"))
+      val wMode = Window.partitionBy("event_type").orderBy(col("n").desc, col("c").asc)
+      val md = ev.groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wMode))
+        .filter(col("rn") === 1)
+        .select(col("event_type").as("m_type"), col("c").as("m_c"), col("n"))
+      val wPos = Window.partitionBy("event_type").orderBy("c")
+      val rk = ev
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("n_rows", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("pos") === expr("(n_rows + 1) div 2"))
+      md.join(rk, col("m_type") === col("event_type"))
+        .select(col("event_type"),
+                (col("m_c").cast("double") / lit(100.0)).as("mode_value"),
+                col("n").as("mode_count"),
+                (col("c").cast("double") / lit(100.0)).as("median_value"),
+                col("n_rows"))
+        .orderBy("event_type")
     }
   )
 }

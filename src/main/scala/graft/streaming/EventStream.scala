@@ -69,6 +69,22 @@ object EventStream {
       .groupBy("d", "cell")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming daily HLL registers: the per-(day, reg) max-rank table of
+    * el_hll_sliding maintained INCREMENTALLY (same shared coordinate
+    * function: PortableHll.registerCoords, so batch and stream cannot
+    * drift). State is bounded at days×64 rows regardless of stream
+    * length — the mergeable-sketch pattern: a reader max-merges any
+    * window of days from this table without ever rescanning events.
+    * AnalyticsSpec proves streamed registers ≡ the batch register table
+    * and that window estimates merged from them match the declared
+    * query. */
+  def hllRegisters(events: DataFrame): DataFrame =
+    graft.functions.PortableHll.registerCoords(
+        events.select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id")),
+        col("user_id"))
+      .groupBy("day", "reg")
+      .agg(max(col("rk")).as("mreg"))
+
   /** Sliding windows: 10-minute windows every 5 minutes — each event
     * lands in two panes. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -99,6 +99,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL registers match the batch register table exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val topic = java.nio.file.Files.createTempDirectory("hlltopic").toString + "/t"
+    Tables.events(spark, dir).repartition(4).write.parquet(topic)
+    val q = graft.streaming.EventStream.hllRegisters(
+        graft.streaming.EventStream.ingest(spark, topic, 1))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete")
+      .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("hllckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_regs")
+    // batch register table from the same shared coordinate function
+    val batch = graft.functions.PortableHll.registerCoords(
+        Tables.events(spark, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id")),
+        col("user_id"))
+      .groupBy("day", "reg").agg(max(col("rk")).as("mreg"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and a 7-day max-merge of the STREAMED registers reproduces the
+    // declared query's window estimates
+    val merged = streamed
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .groupBy("wday", "reg").agg(max(col("mreg")).as("mreg"))
+      .groupBy("wday")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mreg AS INT))")).as("s_occ"),
+           count(lit(1)).as("occ"))
+      .select(col("wday"),
+              (lit(709).cast("double") / lit(1000).cast("double")
+                * lit(4096).cast("double") * lit(36028797018963968L).cast("double")
+                / (col("s_occ") + (lit(64L) - col("occ")) * lit(36028797018963968L))
+                    .cast("double")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val declared = SparkEntry.queries("el_hll_sliding")(spark, dir).collect()
+    assert(declared.nonEmpty)
+    for (r <- declared)
+      assert(math.abs(merged(r.getLong(0)) -
+        r.getDouble(r.fieldIndex("hll_estimate"))) < 1e-9)
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
