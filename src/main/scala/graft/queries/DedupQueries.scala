@@ -383,6 +383,46 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Dedup YIELD CURVE: the threshold-tuning report — candidate pairs
+    // bucketed by Jaccard decile, so an operator picking the dedup
+    // threshold sees how many pairs each setting would merge BEFORE
+    // running the merge. Same candidate set and Jaccard arithmetic as
+    // dd_ngram_jaccard (one more tiny aggregate over the verified
+    // pairs); decile = floor(j·10) is one IEEE multiply+floor, and
+    // min/max per decile are order-independent.
+    "dd_jaccard_histogram" -> Q(
+      s"""WITH $duckCandCte,
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |j AS (
+         |  SELECT c.da, c.db,
+         |         CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+         |  FROM cand c
+         |  JOIN t ta ON c.da = ta.doc_id
+         |  JOIN t tb ON c.db = tb.doc_id)
+         |SELECT CAST(least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS INTEGER) AS decile,
+         |       COUNT(*) AS n_pairs,
+         |       MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+         |FROM j GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
+      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
+      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
+      bandCandidatesCached(docs, d)
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select((size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+                 size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        .groupBy(least(lit(9L), floor(col("jaccard") * 10).cast("long")).cast("int")
+                   .as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+             min(col("jaccard")).as("min_jaccard"),
+             max(col("jaccard")).as("max_jaccard"))
+        .orderBy("decile")
+    },
+
     // Sorted-neighborhood blocking — the SECOND blocking family next to
     // LSH banding (classic entity-resolution method: sort by a
     // similarity-preserving key, compare only rank-adjacent records).

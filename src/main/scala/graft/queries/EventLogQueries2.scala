@@ -169,6 +169,69 @@ object EventLogQueries2 {
         .orderBy("touch_type")
     },
 
+    // Winsorized (clipped) robust statistics per event type: p05/p95
+    // picked as exact k-th smallest values (deterministic regardless of
+    // tie order — the k-th VALUE is well-defined), values clamped into
+    // [p05, p95], clipped mean from exact integer-cents sums. The
+    // outlier-robust twin of el_anomaly_zscore. Windows partition by
+    // event_type; the 5-row threshold dim broadcasts back onto the
+    // stream.
+    "el_winsorize" -> Q(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |rk AS (
+        |  SELECT event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |th AS (
+        |  SELECT event_type,
+        |         MIN(CASE WHEN pos = greatest(1, (n * 5)  // 100) THEN c END) AS p05c,
+        |         MIN(CASE WHEN pos = greatest(1, (n * 95) // 100) THEN c END) AS p95c
+        |  FROM rk GROUP BY event_type),
+        |cl AS (
+        |  SELECT e.event_type, t.p05c, t.p95c,
+        |         least(greatest(e.c, t.p05c), t.p95c) AS cc,
+        |         CASE WHEN e.c < t.p05c THEN 1 ELSE 0 END AS lo,
+        |         CASE WHEN e.c > t.p95c THEN 1 ELSE 0 END AS hi
+        |  FROM ev e JOIN th t ON e.event_type = t.event_type)
+        |SELECT event_type,
+        |       CAST(MIN(p05c) AS DOUBLE) / CAST(100 AS DOUBLE) AS p05,
+        |       CAST(MIN(p95c) AS DOUBLE) / CAST(100 AS DOUBLE) AS p95,
+        |       CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         / CAST(100 AS DOUBLE) AS winsorized_mean,
+        |       CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+        |       CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+        |       COUNT(*) AS n
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Portable.cents(col("value")).as("c"))
+      val wPos = Window.partitionBy("event_type").orderBy("c")
+      val wN   = Window.partitionBy("event_type")
+      val th = ev
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("n", count(lit(1)).over(wN))
+        .groupBy(col("event_type").as("t_type"))
+        .agg(min(when(col("pos") === greatest(lit(1L), expr("(n * 5) div 100")),
+                      col("c"))).as("p05c"),
+             min(when(col("pos") === greatest(lit(1L), expr("(n * 95) div 100")),
+                      col("c"))).as("p95c"))
+      ev.join(broadcast(th), col("event_type") === col("t_type"))
+        .select(col("event_type"), col("p05c"), col("p95c"),
+                least(greatest(col("c"), col("p05c")), col("p95c")).as("cc"),
+                when(col("c") < col("p05c"), 1).otherwise(0).as("lo"),
+                when(col("c") > col("p95c"), 1).otherwise(0).as("hi"))
+        .groupBy("event_type")
+        .agg((min(col("p05c")).cast("double") / lit(100.0)).as("p05"),
+             (min(col("p95c")).cast("double") / lit(100.0)).as("p95"),
+             (sum(col("cc")).cast("double") / count(lit(1)).cast("double")
+               / lit(100.0)).as("winsorized_mean"),
+             sum(col("lo")).cast("long").as("n_clipped_low"),
+             sum(col("hi")).cast("long").as("n_clipped_high"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // Sliding 7-day distinct users via HLL REGISTER MERGE — the sketch-
     // algebra query that justifies sketches at 100 TB: daily registers
     // are computed ONCE from the scan (≤ 64 longs per day), and every

@@ -160,6 +160,66 @@ object RelationalQueries8 {
                 (col("c").cast("double") / lit(100.0)).as("median_value"),
                 col("n_rows"))
         .orderBy("event_type")
+    },
+
+    // PageRank-style rank propagation over the customer↔supplier
+    // bipartite graph (distinct (cust, supp) trade edges from
+    // orders⋈lineitem) — iterative distributed graph analytics in the
+    // damped power-iteration shape, kept ORACLE-EXACT by integer
+    // quantization: ranks live at scale 1e9, every per-edge
+    // contribution is (rank·85) div (100·out_degree) in BIGINT (floor
+    // division — associative, order-independent), damping base is
+    // 0.15e9. Two full cust→supp→cust→supp rounds, each one equi-join +
+    // map-side-combined aggregate — rounds scale linearly in edges, and
+    // the degree dims join by key (broadcastable when small, shuffled
+    // when not — AQE's call). The iterative sibling of the
+    // connected-components loop in ClusterQueries.
+    "q50_graph_rank" -> Q(
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |degc AS (SELECT cust, COUNT(*) AS dc FROM e GROUP BY cust),
+        |degs AS (SELECT supp, COUNT(*) AS ds FROM e GROUP BY supp),
+        |s1 AS (
+        |  SELECT e.supp,
+        |         150000000 + CAST(SUM(85000000000 // (100 * d.dc)) AS BIGINT) AS r
+        |  FROM e JOIN degc d ON e.cust = d.cust GROUP BY e.supp),
+        |r1 AS (
+        |  SELECT e.cust,
+        |         150000000 + CAST(SUM((s.r * 85) // (100 * g.ds)) AS BIGINT) AS r
+        |  FROM e JOIN s1 s ON e.supp = s.supp JOIN degs g ON e.supp = g.supp
+        |  GROUP BY e.cust),
+        |s2 AS (
+        |  SELECT e.supp,
+        |         150000000 + CAST(SUM((c.r * 85) // (100 * d.dc)) AS BIGINT) AS r
+        |  FROM e JOIN r1 c ON e.cust = c.cust JOIN degc d ON e.cust = d.cust
+        |  GROUP BY e.supp)
+        |SELECT s2.supp AS s_suppkey, g.ds AS n_customers,
+        |       CAST(s2.r AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank_score
+        |FROM s2 JOIN degs g ON s2.supp = g.supp
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("cust"), col("supp")).distinct()
+      val degc = e.groupBy(col("cust").as("dc_cust")).agg(count(lit(1)).as("dc"))
+      val degs = e.groupBy(col("supp").as("ds_supp")).agg(count(lit(1)).as("ds"))
+      val s1 = e.join(degc, col("cust") === col("dc_cust"))
+        .groupBy(col("supp").as("s1_supp"))
+        .agg((lit(150000000L) +
+              sum(expr("CAST(85000000000 AS BIGINT) div (100 * dc)"))).as("s1_r"))
+      val r1 = e.join(s1, col("supp") === col("s1_supp"))
+        .join(degs, col("supp") === col("ds_supp"))
+        .groupBy(col("cust").as("r1_cust"))
+        .agg((lit(150000000L) + sum(expr("(s1_r * 85) div (100 * ds)"))).as("r1_r"))
+      val s2 = e.join(r1, col("cust") === col("r1_cust"))
+        .join(degc, col("cust") === col("dc_cust"))
+        .groupBy(col("supp").as("s2_supp"))
+        .agg((lit(150000000L) + sum(expr("(r1_r * 85) div (100 * dc)"))).as("s2_r"))
+      s2.join(degs, col("s2_supp") === col("ds_supp"))
+        .select(col("s2_supp").as("s_suppkey"), col("ds").as("n_customers"),
+                (col("s2_r").cast("double") / lit(1e9)).as("rank_score"))
+        .orderBy("s_suppkey")
     }
   )
 }

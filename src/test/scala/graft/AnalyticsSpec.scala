@@ -140,6 +140,67 @@ class AnalyticsSpec extends SparkSpec {
         r.getDouble(r.fieldIndex("hll_estimate"))) < 1e-9)
   }
 
+  test("el_winsorize: thresholds are true k-th smallest and clipping adds up") {
+    val rows = SparkEntry.queries("el_winsorize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    for (r <- rows) {
+      val t  = r.getString(0)
+      val cs = ev.filter(_._1 == t).map(_._2).sorted
+      val n  = cs.length
+      val p05 = cs(math.max(1, n * 5 / 100) - 1)
+      val p95 = cs(math.max(1, n * 95 / 100) - 1)
+      assert(r.getDouble(r.fieldIndex("p05")) == p05 / 100.0, s"$t p05")
+      assert(r.getDouble(r.fieldIndex("p95")) == p95 / 100.0, s"$t p95")
+      assert(r.getLong(r.fieldIndex("n_clipped_low")) == cs.count(_ < p05).toLong)
+      assert(r.getLong(r.fieldIndex("n_clipped_high")) == cs.count(_ > p95).toLong)
+      val wmean = cs.map(c => math.min(math.max(c, p05), p95)).sum.toDouble / n / 100.0
+      assert(math.abs(r.getDouble(r.fieldIndex("winsorized_mean")) - wmean) < 1e-9, s"$t mean")
+    }
+  }
+
+  test("q50_graph_rank: two propagation rounds match a brute-force recompute") {
+    val rows = SparkEntry.queries("q50_graph_rank")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dc = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ds = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val B  = 150000000L
+    val s1 = edges.groupBy(_._2).view.mapValues(es =>
+      B + es.map { case (c, _) => 85000000000L / (100L * dc(c)) }.sum).toMap
+    val r1 = edges.groupBy(_._1).view.mapValues(es =>
+      B + es.map { case (_, sp) => s1(sp) * 85L / (100L * ds(sp)) }.sum).toMap
+    val s2 = edges.groupBy(_._2).view.mapValues(es =>
+      B + es.map { case (c, _) => r1(c) * 85L / (100L * dc(c)) }.sum).toMap
+    assert(rows.length == ds.size)
+    for (r <- rows) {
+      val sp = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("n_customers")) == ds(sp))
+      assert(math.abs(r.getDouble(r.fieldIndex("rank_score")) - s2(sp) / 1e9) < 1e-12, s"supp $sp")
+    }
+  }
+
+  test("dd_jaccard_histogram: deciles partition exactly the verified pair set") {
+    val pairs = SparkEntry.queries("dd_ngram_jaccard")(spark, dir).collect()
+      .map(_.getDouble(2))
+    val hist = SparkEntry.queries("dd_jaccard_histogram")(spark, dir).collect()
+    assert(hist.map(_.getLong(hist.head.fieldIndex("n_pairs"))).sum == pairs.length.toLong)
+    for (h <- hist) {
+      val dec  = h.getInt(0)
+      val mine = pairs.filter(j => math.min(9, math.floor(j * 10).toInt) == dec)
+      assert(h.getLong(h.fieldIndex("n_pairs")) == mine.length.toLong)
+      assert(h.getDouble(h.fieldIndex("min_jaccard")) == mine.min)
+      assert(h.getDouble(h.fieldIndex("max_jaccard")) == mine.max)
+    }
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
