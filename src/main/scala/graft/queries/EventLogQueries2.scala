@@ -169,6 +169,94 @@ object EventLogQueries2 {
         .orderBy("touch_type")
     },
 
+    // Histogram-based quantile estimation — the MERGEABLE fixed-width
+    // histogram that replaces exact sorts for percentiles at 100 TB:
+    // 32 equal-width bins per type (bounds from a broadcast stat dim),
+    // cumulative counts over the ≤32-row-per-type bin table, and
+    // p50/p90/p99 read off by integer linear interpolation inside the
+    // target bin. Per-type histograms merge by adding counts — the
+    // t-digest role, in the deterministic form both engines compute
+    // identically. The EXACT quantiles (k-th smallest, winsorize-style)
+    // ride along so the estimation error is visible and oracle-checked.
+    "el_quantile_sketch" -> Q(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |st AS (
+        |  SELECT event_type, MIN(c) AS minc, MAX(c) - MIN(c) + 1 AS r, COUNT(*) AS n
+        |  FROM ev GROUP BY event_type),
+        |qd AS (SELECT unnest([50, 90, 99]) AS qq),
+        |hist AS (
+        |  SELECT e.event_type, ((e.c - s.minc) * 32) // s.r AS b, COUNT(*) AS cnt
+        |  FROM ev e JOIN st s ON e.event_type = s.event_type
+        |  GROUP BY e.event_type, b),
+        |cm AS (
+        |  SELECT event_type, b, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist),
+        |pick AS (
+        |  SELECT c.event_type, q.qq, c.b, c.cnt, c.cum, s.minc, s.r,
+        |         greatest(1, (s.n * q.qq) // 100) AS k,
+        |         ROW_NUMBER() OVER (PARTITION BY c.event_type, q.qq ORDER BY c.b) AS rn
+        |  FROM cm c JOIN st s ON c.event_type = s.event_type
+        |  CROSS JOIN qd q
+        |  WHERE c.cum >= greatest(1, (s.n * q.qq) // 100)),
+        |est AS (
+        |  SELECT event_type, qq, k,
+        |         (minc + (b * r) // 32)
+        |           + ((k - (cum - cnt))
+        |              * ((minc + ((b + 1) * r) // 32) - (minc + (b * r) // 32))) // cnt
+        |           AS est_c
+        |  FROM pick WHERE rn = 1),
+        |rk AS (
+        |  SELECT event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos
+        |  FROM ev)
+        |SELECT e.event_type, CAST(e.qq AS INTEGER) AS q,
+        |       CAST(e.est_c AS DOUBLE) / CAST(100 AS DOUBLE) AS est_value,
+        |       CAST(r2.c AS DOUBLE) / CAST(100 AS DOUBLE) AS exact_value,
+        |       CAST(e.est_c - r2.c AS DOUBLE) / CAST(100 AS DOUBLE) AS err
+        |FROM est e JOIN rk r2 ON e.event_type = r2.event_type AND r2.pos = e.k
+        |ORDER BY e.event_type, q""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Portable.cents(col("value")).as("c"))
+      val st = ev.groupBy(col("event_type").as("st_type"))
+        .agg(min(col("c")).as("minc"),
+             (max(col("c")) - min(col("c")) + 1).as("r"),
+             count(lit(1)).as("n"))
+      val hist = ev.join(broadcast(st), col("event_type") === col("st_type"))
+        .groupBy(col("event_type"), expr("((c - minc) * 32) div r").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qd = Seq(50, 90, 99).toDF("qq")
+      val pick = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .join(broadcast(st), col("event_type") === col("st_type"))
+        .crossJoin(broadcast(qd))
+        .withColumn("k", greatest(lit(1L), expr("(n * qq) div 100")))
+        .filter(col("cum") >= col("k"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "qq").orderBy("b")))
+        .filter(col("rn") === 1)
+      val est = pick.select(col("event_type"), col("qq"), col("k"),
+        expr("""(minc + (b * r) div 32)
+               | + ((k - (cum - cnt))
+               |    * ((minc + ((b + 1) * r) div 32) - (minc + (b * r) div 32))) div cnt"""
+          .stripMargin.replace("\n", " ")).as("est_c"))
+      val rk = ev
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("event_type").orderBy("c")))
+        .select(col("event_type").as("rk_type"), col("c"), col("pos"))
+      est.join(rk, col("event_type") === col("rk_type") && col("pos") === col("k"))
+        .select(col("event_type"), col("qq").cast("int").as("q"),
+                (col("est_c").cast("double") / lit(100.0)).as("est_value"),
+                (col("c").cast("double") / lit(100.0)).as("exact_value"),
+                ((col("est_c") - col("c")).cast("double") / lit(100.0)).as("err"))
+        .orderBy("event_type", "q")
+    },
+
     // Winsorized (clipped) robust statistics per event type: p05/p95
     // picked as exact k-th smallest values (deterministic regardless of
     // tie order — the k-th VALUE is well-defined), values clamped into

@@ -83,6 +83,51 @@ object TextQueries2 {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // Inverted index with CAPPED posting lists — the IR-index build
+    // shape: per token, document frequency, total occurrences, and the
+    // 10 smallest doc ids as the (truncated) posting list. The cap is
+    // applied by a token-partitioned row_number BEFORE any list is
+    // materialized, so no aggregate ever collects an unbounded posting
+    // — the standard impact-ordered index-pruning move at corpus scale.
+    // Postings serialize as a comma-joined sorted string (the driver's
+    // comparator cannot hash array cells).
+    "ta_inverted_index" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |occ AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+        |td AS (SELECT DISTINCT token, doc_id FROM tok),
+        |capped AS (
+        |  SELECT token, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY token) AS df
+        |  FROM td),
+        |idx AS (
+        |  SELECT token, MIN(df) AS df,
+        |         array_to_string(list_sort(array_agg(doc_id) FILTER (WHERE rn <= 10)),
+        |                         ',') AS postings
+        |  FROM capped GROUP BY token)
+        |SELECT i.token, CAST(i.df AS BIGINT) AS df, o.n_occurrences, i.postings
+        |FROM idx i JOIN occ o ON i.token = o.token
+        |ORDER BY i.token""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val occ = tok.groupBy(col("token").as("o_token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+      val w = Window.partitionBy("token").orderBy("doc_id")
+      val capped = tok.select(col("token"), col("doc_id")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      val idx = capped.groupBy("token")
+        .agg(min(col("df")).as("df"),
+             array_join(
+               transform(array_sort(collect_list(when(col("rn") <= 10, col("doc_id")))),
+                         _.cast("string")), ",").as("postings"))
+      idx.join(occ, col("token") === col("o_token"))
+        .select(col("token"), col("df"), col("n_occurrences"), col("postings"))
+        .orderBy("token")
+    },
+
     // BPE-ish subword units: every token split into fixed-stride 2-char
     // units; global unit vocabulary with frequencies (the shape of a
     // learned-merge vocabulary pass, with the merge table stubbed to

@@ -201,6 +201,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("el_quantile_sketch: exact quantiles right; estimate within one bin width") {
+    val rows = SparkEntry.queries("el_quantile_sketch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    for (r <- rows) {
+      val t  = r.getString(0)
+      val q  = r.getInt(1)
+      val cs = ev.filter(_._1 == t).map(_._2).sorted
+      val k  = math.max(1, cs.length * q / 100)
+      assert(r.getDouble(r.fieldIndex("exact_value")) == cs(k - 1) / 100.0, s"$t q$q exact")
+      val binWidth = (cs.max - cs.min + 1).toDouble / 32 / 100.0
+      assert(math.abs(r.getDouble(r.fieldIndex("err"))) <= binWidth + 0.01,
+        s"$t q$q err ${r.getDouble(r.fieldIndex("err"))} vs bin $binWidth")
+    }
+    // per type, estimates are monotone in q
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val byQ = rs.sortBy(_.getInt(1)).map(_.getDouble(rs.head.fieldIndex("est_value")))
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("ta_inverted_index: counts and capped postings match a brute-force index") {
+    val rows = SparkEntry.queries("ta_inverted_index")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byTok = tok.groupBy(_._2)
+    assert(rows.length == byTok.size)
+    for (r <- rows) {
+      val t    = r.getString(0)
+      val docs = byTok(t).map(_._1).distinct.sorted
+      assert(r.getLong(r.fieldIndex("df")) == docs.length.toLong)
+      assert(r.getLong(r.fieldIndex("n_occurrences")) == byTok(t).length.toLong)
+      assert(r.getString(r.fieldIndex("postings")) == docs.take(10).mkString(","))
+    }
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
