@@ -129,6 +129,70 @@ object Multimodal {
     }
   }
 
+  /** Per-asset perceptual hash. */
+  final case class AssetHash(asset_id: Long, kind: String, phash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL decoded raster:
+    * luminance average-pooled to 8×8 cells, one bit per cell (cell mean >
+    * global mean). Content-addressed, not byte-addressed — the same
+    * raster re-encoded through a different container (PNG vs BMP) hashes
+    * identically, which is what image near-dup needs and what a byte
+    * hash (mm_decode_meta's content_hash) cannot give. Non-image
+    * payloads fall back to a byte-sequence pool over 64 buckets (same
+    * bit rule), so the column is total. Runs in the same `mapPartitions`
+    * shape as [[decode]] (codec-registry setup amortized per partition);
+    * the declared oracle twin over a deterministic fake raster is
+    * `mm_phash` (queries/MultimodalQueries.scala). */
+  def averageHash(assets: Dataset[Asset]): Dataset[AssetHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img =
+          if (a.kind != "image") null
+          else
+            try ImageIO.read(new ByteArrayInputStream(a.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        val cells = new Array[Long](64)
+        val counts = new Array[Long](64)
+        if (img != null) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                         ((rgb >> 8) & 0xff) * 587 +
+                         (rgb & 0xff) * 114) / 1000
+              val cell = (y * 8 / h) * 8 + (x * 8 / w)
+              cells(cell) += lum; counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val n = a.payload.length
+          var i = 0
+          while (i < n) {
+            val cell = (i.toLong * 64 / n).toInt
+            cells(cell) += java.lang.Byte.toUnsignedInt(a.payload(i))
+            counts(cell) += 1
+            i += 1
+          }
+        }
+        var total = 0L; var totalN = 0L; var c = 0
+        while (c < 64) { total += cells(c); totalN += counts(c); c += 1 }
+        val mean = if (totalN == 0) 0L else total / totalN
+        var hash = 0L; c = 0
+        while (c < 64) {
+          if (counts(c) > 0 && cells(c) / counts(c) > mean) hash |= (1L << c)
+          c += 1
+        }
+        AssetHash(a.asset_id, a.kind, hash)
+      }
+    }
+  }
+
   /** Downstream analytics over decoded features stay in DataFrame land:
     * per-kind size/shape stats — the handoff point back to Catalyst. */
   def kindStats(features: Dataset[AssetFeatures]): DataFrame =

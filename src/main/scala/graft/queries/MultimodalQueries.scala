@@ -59,6 +59,53 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_no"),
           md5(expr("substring(text, CAST(frame_no * 64 + 1 AS INT), 64)")).as("frame_hash"))
         .orderBy("doc_id", "frame_no")
+    },
+
+    // Perceptual average-hash (aHash) over the deterministic fake raster
+    // (first 62 byte values as "pixels" — 62 bits keeps the BIGINT
+    // positive in both engines): bit j set iff pixel j exceeds the
+    // integer mean, plus the hash-bucket size (exact-duplicate rasters
+    // group by equality — the content-addressed image-dedup key). The
+    // REAL-codec twin is operators/Multimodal.averageHash: 8×8
+    // average-pooled luminance over ImageIO-decoded rasters, invariant
+    // under container re-encode (OperatorsSpec); this declared query
+    // pins the bit rule and grouping shape the real path shares.
+    "mm_phash" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         [ord(substring(text, i, 1))
+        |          for i in range(1, least(62, length(text)) + 1)] AS px
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, px,
+        |         CAST(list_sum(px) AS BIGINT) // len(px) AS mean FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum([CASE WHEN px[j] > mean
+        |                             THEN CAST(1 AS BIGINT) << (j - 1)
+        |                             ELSE CAST(0 AS BIGINT) END
+        |                        for j in range(1, len(px) + 1)]) AS BIGINT) AS phash
+        |  FROM m),
+        |g AS (SELECT phash, COUNT(*) AS n_same FROM h GROUP BY phash)
+        |SELECT h.doc_id, h.phash, g.n_same
+        |FROM h JOIN g ON h.phash = g.phash ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, least(62, length(text))), " +
+               "i -> ascii(substring(text, i, 1)))").as("px"))
+        .withColumn("mean",
+          expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) div size(px)"))
+        .select(col("doc_id"),
+          expr("""aggregate(
+                 |  zip_with(px, sequence(0, size(px) - 1),
+                 |           (p, j) -> IF(p > mean, shiftleft(CAST(1 AS BIGINT), j),
+                 |                        CAST(0 AS BIGINT))),
+                 |  CAST(0 AS BIGINT), (a, x) -> a + x)"""
+            .stripMargin.replace("\n", " ")).as("phash"))
+      val g = h.groupBy(col("phash").as("g_phash")).agg(count(lit(1)).as("n_same"))
+      h.join(g, col("phash") === col("g_phash"))
+        .select(col("doc_id"), col("phash"), col("n_same"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -40,6 +40,37 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum(col("total_bytes"))).head().getLong(0) === textBytes)
   }
 
+  test("averageHash is content-addressed: container-invariant, raster-sensitive") {
+    import spark.implicits._
+    // the same raster encoded as PNG and as BMP must hash identically —
+    // that is the perceptual property a byte hash cannot give
+    def reencode(png: Array[Byte], fmt: String): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png  = Multimodal.syntheticImage(40, 24, seed = 7)
+    val bmp  = reencode(png, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp)) // different bytes...
+    val other = Multimodal.syntheticImage(40, 24, seed = 1000) // different raster
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", png),
+      Multimodal.Asset(2L, "image", bmp),
+      Multimodal.Asset(3L, "image", other),
+      Multimodal.Asset(4L, "audio", "not an image".getBytes("UTF-8"))).toDS()
+    val hs = Multimodal.averageHash(assets).collect().map(h => h.asset_id -> h.phash).toMap
+    assert(hs(1L) == hs(2L), "...same raster, same hash")
+    assert(hs(1L) != hs(3L), "different raster must differ")
+    assert(hs.contains(4L)) // non-image fallback is total
+    // declared fake-raster twin stays consistent: one row per doc,
+    // bucket sizes partition the corpus
+    val rows = SparkEntry.queries("mm_phash")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.forall(_.getLong(1) >= 0L)) // 62-bit hash stays positive
+  }
+
   test("graft_window_min equals the declarative transform/slice form") {
     import spark.implicits._
     graft.functions.WindowMin.register(spark)
