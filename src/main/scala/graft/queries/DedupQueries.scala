@@ -156,6 +156,25 @@ object DedupQueries {
   private[queries] def bandCandidatesCached(docs: DataFrame, dir: String): DataFrame =
     candCache.computeIfAbsent(dir, _ => bandCandidates(docs).localCheckpoint(true))
 
+  /** Shingle sets for CANDIDATE documents only: the verifiers' pair set
+    * touches a tiny fraction of the corpus, so shingling every document
+    * twice (once per join side) is pure waste — semi-join the docs down
+    * to the ids appearing in any pair FIRST, then shingle. At 100 TB
+    * this is the difference between re-tokenizing the corpus per
+    * verifier and re-tokenizing only the near-dup set. (The DuckDB
+    * oracles keep the unfiltered `t` CTE — the final equi-join makes
+    * the results identical either way.) */
+  private[queries] def candidateShingleSides(docs: DataFrame, cand: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ids = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id"))).distinct()
+    val t = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
+    (t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh")),
+     t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh")))
+  }
+
   /** Per-band bucket sizes in DuckDB (defines `bsz(bid, bkey,
     * bucket_size)`); append after `banded`. */
   private[queries] val duckBszCte: String =
@@ -335,12 +354,9 @@ object DedupQueries {
          |JOIN t tb ON c.db = tb.doc_id
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val t = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
-      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
-      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
-      bandCandidatesCached(docs, d)
+      val cand = bandCandidatesCached(docs, d)
+      val (ta, tb) = candidateShingleSides(docs, cand)
+      cand
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select(col("da"), col("db"),
@@ -369,12 +385,9 @@ object DedupQueries {
          |JOIN t tb ON c.db = tb.doc_id
          |ORDER BY da, db""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val t = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
-      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
-      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
-      bandCandidatesCached(docs, d)
+      val cand = bandCandidatesCached(docs, d)
+      val (ta, tb) = candidateShingleSides(docs, cand)
+      cand
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select(col("da"), col("db"),
@@ -405,12 +418,9 @@ object DedupQueries {
          |       MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
          |FROM j GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val t = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
-      val ta = t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh"))
-      val tb = t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh"))
-      bandCandidatesCached(docs, d)
+      val cand = bandCandidatesCached(docs, d)
+      val (ta, tb) = candidateShingleSides(docs, cand)
+      cand
         .join(ta, col("da") === col("ta_id"))
         .join(tb, col("db") === col("tb_id"))
         .select((size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /

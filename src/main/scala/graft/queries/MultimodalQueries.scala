@@ -89,19 +89,23 @@ object MultimodalQueries {
         |g AS (SELECT phash, COUNT(*) AS n_same FROM h GROUP BY phash)
         |SELECT h.doc_id, h.phash, g.n_same
         |FROM h JOIN g ON h.phash = g.phash ORDER BY h.doc_id""".stripMargin) { (s, d) =>
-      val h = Tables.documents(s, d)
+      // explode/aggregate shape, NOT per-element HOF lambdas: interpreted
+      // higher-order functions over a per-char substring chain measured
+      // ~30 s at sf0.1, where two codegen'd hash aggregates + one
+      // doc_id equi-join run in well under a second. 62 pixel rows per
+      // doc stay map-side combined throughout.
+      val px = Tables.documents(s, d)
         .select(col("doc_id"),
-          expr("transform(sequence(1, least(62, length(text))), " +
-               "i -> ascii(substring(text, i, 1)))").as("px"))
-        .withColumn("mean",
-          expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) div size(px)"))
-        .select(col("doc_id"),
-          expr("""aggregate(
-                 |  zip_with(px, sequence(0, size(px) - 1),
-                 |           (p, j) -> IF(p > mean, shiftleft(CAST(1 AS BIGINT), j),
-                 |                        CAST(0 AS BIGINT))),
-                 |  CAST(0 AS BIGINT), (a, x) -> a + x)"""
-            .stripMargin.replace("\n", " ")).as("phash"))
+                posexplode(expr("slice(split(text, ''), 1, 62)"))
+                  .as(Seq("j", "ch")))
+        .select(col("doc_id"), col("j"), ascii(col("ch")).as("p"))
+      val stats = px.groupBy(col("doc_id").as("m_doc"))
+        .agg(expr("CAST(SUM(p) AS BIGINT) div COUNT(1)").as("mean"))
+      val h = px.join(stats, col("doc_id") === col("m_doc"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("p") > col("mean"),
+                      expr("shiftleft(CAST(1 AS BIGINT), j)"))
+               .otherwise(0L)).as("phash"))
       val g = h.groupBy(col("phash").as("g_phash")).agg(count(lit(1)).as("n_same"))
       h.join(g, col("phash") === col("g_phash"))
         .select(col("doc_id"), col("phash"), col("n_same"))
