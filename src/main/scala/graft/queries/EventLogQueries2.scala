@@ -208,16 +208,21 @@ object EventLogQueries2 {
         |              * ((minc + ((b + 1) * r) // 32) - (minc + (b * r) // 32))) // cnt
         |           AS est_c
         |  FROM pick WHERE rn = 1),
-        |rk AS (
+        |vcum AS (
         |  SELECT event_type, c,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos
-        |  FROM ev)
-        |SELECT e.event_type, CAST(e.qq AS INTEGER) AS q,
-        |       CAST(e.est_c AS DOUBLE) / CAST(100 AS DOUBLE) AS est_value,
-        |       CAST(r2.c AS DOUBLE) / CAST(100 AS DOUBLE) AS exact_value,
-        |       CAST(e.est_c - r2.c AS DOUBLE) / CAST(100 AS DOUBLE) AS err
-        |FROM est e JOIN rk r2 ON e.event_type = r2.event_type AND r2.pos = e.k
-        |ORDER BY e.event_type, q""".stripMargin) { (s, d) =>
+        |         CAST(SUM(cn) OVER (PARTITION BY event_type ORDER BY c
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vcum
+        |  FROM (SELECT event_type, c, COUNT(*) AS cn FROM ev GROUP BY event_type, c)),
+        |ex AS (
+        |  SELECT e.event_type, e.qq, e.est_c, MIN(v.c) AS exact_c
+        |  FROM est e JOIN vcum v
+        |    ON e.event_type = v.event_type AND v.vcum >= e.k
+        |  GROUP BY e.event_type, e.qq, e.est_c)
+        |SELECT event_type, CAST(qq AS INTEGER) AS q,
+        |       CAST(est_c AS DOUBLE) / CAST(100 AS DOUBLE) AS est_value,
+        |       CAST(exact_c AS DOUBLE) / CAST(100 AS DOUBLE) AS exact_value,
+        |       CAST(est_c - exact_c AS DOUBLE) / CAST(100 AS DOUBLE) AS err
+        |FROM ex ORDER BY event_type, q""".stripMargin) { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
         .select(col("event_type"), Portable.cents(col("value")).as("c"))
@@ -245,15 +250,20 @@ object EventLogQueries2 {
                | + ((k - (cum - cnt))
                |    * ((minc + ((b + 1) * r) div 32) - (minc + (b * r) div 32))) div cnt"""
           .stripMargin.replace("\n", " ")).as("est_c"))
-      val rk = ev
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("event_type").orderBy("c")))
-        .select(col("event_type").as("rk_type"), col("c"), col("pos"))
-      est.join(rk, col("event_type") === col("rk_type") && col("pos") === col("k"))
+      // exact quantiles from the per-VALUE cumulative count, not a
+      // full-row ranking window (the q49-median trick)
+      val vcum = ev.groupBy(col("event_type").as("v_type"), col("c"))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn("vcum", sum(col("cn")).over(
+          Window.partitionBy("v_type").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      est.join(vcum, col("event_type") === col("v_type") && col("vcum") >= col("k"))
+        .groupBy(col("event_type"), col("qq"), col("est_c"))
+        .agg(min(col("c")).as("exact_c"))
         .select(col("event_type"), col("qq").cast("int").as("q"),
                 (col("est_c").cast("double") / lit(100.0)).as("est_value"),
-                (col("c").cast("double") / lit(100.0)).as("exact_value"),
-                ((col("est_c") - col("c")).cast("double") / lit(100.0)).as("err"))
+                (col("exact_c").cast("double") / lit(100.0)).as("exact_value"),
+                ((col("est_c") - col("exact_c")).cast("double") / lit(100.0)).as("err"))
         .orderBy("event_type", "q")
     },
 
@@ -267,16 +277,21 @@ object EventLogQueries2 {
     "el_winsorize" -> Q(
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
-        |rk AS (
+        |cnt AS (
+        |  SELECT event_type, c, COUNT(*) AS cn FROM ev GROUP BY event_type, c),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(cn) AS BIGINT) AS nt FROM cnt GROUP BY event_type),
+        |cum AS (
         |  SELECT event_type, c,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos,
-        |         COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM ev),
+        |         CAST(SUM(cn) OVER (PARTITION BY event_type ORDER BY c
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cnt),
         |th AS (
-        |  SELECT event_type,
-        |         MIN(CASE WHEN pos = greatest(1, (n * 5)  // 100) THEN c END) AS p05c,
-        |         MIN(CASE WHEN pos = greatest(1, (n * 95) // 100) THEN c END) AS p95c
-        |  FROM rk GROUP BY event_type),
+        |  SELECT u.event_type,
+        |         MIN(CASE WHEN u.cum >= greatest(1, (t.nt * 5)  // 100) THEN u.c END) AS p05c,
+        |         MIN(CASE WHEN u.cum >= greatest(1, (t.nt * 95) // 100) THEN u.c END) AS p95c
+        |  FROM cum u JOIN tot t ON u.event_type = t.event_type
+        |  GROUP BY u.event_type),
         |cl AS (
         |  SELECT e.event_type, t.p05c, t.p95c,
         |         least(greatest(e.c, t.p05c), t.p95c) AS cc,
@@ -294,15 +309,21 @@ object EventLogQueries2 {
         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("event_type"), Portable.cents(col("value")).as("c"))
-      val wPos = Window.partitionBy("event_type").orderBy("c")
-      val wN   = Window.partitionBy("event_type")
-      val th = ev
-        .withColumn("pos", row_number().over(wPos))
-        .withColumn("n", count(lit(1)).over(wN))
+      // thresholds from the per-VALUE count table, not a full-row window
+      // (same cum-count trick as q49's median — the value table is tiny
+      // next to the stream at scale)
+      val cnt = ev.groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+      val tot = cnt.groupBy(col("event_type").as("tt_type"))
+        .agg(sum(col("cn")).as("nt"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val th = cnt
+        .withColumn("cum", sum(col("cn")).over(wCum))
+        .join(broadcast(tot), col("event_type") === col("tt_type"))
         .groupBy(col("event_type").as("t_type"))
-        .agg(min(when(col("pos") === greatest(lit(1L), expr("(n * 5) div 100")),
+        .agg(min(when(col("cum") >= greatest(lit(1L), expr("(nt * 5) div 100")),
                       col("c"))).as("p05c"),
-             min(when(col("pos") === greatest(lit(1L), expr("(n * 95) div 100")),
+             min(when(col("cum") >= greatest(lit(1L), expr("(nt * 95) div 100")),
                       col("c"))).as("p95c"))
       ev.join(broadcast(th), col("event_type") === col("t_type"))
         .select(col("event_type"), col("p05c"), col("p95c"),

@@ -114,50 +114,66 @@ object RelationalQueries8 {
     // ties → smallest) and the LOWER MEDIAN (k-th smallest, k=(n+1)/2)
     // per event type — both engines' native mode()/median() have
     // engine-specific tie/interpolation semantics, so both are computed
-    // manually over integer cents with deterministic tie-breaks. All
-    // windows partition by event_type (never global); the mode ranking
-    // runs over the (type, value) COUNTS, not the raw rows.
+    // manually over integer cents with deterministic tie-breaks. EVERY
+    // window here runs over the per-VALUE count table, never the raw
+    // rows: the median is read from the cumulative count (first value
+    // whose running count reaches k) — at 100 TB the value table is
+    // orders of magnitude smaller than the event stream, and the scan
+    // contributes one map-side-combined aggregate.
     "q49_mode_median" -> Q(
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
         |cnt AS (
         |  SELECT event_type, c, COUNT(*) AS n FROM ev GROUP BY event_type, c),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_rows FROM cnt GROUP BY event_type),
         |md AS (
         |  SELECT event_type, c, n,
         |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, c ASC) AS rn
         |  FROM cnt),
-        |rk AS (
+        |cum AS (
         |  SELECT event_type, c,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS pos,
-        |         COUNT(*) OVER (PARTITION BY event_type) AS n_rows
-        |  FROM ev)
+        |         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY c
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cnt),
+        |med AS (
+        |  SELECT u.event_type, MIN(u.c) AS med_c
+        |  FROM cum u JOIN tot t ON u.event_type = t.event_type
+        |  WHERE u.cum >= (t.n_rows + 1) // 2
+        |  GROUP BY u.event_type)
         |SELECT m.event_type,
         |       CAST(m.c AS DOUBLE) / CAST(100 AS DOUBLE) AS mode_value,
         |       CAST(m.n AS BIGINT) AS mode_count,
-        |       CAST(r.c AS DOUBLE) / CAST(100 AS DOUBLE) AS median_value,
-        |       CAST(r.n_rows AS BIGINT) AS n_rows
+        |       CAST(x.med_c AS DOUBLE) / CAST(100 AS DOUBLE) AS median_value,
+        |       t.n_rows
         |FROM (SELECT * FROM md WHERE rn = 1) m
-        |JOIN (SELECT * FROM rk WHERE pos = (n_rows + 1) // 2) r
-        |  ON m.event_type = r.event_type
+        |JOIN med x ON m.event_type = x.event_type
+        |JOIN tot t ON m.event_type = t.event_type
         |ORDER BY m.event_type""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
+      val cnt = Tables.events(s, d)
         .select(col("event_type"), graft.functions.Portable.cents(col("value")).as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("event_type").as("t_type"))
+        .agg(sum(col("n")).as("n_rows"))
       val wMode = Window.partitionBy("event_type").orderBy(col("n").desc, col("c").asc)
-      val md = ev.groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+      val md = cnt
         .withColumn("rn", row_number().over(wMode))
         .filter(col("rn") === 1)
         .select(col("event_type").as("m_type"), col("c").as("m_c"), col("n"))
-      val wPos = Window.partitionBy("event_type").orderBy("c")
-      val rk = ev
-        .withColumn("pos", row_number().over(wPos))
-        .withColumn("n_rows", count(lit(1)).over(Window.partitionBy("event_type")))
-        .filter(col("pos") === expr("(n_rows + 1) div 2"))
-      md.join(rk, col("m_type") === col("event_type"))
-        .select(col("event_type"),
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = cnt
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .join(broadcast(tot), col("event_type") === col("t_type"))
+        .filter(col("cum") >= expr("(n_rows + 1) div 2"))
+        .groupBy(col("event_type").as("x_type")).agg(min(col("c")).as("med_c"))
+      md.join(med, col("m_type") === col("x_type"))
+        .join(broadcast(tot), col("m_type") === col("t_type"))
+        .select(col("m_type").as("event_type"),
                 (col("m_c").cast("double") / lit(100.0)).as("mode_value"),
                 col("n").as("mode_count"),
-                (col("c").cast("double") / lit(100.0)).as("median_value"),
+                (col("med_c").cast("double") / lit(100.0)).as("median_value"),
                 col("n_rows"))
         .orderBy("event_type")
     },
