@@ -3,19 +3,21 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, WindowMin}
 
 /** SparkSessionExtensions installer for the engine's custom Catalyst
-  * pieces — the build-time injection path (the runtime path is
-  * FloatDot.register on an existing session):
+  * pieces — the build-time injection path (the runtime path is the
+  * `register` method on each function object, for an existing session):
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
   *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
   *
-  * Only `graft_dot` is injected: per SURVEY.md §4.2, every operator the
-  * reference implies is expressible with built-in Catalyst plans, so no
-  * custom Rule[LogicalPlan]/SparkStrategy is justified — the decision is
-  * recorded there and this class is the place they would plug in.
+  * Both codegen expressions are injected: `graft_dot` (float-array dot
+  * product) and `graft_window_min` (sliding-window minima, the
+  * winnowing kernel). Per SURVEY.md §4.2, every operator the reference
+  * implies is expressible with built-in Catalyst plans, so no custom
+  * Rule[LogicalPlan]/SparkStrategy is justified — the decision is
+  * recorded there and this class is the place one would plug in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -24,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatDot.build(children)))
+    e.injectFunction((
+      FunctionIdentifier("graft_window_min"),
+      new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WindowMin.build(children)))
   }
 }

@@ -56,6 +56,9 @@ class SourcesSpec extends SparkSpec {
           |                 array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d""".stripMargin)
         .head().getDouble(0)
       assert(v === 9.0)
+      val wm = s2.sql("SELECT graft_window_min(array(3L, 1L, 2L, 5L, 4L), 3) AS m")
+        .head().getSeq[Long](0)
+      assert(wm == Seq(1L, 1L, 2L))
     } finally {
       old.foreach { o =>
         SparkSession.setDefaultSession(o)
