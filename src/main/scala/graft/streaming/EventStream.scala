@@ -85,6 +85,22 @@ object EventStream {
       .groupBy("day", "reg")
       .agg(max(col("rk")).as("mreg"))
 
+  /** Streaming value histogram: per-(type, fixed-width bin) counts
+    * maintained incrementally — the mergeable-histogram half of
+    * el_quantile_sketch for unbounded streams. Fixed ABSOLUTE bin width
+    * (default $10 = 1000 cents), not data-dependent bounds: a stream
+    * has no final min/max, and fixed-width cells merge across time,
+    * partitions, and restarts by count addition. State is bounded by
+    * the value range over the width, independent of stream length; a
+    * reader gets any quantile by cumulative-summing the grid (the same
+    * read-off AnalyticsSpec performs against the batch exact). */
+  def valueHistogram(events: DataFrame, binCents: Long = 1000L): DataFrame =
+    events
+      .select(col("event_type"),
+              expr(s"CAST(round(value*100) AS BIGINT) div $binCents").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Sliding windows: 10-minute windows every 5 minutes — each event
     * lands in two panes. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -241,6 +241,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming value histogram: grid matches batch; quantile read-off is bin-accurate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val topic = java.nio.file.Files.createTempDirectory("histtopic").toString + "/t"
+    Tables.events(spark, dir).repartition(4).write.parquet(topic)
+    val q = graft.streaming.EventStream.valueHistogram(
+        graft.streaming.EventStream.ingest(spark, topic, 1))
+      .writeStream.format("memory").queryName("val_hist")
+      .outputMode("complete")
+      .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("histckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("val_hist")
+    val batch = graft.streaming.EventStream.valueHistogram(Tables.events(spark, dir))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // read p90 per type off the STREAMED grid; must land within one bin
+    // (1000 cents) of the exact p90
+    val grid = streamed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((t, cs) <- exact) {
+      val k = math.max(1, cs.length * 90 / 100)
+      val p90exact = cs(k - 1)
+      val bins = grid.filter(_._1 == t).sortBy(_._2)
+      var cum = 0L
+      val hit = bins.find { case (_, _, c) => cum += c; cum >= k }.get
+      val p90est = hit._2 * 1000 // bin lower bound in cents
+      assert(math.abs(p90est - p90exact) <= 1000, s"$t: est $p90est exact $p90exact")
+    }
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
