@@ -35,14 +35,12 @@ object PortableHll {
     * semantics, like the KMV twin). */
   def distinctSketch(df: DataFrame, keyCols: Seq[String], valueCol: Column): DataFrame = {
     val keys = keyCols.map(col)
-    val ranked = df
-      .select(keys :+ Portable.h60(valueCol).as("hv"): _*)
-      .select(keys ++ Seq(col("hv"),
-              pmod(col("hv"), lit(64L)).as("reg"),
-              shiftright(col("hv"), 6).as("w")): _*)
-      .select(keys ++ Seq(col("hv"), col("reg"),
-              when(col("w") === 0L, lit(55))
-                .otherwise(lit(55) - length(bin(col("w")))).as("rk")): _*)
+    // register coordinates from the ONE shared definition (registerCoords)
+    // — a drifted copy here would silently break q29/el_hll_daily's
+    // consistency with the sliding/streaming register family
+    val ranked = registerCoords(
+        df.select(keys :+ valueCol.as("gv"): _*), col("gv"))
+      .select(keys ++ Seq(col("hv"), col("reg"), col("rk")): _*)
     ranked
       .groupBy((keys :+ col("reg")): _*)
       .agg(max(col("rk")).as("mreg"), countDistinct(col("hv")).as("nd"))

@@ -129,17 +129,24 @@ object Multimodal {
     }
   }
 
-  /** Per-asset perceptual hash. */
-  final case class AssetHash(asset_id: Long, kind: String, phash: Long)
+  /** Per-asset perceptual hash. `decoded` distinguishes the raster hash
+    * from the byte-pool fallback — the two families are NOT comparable
+    * (the same raster in an unsupported container byte-hashes
+    * differently), so a near-dup consumer must group on it. */
+  final case class AssetHash(asset_id: Long, kind: String,
+                             decoded: Boolean, phash: Long)
 
   /** Perceptual average-hash (aHash) over the REAL decoded raster:
     * luminance average-pooled to 8×8 cells, one bit per cell (cell mean >
     * global mean). Content-addressed, not byte-addressed — the same
     * raster re-encoded through a different container (PNG vs BMP) hashes
     * identically, which is what image near-dup needs and what a byte
-    * hash (mm_decode_meta's content_hash) cannot give. Non-image
-    * payloads fall back to a byte-sequence pool over 64 buckets (same
-    * bit rule), so the column is total. Runs in the same `mapPartitions`
+    * hash (mm_decode_meta's content_hash) cannot give. Payloads that do
+    * not decode — non-image kinds, AND image kinds in codecs the JVM
+    * lacks or with corrupt bytes — fall back to a byte-sequence pool
+    * over 64 buckets (same bit rule) with `decoded = false`, so the
+    * column is total but the two hash families never mix silently.
+    * Runs in the same `mapPartitions`
     * shape as [[decode]] (codec-registry setup amortized per partition);
     * the declared oracle twin over a deterministic fake raster is
     * `mm_phash` (queries/MultimodalQueries.scala). */
@@ -188,7 +195,7 @@ object Multimodal {
           if (counts(c) > 0 && cells(c) / counts(c) > mean) hash |= (1L << c)
           c += 1
         }
-        AssetHash(a.asset_id, a.kind, hash)
+        AssetHash(a.asset_id, a.kind, decoded = img != null, phash = hash)
       }
     }
   }

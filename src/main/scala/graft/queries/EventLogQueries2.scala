@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
 /** Second batch of event-log analytics over the cascade topic model
   * (reference events: /root/reference/proto/publish.proto:11-15 — the
   * (name, event-time, value) telemetry triple): user segmentation,
-  * activity streaks, multi-touch attribution, and sliding-window
-  * distinct via HLL register merge.
+  * activity streaks, multi-touch attribution, sliding-window distinct
+  * via HLL register merge, histogram-based quantile estimation, and
+  * winsorized robust statistics.
   *
-  * All four follow the portable-determinism rules (Portable.scala) and
-  * the no-global-sort rule: every window below is partitioned by a key
-  * (user or conversion id), never a single global ordering.
+  * Every query follows the portable-determinism rules (Portable.scala)
+  * and the no-global-sort rule: windows partition by a key (user,
+  * conversion id, event type, or value-table key), never a single
+  * global ordering.
   */
 object EventLogQueries2 {
 
@@ -346,10 +348,14 @@ object EventLogQueries2 {
     // are computed ONCE from the scan (≤ 64 longs per day), and every
     // 7-day window is a max-merge of 7 daily sketches — no second pass
     // over raw events, and a precomputed daily-sketch table would serve
-    // any window length the same way. The exact sliding distinct is
-    // emitted alongside (hash semantics, like el_hll_daily) so the per-
-    // window error is visible and oracle-checked. Fan-out is bounded:
-    // 7× the register rows, never 7× the events.
+    // any window length the same way. The SKETCH path's fan-out is
+    // bounded at 7× the ≤64-rows/day register table, never 7× the
+    // events. The exact sliding distinct emitted alongside (hash
+    // semantics, like el_hll_daily) is the VERIFICATION companion: it
+    // fans out 7× the distinct (day, user) rows — daily-active-user
+    // scale — which is exactly the cost the sketch exists to avoid; a
+    // production deployment keeps the register merge and drops the
+    // exact twin.
     "el_hll_sliding" -> Q(
       """WITH ev AS (
         |  SELECT DISTINCT epoch_ns(ts)//86400000000000 AS day,

@@ -98,11 +98,10 @@ object TextQueries2 {
         |td AS (SELECT DISTINCT token, doc_id FROM tok),
         |capped AS (
         |  SELECT token, doc_id,
-        |         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
-        |         COUNT(*) OVER (PARTITION BY token) AS df
+        |         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
         |  FROM td),
         |idx AS (
-        |  SELECT token, MIN(df) AS df,
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
         |         array_to_string(list_sort(array_agg(doc_id) FILTER (WHERE rn <= 10)),
         |                         ',') AS postings
         |  FROM capped GROUP BY token)
@@ -117,9 +116,10 @@ object TextQueries2 {
       val w = Window.partitionBy("token").orderBy("doc_id")
       val capped = tok.select(col("token"), col("doc_id")).distinct()
         .withColumn("rn", row_number().over(w))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      // the groupBy consumes every (token, doc) row, so COUNT(*) IS the
+      // document frequency — no second window pass needed
       val idx = capped.groupBy("token")
-        .agg(min(col("df")).as("df"),
+        .agg(count(lit(1)).as("df"),
              array_join(
                transform(array_sort(collect_list(when(col("rn") <= 10, col("doc_id")))),
                          _.cast("string")), ",").as("postings"))

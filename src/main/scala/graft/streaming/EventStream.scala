@@ -93,11 +93,17 @@ object EventStream {
     * partitions, and restarts by count addition. State is bounded by
     * the value range over the width, independent of stream length; a
     * reader gets any quantile by cumulative-summing the grid (the same
-    * read-off AnalyticsSpec performs against the batch exact). */
+    * read-off AnalyticsSpec performs against the batch exact). FLOOR
+    * division, not truncating div: negative cents must fall in negative
+    * bins, or bin 0 silently spans two widths. Cents come from the
+    * shared Portable.cents so batch and stream cannot drift. */
   def valueHistogram(events: DataFrame, binCents: Long = 1000L): DataFrame =
     events
       .select(col("event_type"),
-              expr(s"CAST(round(value*100) AS BIGINT) div $binCents").as("bin"))
+              graft.functions.Portable.cents(col("value")).as("c"))
+      .select(col("event_type"),
+              expr(s"c div $binCents" +
+                   s" + (CASE WHEN c % $binCents < 0 THEN -1 ELSE 0 END)").as("bin"))
       .groupBy("event_type", "bin")
       .agg(count(lit(1)).as("cnt"))
 

@@ -287,7 +287,7 @@ class AnalyticsSpec extends SparkSpec {
     }
     val mult  = chunks.groupBy(_._3).view.mapValues(_.size).toMap
     val owner = chunks.groupBy(_._3).view
-      .mapValues(_.map { case (id, i, _) => id * 1000000L + i }.min).toMap
+      .mapValues(_.map { case (id, i, _) => (id, i) }.min).toMap
     assert(chunks.count(c => mult(c._3) > 1) > 0, "fixture must contain dup chunks")
     for (r <- rows) {
       val id = r.getLong(0)
@@ -295,7 +295,7 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getInt(r.fieldIndex("n_chunks")) == mine.size)
       assert(r.getInt(r.fieldIndex("n_dup_chunks")) == mine.count(c => mult(c._3) > 1))
       val removed = mine.count { case (d, i, t) =>
-        mult(t) > 1 && d * 1000000L + i != owner(t) }
+        mult(t) > 1 && (d, i) != owner(t) }
       assert(r.getInt(r.fieldIndex("n_removed")) == removed)
       val share = (mine.size - removed).toDouble / mine.size
       assert(math.abs(r.getDouble(r.fieldIndex("retained_share")) - share) < 1e-12)

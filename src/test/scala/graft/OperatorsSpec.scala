@@ -59,10 +59,15 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.Asset(2L, "image", bmp),
       Multimodal.Asset(3L, "image", other),
       Multimodal.Asset(4L, "audio", "not an image".getBytes("UTF-8"))).toDS()
-    val hs = Multimodal.averageHash(assets).collect().map(h => h.asset_id -> h.phash).toMap
+    val all = Multimodal.averageHash(assets).collect().map(h => h.asset_id -> h).toMap
+    val hs  = all.view.mapValues(_.phash).toMap
     assert(hs(1L) == hs(2L), "...same raster, same hash")
     assert(hs(1L) != hs(3L), "different raster must differ")
     assert(hs.contains(4L)) // non-image fallback is total
+    // the two hash families are flagged apart: raster hashes carry
+    // decoded=true, the byte-pool fallback decoded=false
+    assert(all(1L).decoded && all(2L).decoded && all(3L).decoded)
+    assert(!all(4L).decoded)
     // declared fake-raster twin stays consistent: one row per doc,
     // bucket sizes partition the corpus
     val rows = SparkEntry.queries("mm_phash")(spark, sf).collect()
