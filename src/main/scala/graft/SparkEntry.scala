@@ -49,6 +49,7 @@ object SparkEntry {
     graft.queries.RelationalQueries6.defs ++
     graft.queries.RelationalQueries7.defs ++
     graft.queries.RelationalQueries8.defs ++
+    graft.queries.RelationalQueries9.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.DedupQueries2.defs ++
     graft.queries.ClusterQueries.defs ++

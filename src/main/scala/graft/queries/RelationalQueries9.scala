@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface, batch 9: the two pre-flight reports a
+  * pipeline runs before trusting or joining a new corpus drop — a
+  * declarative data-quality constraint audit (the Deequ/dbt-test shape)
+  * and a join-key skew profile (the decide-whether-to-salt report).
+  */
+object RelationalQueries9 {
+
+  def defs: Map[String, Q] = Map(
+
+    // Data-quality constraint audit: six constraints over the star
+    // schema evaluated corpus-wide in one pass each — primary-key
+    // uniqueness, null keys, domain ranges, and referential integrity
+    // (orphan facts via anti-join, the check that breaks silently at
+    // scale when a dimension drop lags a fact drop). One row per
+    // constraint with the observed violation count and a pass flag, so
+    // a scheduler can gate downstream jobs on `min(passed)`. Each check
+    // is a map-side-combined aggregate or an anti-join — nothing
+    // quadratic, nothing collected.
+    "q51_dq_audit" -> Q(
+      """WITH checks AS (
+        |  SELECT 'lineitem_orphan_orderkey' AS check_name,
+        |         CAST((SELECT COUNT(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |           AS observed
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey',
+        |         CAST((SELECT COUNT(*) FROM orders o
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_dup_orderkey',
+        |         CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'orders_null_custkey',
+        |         CAST((SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL)
+        |               FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_out_of_range',
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem_negative_price',
+        |         CAST((SELECT COUNT(*) FROM lineitem
+        |               WHERE l_extendedprice < 0) AS BIGINT))
+        |SELECT check_name, observed,
+        |       CAST(CASE WHEN observed = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+        |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      def check(name: String, observed: org.apache.spark.sql.DataFrame) =
+        observed.select(lit(name).as("check_name"),
+                        col("observed").cast("long").as("observed"))
+      val frames = Seq(
+        check("lineitem_orphan_orderkey",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("observed"))),
+        check("orders_orphan_custkey",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("observed"))),
+        check("orders_dup_orderkey",
+          o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("observed"))),
+        check("orders_null_custkey",
+          o.agg(count(when(col("o_custkey").isNull, 1)).as("observed"))),
+        check("lineitem_qty_out_of_range",
+          li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+            .as("observed"))),
+        check("lineitem_negative_price",
+          li.agg(count(when(col("l_extendedprice") < 0, 1)).as("observed"))))
+      frames.reduce(_.unionByName(_))
+        .select(col("check_name"), col("observed"),
+                when(col("observed") === 0, 1).otherwise(0).cast("int").as("passed"))
+        .orderBy("check_name")
+    },
+
+    // Join-key skew profile: the report that decides whether a join on
+    // this key needs salting or AQE skew handling BEFORE the job runs.
+    // One map-side-combined count per key, tiny global stats, and the
+    // top-10 concentration via TakeOrdered (never a global sort of the
+    // key table). All shares are one BIGINT→DOUBLE division each.
+    "q52_skew_profile" -> Q(
+      """WITH cnt AS (
+        |  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY key),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS distinct_keys,
+        |         CAST(MAX(n) AS BIGINT) AS max_key_rows
+        |  FROM cnt),
+        |topk AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS top10_rows
+        |  FROM (SELECT n FROM cnt ORDER BY n DESC, key LIMIT 10))
+        |SELECT t.n_rows, t.distinct_keys, t.max_key_rows,
+        |       CAST(t.max_key_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS top1_share,
+        |       CAST(k.top10_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS top10_share,
+        |       CAST(t.n_rows AS DOUBLE) / CAST(t.distinct_keys AS DOUBLE) AS avg_rows_per_key
+        |FROM tot t, topk k""".stripMargin) { (s, d) =>
+      val cnt = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("n_rows"),
+                        count(lit(1)).as("distinct_keys"),
+                        max(col("n")).as("max_key_rows"))
+      val topk = cnt.orderBy(col("n").desc, col("key")).limit(10)
+        .agg(sum(col("n")).as("top10_rows"))
+      tot.crossJoin(broadcast(topk))
+        .select(col("n_rows"), col("distinct_keys"), col("max_key_rows"),
+                (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+                  .as("top1_share"),
+                (col("top10_rows").cast("double") / col("n_rows").cast("double"))
+                  .as("top10_share"),
+                (col("n_rows").cast("double") / col("distinct_keys").cast("double"))
+                  .as("avg_rows_per_key"))
+    }
+  )
+}

@@ -275,6 +275,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q51_dq_audit / q52_skew_profile: reports match brute-force recomputes") {
+    val audit = SparkEntry.queries("q51_dq_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(audit.size == 6)
+    for ((_, (obs, passed)) <- audit) assert(passed == (if (obs == 0) 1 else 0))
+    // brute-force the two referential checks
+    val orderKeys = Tables.orders(spark, dir).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val orphanLi = Tables.lineitem(spark, dir).select("l_orderkey").collect()
+      .count(r => !orderKeys.contains(r.getLong(0)))
+    assert(audit("lineitem_orphan_orderkey")._1 == orphanLi.toLong)
+    val custKeys = Tables.customer(spark, dir).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val orphanO = Tables.orders(spark, dir).select("o_custkey").collect()
+      .count(r => !custKeys.contains(r.getLong(0)))
+    assert(audit("orders_orphan_custkey")._1 == orphanO.toLong)
+
+    val skew = SparkEntry.queries("q52_skew_profile")(spark, dir).head()
+    val counts = Tables.orders(spark, dir).select("o_custkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val nRows = counts.values.sum
+    assert(skew.getLong(skew.fieldIndex("n_rows")) == nRows)
+    assert(skew.getLong(skew.fieldIndex("distinct_keys")) == counts.size.toLong)
+    assert(skew.getLong(skew.fieldIndex("max_key_rows")) == counts.values.max)
+    val top10 = counts.values.toSeq.sorted.reverse.take(10).sum
+    assert(math.abs(skew.getDouble(skew.fieldIndex("top10_share")) -
+      top10.toDouble / nRows) < 1e-12)
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
