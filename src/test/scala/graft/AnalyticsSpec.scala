@@ -304,6 +304,41 @@ class AnalyticsSpec extends SparkSpec {
       top10.toDouble / nRows) < 1e-12)
   }
 
+  test("streaming histogram state survives a restart: two tranches, one grid") {
+    import org.apache.spark.sql.streaming.Trigger
+    // count-based state makes double-processing VISIBLE (a max-merge
+    // sketch would silently absorb a replay) — so this is the op that
+    // proves checkpointed state recovery, not just sink idempotence
+    val topic = java.nio.file.Files.createTempDirectory("rsttopic").toString + "/t"
+    val ckpt  = java.nio.file.Files.createTempDirectory("rstckpt").toString
+    val ev    = Tables.events(spark, dir)
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventStream.valueHistogram(
+          graft.streaming.EventStream.ingest(spark, topic, 1))
+        .writeStream.format("memory").queryName("rst_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // tranche 1: half the events, run to completion, stop
+    ev.filter(col("event_id") % 2 === 0).repartition(2).write.parquet(topic)
+    runOnce()
+    val afterHalf = spark.table("rst_hist").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // tranche 2: the rest lands, RESTART from the same checkpoint
+    ev.filter(col("event_id") % 2 === 1).repartition(2).write.mode("append").parquet(topic)
+    runOnce()
+    val finalGrid = spark.table("rst_hist").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.streaming.EventStream.valueHistogram(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(finalGrid == batch, "restarted stream must equal one-shot batch")
+    // and the restart really CONTINUED (tranche-1 counts grew, not reset)
+    assert(afterHalf.values.sum < finalGrid.values.sum)
+    assert(afterHalf.forall { case (k, v) => finalGrid(k) >= v })
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
