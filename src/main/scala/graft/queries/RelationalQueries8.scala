@@ -214,10 +214,15 @@ object RelationalQueries8 {
         |       CAST(s2.r AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank_score
         |FROM s2 JOIN degs g ON s2.supp = g.supp
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      // materialize the edge list ONCE (eager localCheckpoint, the
+      // ClusterQueries iteration pattern): e feeds both degree dims and
+      // all three propagation rounds — without the barrier the
+      // orders⋈lineitem join + distinct re-executes five times
       val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
               col("o_orderkey") === col("l_orderkey"))
         .select(col("cust"), col("supp")).distinct()
+        .localCheckpoint(true)
       val degc = e.groupBy(col("cust").as("dc_cust")).agg(count(lit(1)).as("dc"))
       val degs = e.groupBy(col("supp").as("ds_supp")).agg(count(lit(1)).as("ds"))
       val s1 = e.join(degc, col("cust") === col("dc_cust"))
