@@ -226,15 +226,19 @@ object EventLogQueries2 {
         |       CAST(est_c - exact_c AS DOUBLE) / CAST(100 AS DOUBLE) AS err
         |FROM ex ORDER BY event_type, q""".stripMargin) { (s, d) =>
       import s.implicits._
-      val ev = Tables.events(s, d)
+      // ONE events scan: stats, histogram, and exact quantiles all
+      // derive from the checkpointed per-VALUE count table
+      val vals = Tables.events(s, d)
         .select(col("event_type"), Portable.cents(col("value")).as("c"))
-      val st = ev.groupBy(col("event_type").as("st_type"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+        .localCheckpoint(true)
+      val st = vals.groupBy(col("event_type").as("st_type"))
         .agg(min(col("c")).as("minc"),
              (max(col("c")) - min(col("c")) + 1).as("r"),
-             count(lit(1)).as("n"))
-      val hist = ev.join(broadcast(st), col("event_type") === col("st_type"))
+             sum(col("cn")).as("n"))
+      val hist = vals.join(broadcast(st), col("event_type") === col("st_type"))
         .groupBy(col("event_type"), expr("((c - minc) * 32) div r").as("b"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cn")).as("cnt"))
       val wCum = Window.partitionBy("event_type").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val qd = Seq(50, 90, 99).toDF("qq")
@@ -254,8 +258,8 @@ object EventLogQueries2 {
           .stripMargin.replace("\n", " ")).as("est_c"))
       // exact quantiles from the per-VALUE cumulative count, not a
       // full-row ranking window (the q49-median trick)
-      val vcum = ev.groupBy(col("event_type").as("v_type"), col("c"))
-        .agg(count(lit(1)).as("cn"))
+      val vcum = vals
+        .select(col("event_type").as("v_type"), col("c"), col("cn"))
         .withColumn("vcum", sum(col("cn")).over(
           Window.partitionBy("v_type").orderBy("c")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -272,10 +276,10 @@ object EventLogQueries2 {
     // Winsorized (clipped) robust statistics per event type: p05/p95
     // picked as exact k-th smallest values (deterministic regardless of
     // tie order — the k-th VALUE is well-defined), values clamped into
-    // [p05, p95], clipped mean from exact integer-cents sums. The
-    // outlier-robust twin of el_anomaly_zscore. Windows partition by
-    // event_type; the 5-row threshold dim broadcasts back onto the
-    // stream.
+    // [p05, p95], clipped mean from exact integer-cents sums weighted
+    // by value multiplicity. The outlier-robust twin of
+    // el_anomaly_zscore. Windows partition by event_type; the 5-row
+    // threshold dim broadcasts onto the value table.
     "el_winsorize" -> Q(
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
@@ -309,12 +313,14 @@ object EventLogQueries2 {
         |       CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
         |       COUNT(*) AS n
         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
+      // ONE events scan: the per-VALUE count table (tiny next to the
+      // stream at scale, eagerly checkpointed so its lineage runs once)
+      // feeds thresholds AND the weighted clip statistics — no second
+      // pass over raw rows anywhere
+      val cnt = Tables.events(s, d)
         .select(col("event_type"), Portable.cents(col("value")).as("c"))
-      // thresholds from the per-VALUE count table, not a full-row window
-      // (same cum-count trick as q49's median — the value table is tiny
-      // next to the stream at scale)
-      val cnt = ev.groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+        .localCheckpoint(true)
       val tot = cnt.groupBy(col("event_type").as("tt_type"))
         .agg(sum(col("cn")).as("nt"))
       val wCum = Window.partitionBy("event_type").orderBy("c")
@@ -327,19 +333,19 @@ object EventLogQueries2 {
                       col("c"))).as("p05c"),
              min(when(col("cum") >= greatest(lit(1L), expr("(nt * 95) div 100")),
                       col("c"))).as("p95c"))
-      ev.join(broadcast(th), col("event_type") === col("t_type"))
-        .select(col("event_type"), col("p05c"), col("p95c"),
-                least(greatest(col("c"), col("p05c")), col("p95c")).as("cc"),
-                when(col("c") < col("p05c"), 1).otherwise(0).as("lo"),
-                when(col("c") > col("p95c"), 1).otherwise(0).as("hi"))
+      cnt.join(broadcast(th), col("event_type") === col("t_type"))
+        .select(col("event_type"), col("p05c"), col("p95c"), col("cn"),
+                (least(greatest(col("c"), col("p05c")), col("p95c")) * col("cn")).as("ccw"),
+                when(col("c") < col("p05c"), col("cn")).otherwise(0L).as("lo"),
+                when(col("c") > col("p95c"), col("cn")).otherwise(0L).as("hi"))
         .groupBy("event_type")
         .agg((min(col("p05c")).cast("double") / lit(100.0)).as("p05"),
              (min(col("p95c")).cast("double") / lit(100.0)).as("p95"),
-             (sum(col("cc")).cast("double") / count(lit(1)).cast("double")
+             (sum(col("ccw")).cast("double") / sum(col("cn")).cast("double")
                / lit(100.0)).as("winsorized_mean"),
              sum(col("lo")).cast("long").as("n_clipped_low"),
              sum(col("hi")).cast("long").as("n_clipped_high"),
-             count(lit(1)).as("n"))
+             sum(col("cn")).as("n"))
         .orderBy("event_type")
     },
 

@@ -151,9 +151,13 @@ object RelationalQueries8 {
         |JOIN tot t ON m.event_type = t.event_type
         |ORDER BY m.event_type""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // ONE events scan: the value table feeds mode, total, and median;
+      // the eager checkpoint stops its scan+aggregate lineage from
+      // re-executing per consumer (tiny frame — distinct values only)
       val cnt = Tables.events(s, d)
         .select(col("event_type"), graft.functions.Portable.cents(col("value")).as("c"))
         .groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val tot = cnt.groupBy(col("event_type").as("t_type"))
         .agg(sum(col("n")).as("n_rows"))
       val wMode = Window.partitionBy("event_type").orderBy(col("n").desc, col("c").asc)
