@@ -339,6 +339,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(afterHalf.forall { case (k, v) => finalGrid(k) >= v })
   }
 
+  test("el_theta_sketch_ops: full-set regime collapses to exact; overlaps verified") {
+    val rows = SparkEntry.queries("el_theta_sketch_ops")(spark, dir).collect()
+    assert(rows.length == 10) // 5 types choose 2
+    // sf0.001 has ~15 distinct users per type, far below k=64 — every
+    // sketch IS its set, so the estimators must equal the exact counts
+    // BIT-EXACTLY (2^60/2^60 is an exact double ratio)
+    for (r <- rows) {
+      assert(r.getDouble(r.fieldIndex("inter_est")) ==
+             r.getLong(r.fieldIndex("exact_inter")).toDouble,
+        s"${r.getString(0)}/${r.getString(1)} inter")
+      assert(r.getDouble(r.fieldIndex("union_est")) ==
+             r.getLong(r.fieldIndex("exact_union")).toDouble,
+        s"${r.getString(0)}/${r.getString(1)} union")
+    }
+    // brute-force the exact intersections from raw hash sets
+    val sets = Tables.events(spark, dir)
+      .select(col("event_type"), graft.functions.Portable.h60(col("user_id")).as("hv"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (r <- rows) {
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(r.fieldIndex("exact_inter")) == (sets(ta) & sets(tb)).size.toLong)
+      assert(r.getLong(r.fieldIndex("exact_union")) == (sets(ta) | sets(tb)).size.toLong)
+    }
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
