@@ -365,6 +365,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q51_dq_audit: injected violations are counted, not just clean zeros") {
+    // the fixtures are clean, so passed=1 everywhere — doctor a corpus
+    // copy with one violation per constraint class and audit THAT
+    val bad = java.nio.file.Files.createTempDirectory("dqbad").toString
+    val o   = Tables.orders(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+    Tables.customer(spark, dir).write.parquet(s"$bad/customer.parquet")
+    // orders: one duplicated o_orderkey + one orphan/null custkey row
+    val oDup   = o.limit(1)
+    val oBadFk = o.limit(1)
+      .withColumn("o_orderkey", lit(999999991L))
+      .withColumn("o_custkey", lit(999999999L)) // no such customer
+    o.unionByName(oDup).unionByName(oBadFk).write.parquet(s"$bad/orders.parquet")
+    // lineitem: one orphan orderkey, one qty out of range, one negative price
+    li.unionByName(li.limit(1).withColumn("l_orderkey", lit(888888881L)))
+      .unionByName(li.limit(1).withColumn("l_quantity", lit(0L)))
+      .unionByName(li.limit(1).withColumn("l_extendedprice", lit(-1.0)))
+      .write.parquet(s"$bad/lineitem.parquet")
+    val audit = SparkEntry.queries("q51_dq_audit")(spark, bad).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(audit("orders_dup_orderkey") == (1L, 0))
+    assert(audit("orders_orphan_custkey") == (1L, 0))
+    assert(audit("lineitem_orphan_orderkey") == (1L, 0))
+    assert(audit("lineitem_qty_out_of_range") == (1L, 0))
+    assert(audit("lineitem_negative_price") == (1L, 0))
+    assert(audit("orders_null_custkey")._2 == 1) // still clean
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
