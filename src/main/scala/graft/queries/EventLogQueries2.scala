@@ -273,6 +273,54 @@ object EventLogQueries2 {
         .orderBy("event_type", "q")
     },
 
+    // EQUI-DEPTH histogram (the optimizer-statistics twin of the
+    // equal-width el_quantile_sketch): 8 buckets per type holding
+    // ~n/8 rows each, built entirely from the per-value cumulative
+    // count — a value lands in the bucket of its LAST rank
+    // ((cum−1)·8 div n), so ties stay whole and the assignment is
+    // deterministic in both engines. Emits per-bucket row mass and
+    // value boundaries — the histogram a cost-based optimizer keeps
+    // per column. No row-level window anywhere.
+    "el_equidepth_hist" -> Q(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |cnt AS (
+        |  SELECT event_type, c, COUNT(*) AS cn FROM ev GROUP BY event_type, c),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(cn) AS BIGINT) AS nt FROM cnt GROUP BY event_type),
+        |cum AS (
+        |  SELECT event_type, c, cn,
+        |         CAST(SUM(cn) OVER (PARTITION BY event_type ORDER BY c
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cnt)
+        |SELECT u.event_type,
+        |       CAST(((u.cum - 1) * 8) // t.nt AS INTEGER) AS bucket,
+        |       COUNT(*) AS n_values,
+        |       CAST(SUM(u.cn) AS BIGINT) AS n_rows,
+        |       CAST(MIN(u.c) AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_value,
+        |       CAST(MAX(u.c) AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_value
+        |FROM cum u JOIN tot t ON u.event_type = t.event_type
+        |GROUP BY u.event_type, bucket
+        |ORDER BY u.event_type, bucket""".stripMargin) { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .select(col("event_type"), Portable.cents(col("value")).as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+      val tot = cnt.groupBy(col("event_type").as("t_type"))
+        .agg(sum(col("cn")).as("nt"))
+      val wCum = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt
+        .withColumn("cum", sum(col("cn")).over(wCum))
+        .join(broadcast(tot), col("event_type") === col("t_type"))
+        .groupBy(col("event_type"),
+                 expr("((cum - 1) * 8) div nt").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_values"),
+             sum(col("cn")).as("n_rows"),
+             (min(col("c")).cast("double") / lit(100.0)).as("lo_value"),
+             (max(col("c")).cast("double") / lit(100.0)).as("hi_value"))
+        .orderBy("event_type", "bucket")
+    },
+
     // Winsorized (clipped) robust statistics per event type: p05/p95
     // picked as exact k-th smallest values (deterministic regardless of
     // tie order — the k-th VALUE is well-defined), values clamped into

@@ -185,18 +185,25 @@ object EventStream {
     * matched state is evicted once the band can no longer match.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
-                       band: String = "30 minutes"): DataFrame = {
+                       band: String = "30 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.select(col("user_id").as("l_user"), col("event_id").as("l_event"),
                         col("ts").as("l_ts"), col("event_type").as("l_type"))
       .withWatermark("l_ts", band)
     val r = right.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
                          col("ts").as("r_ts"), col("event_type").as("r_type"))
       .withWatermark("r_ts", band)
+    // joinType "left_outer": unmatched left rows surface with nulls ONLY
+    // once the watermark proves their band can no longer match — the
+    // outer result is watermark-delayed by construction, which is why a
+    // terminating run emits null rows for expired windows but holds the
+    // final in-flight window open (StreamJoinSpec pins this)
     l.join(r,
       col("l_user") === col("r_user") &&
       col("r_ts") >= col("l_ts") &&
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $band") &&
-      col("l_event") =!= col("r_event"))
+      col("l_event") =!= col("r_event"),
+      joinType)
   }
 
   /** foreachBatch sink: per-micro-batch dedup then ordered append through

@@ -393,6 +393,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(audit("orders_null_custkey")._2 == 1) // still clean
   }
 
+  test("el_equidepth_hist: buckets partition rows, stay ordered, and balance within tie size") {
+    val rows = SparkEntry.queries("el_equidepth_hist")(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    for ((t, rs0) <- rows.groupBy(_.getString(0))) {
+      val rs = rs0.sortBy(_.getInt(1))
+      val cs = ev.filter(_._1 == t).map(_._2)
+      val n  = cs.length
+      // exhaustive: bucket masses sum to the row count
+      assert(rs.map(_.getLong(rs.head.fieldIndex("n_rows"))).sum == n.toLong)
+      // ordered, non-overlapping value ranges
+      for (Array(a, b) <- rs.sliding(2).map(_.toArray))
+        assert(a.getDouble(a.fieldIndex("hi_value")) < b.getDouble(b.fieldIndex("lo_value")))
+      // equi-depth up to tie granularity: no bucket deviates from n/8 by
+      // more than the largest single-value multiplicity
+      val maxTie = cs.groupBy(identity).values.map(_.length).max
+      for (r <- rs)
+        assert(math.abs(r.getLong(r.fieldIndex("n_rows")) - n / 8.0) <= maxTie + 1,
+          s"$t bucket ${r.getInt(1)}")
+    }
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)

@@ -43,6 +43,48 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("left-outer stream-stream join: expired windows emit nulls, inner part exact") {
+    val dirA = Files.createTempDirectory("ssjo-a").toString + "/t"
+    val dirB = Files.createTempDirectory("ssjo-b").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks    = ev.filter(col("event_type") === "click")
+    purchases.repartition(2).write.parquet(dirA)
+    clicks.repartition(2).write.parquet(dirB)
+    val joined = EventStream.streamStreamJoin(
+      EventStream.ingest(spark, dirA, 1), EventStream.ingest(spark, dirB, 1),
+      band = "24 hours", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssjo-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssjo")
+    // batch twin
+    val l = purchases.select(col("user_id").as("lu"), col("event_id").as("l_event"),
+                             col("ts").as("lt"))
+    val r = clicks.select(col("user_id").as("ru"), col("event_id").as("r_event"),
+                          col("ts").as("rt"))
+    val batch = l.join(r,
+        col("lu") === col("ru") && col("rt") >= col("lt") &&
+        col("rt") <= col("lt") + expr("INTERVAL 24 HOURS") &&
+        col("l_event") =!= col("r_event"), "left_outer")
+    // inner portion must match the batch inner portion exactly
+    val gotInner  = got.filter(col("r_event").isNotNull).select("l_event", "r_event")
+    val wantInner = batch.filter(col("r_event").isNotNull).select("l_event", "r_event")
+    assert(gotInner.exceptAll(wantInner).isEmpty && wantInner.exceptAll(gotInner).isEmpty)
+    // null rows appear ONLY for lefts unmatched in batch, and the
+    // watermark-expired windows (30 days of fixture, 24h band) produce some
+    val gotNull  = got.filter(col("r_event").isNull).select("l_event")
+    val wantNull = batch.filter(col("r_event").isNull).select("l_event")
+    assert(gotNull.count() > 0, "no expired-window null rows emitted")
+    assert(gotNull.exceptAll(wantNull).isEmpty,
+      "stream emitted a null row for a left that HAS a batch match")
+    // the stream may hold back nulls still inside the final watermark —
+    // never the other way around
+    assert(gotNull.count() <= wantNull.count())
+  }
+
   test("ingestValue acks 0 (false) when the topic backlog is at capacity") {
     val root = Files.createTempDirectory("ack").toString
     val c    = new Cascade(spark, root)
