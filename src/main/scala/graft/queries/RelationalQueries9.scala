@@ -58,32 +58,34 @@ object RelationalQueries9 {
         observed.select(lit(name).as("check_name"),
                         col("observed").cast("long").as("observed"))
       // independent count-when constraints over the same table share ONE
-      // aggregate pass (a 1-row frame, eagerly materialized so each
-      // unpivoted check row does not re-run the scan) — at scale the
-      // audit pays one scan per table plus the two anti-joins, not one
-      // scan per check
-      def unpivot(agg: org.apache.spark.sql.DataFrame, names: Seq[String]) = {
-        val once = agg.localCheckpoint(true)
-        names.map(n => check(n, once.select(col(n).as("observed"))))
-      }
-      val liChecks = unpivot(
+      // aggregate pass, unpivoted LAZILY to check rows via stack() — the
+      // plan stays a single 1-row aggregate per table (inspectable by the
+      // PlanAssertionsSpec sweep, no build-time side effects), and at
+      // scale the audit pays one scan per table plus the two anti-joins,
+      // not one scan per check
+      def unpivot2(agg: org.apache.spark.sql.DataFrame,
+                   n1: String, n2: String) =
+        agg.select(expr(
+          s"stack(2, '$n1', $n1, '$n2', $n2) AS (check_name, observed)"))
+      val liChecks = unpivot2(
         li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
                  .as("lineitem_qty_out_of_range"),
                count(when(col("l_extendedprice") < 0, 1))
                  .as("lineitem_negative_price")),
-        Seq("lineitem_qty_out_of_range", "lineitem_negative_price"))
-      val oChecks = unpivot(
+        "lineitem_qty_out_of_range", "lineitem_negative_price")
+      val oChecks = unpivot2(
         o.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
                 .as("orders_dup_orderkey"),
               count(when(col("o_custkey").isNull, 1)).as("orders_null_custkey")),
-        Seq("orders_dup_orderkey", "orders_null_custkey"))
+        "orders_dup_orderkey", "orders_null_custkey")
       val frames = Seq(
         check("lineitem_orphan_orderkey",
           li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
             .agg(count(lit(1)).as("observed"))),
         check("orders_orphan_custkey",
           o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-            .agg(count(lit(1)).as("observed")))) ++ liChecks ++ oChecks
+            .agg(count(lit(1)).as("observed"))),
+        liChecks, oChecks)
       frames.reduce(_.unionByName(_))
         .select(col("check_name"), col("observed"),
                 when(col("observed") === 0, 1).otherwise(0).cast("int").as("passed"))
