@@ -302,16 +302,17 @@ object EventLogQueries2 {
         |FROM cum u JOIN tot t ON u.event_type = t.event_type
         |GROUP BY u.event_type, bucket
         |ORDER BY u.event_type, bucket""".stripMargin) { (s, d) =>
-      val cnt = Tables.events(s, d)
-        .select(col("event_type"), Portable.cents(col("value")).as("c"))
-        .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
-      val tot = cnt.groupBy(col("event_type").as("t_type"))
-        .agg(sum(col("cn")).as("nt"))
+      // ONE scan, no join, no checkpoint: the per-type total rides the
+      // same window partitioning as the running count (one exchange+sort,
+      // two frames), so nothing re-derives the value table
       val wCum = Window.partitionBy("event_type").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cnt
+      val wTot = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"), Portable.cents(col("value")).as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
         .withColumn("cum", sum(col("cn")).over(wCum))
-        .join(broadcast(tot), col("event_type") === col("t_type"))
+        .withColumn("nt", sum(col("cn")).over(wTot))
         .groupBy(col("event_type"),
                  expr("((cum - 1) * 8) div nt").cast("int").as("bucket"))
         .agg(count(lit(1)).as("n_values"),
