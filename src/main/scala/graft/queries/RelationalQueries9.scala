@@ -92,6 +92,58 @@ object RelationalQueries9 {
         .orderBy("check_name")
     },
 
+    // The pure-SQL entry point as a first-class surface: the same
+    // Catalyst pipeline driven through temp views + spark.sql instead of
+    // the DataFrame API (a cascade user gets both; Topic.register is the
+    // topic-side twin of this registration). Monthly top nation by
+    // purchase revenue — window rank over a two-dim join, exact cents
+    // arithmetic, identical text on both engines except for the
+    // month/cents extraction idioms.
+    "q53_sql_surface" -> Q(
+      """WITH ev AS (
+        |  SELECT CAST(epoch_ns(ts)//86400000000000 // 30 AS BIGINT) AS month_no,
+        |         user_id, CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |rev AS (
+        |  SELECT e.month_no, n.n_name,
+        |         CAST(SUM(e.c) AS BIGINT) AS rev_c, COUNT(*) AS n_purchases
+        |  FROM ev e
+        |  JOIN customer cu ON e.user_id = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  GROUP BY e.month_no, n.n_name),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY month_no
+        |                               ORDER BY rev_c DESC, n_name) AS rn
+        |  FROM rev)
+        |SELECT month_no, n_name,
+        |       CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+        |       n_purchases
+        |FROM rk WHERE rn = 1 ORDER BY month_no""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("g_events")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""
+        WITH ev AS (
+          SELECT unix_micros(ts) div 86400000000 div 30 AS month_no,
+                 user_id, CAST(round(value*100) AS BIGINT) AS c
+          FROM g_events WHERE event_type = 'purchase'),
+        rev AS (
+          SELECT e.month_no, n.n_name,
+                 SUM(e.c) AS rev_c, COUNT(*) AS n_purchases
+          FROM ev e
+          JOIN g_customer cu ON e.user_id = cu.c_custkey
+          JOIN g_nation n ON cu.c_nationkey = n.n_nationkey
+          GROUP BY e.month_no, n.n_name),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY month_no
+                                       ORDER BY rev_c DESC, n_name) AS rn
+          FROM rev)
+        SELECT month_no, n_name,
+               CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               n_purchases
+        FROM rk WHERE rn = 1 ORDER BY month_no""")
+    },
+
     // Join-key skew profile: the report that decides whether a join on
     // this key needs salting or AQE skew handling BEFORE the job runs.
     // One map-side-combined count per key, tiny global stats, and the
