@@ -273,6 +273,65 @@ object EventLogQueries2 {
         .orderBy("event_type", "q")
     },
 
+    // Bot/automation detection by inter-event-time REGULARITY: human
+    // activity has bursty gaps (high coefficient of variation), scripted
+    // traffic is metronomic (CV → 0). Per-user gap stream from one
+    // user-partitioned lag window; mean/variance from exact integer
+    // sums (gap µs fit BIGINT; sum of squares of second-scale gaps
+    // stays < 2^62 for any plausible retention), CV in one IEEE
+    // sqrt+divide — the same portable-moments recipe as
+    // el_anomaly_zscore. Flag threshold enters as exact integer
+    // comparison on the quantized CV. Output one row per user with
+    // ≥ 2 gaps.
+    "el_bot_regularity" -> Q(
+      """WITH seq AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us,
+        |         LAG(epoch_ns(ts)//1000) OVER (PARTITION BY user_id
+        |                                       ORDER BY epoch_ns(ts)//1000, event_id) AS prev_us
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id, (us - prev_us) // 1000000 AS gap_s
+        |  FROM seq WHERE prev_us IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps,
+        |         CAST(SUM(gap_s) AS BIGINT) AS sg,
+        |         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sg2
+        |  FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2)
+        |SELECT user_id, n_gaps,
+        |       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |       sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |            - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |              * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |         / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS gap_cv,
+        |       CAST(CASE WHEN sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |                           - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |                             * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |                      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |                      < CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE)
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS bot_flag
+        |FROM st ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val st = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"), expr("(us - prev_us) div 1000000").as("gap_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+             sum(col("gap_s")).as("sg"),
+             sum(col("gap_s") * col("gap_s")).as("sg2"))
+        .filter(col("n_gaps") >= 2)
+      val meanG = col("sg").cast("double") / col("n_gaps").cast("double")
+      val cv = sqrt(col("sg2").cast("double") / col("n_gaps").cast("double")
+                    - meanG * meanG) / meanG
+      st.select(col("user_id"), col("n_gaps"), meanG.as("mean_gap_s"),
+                cv.as("gap_cv"),
+                when(cv < lit(3).cast("double") / lit(10).cast("double"), 1)
+                  .otherwise(0).cast("int").as("bot_flag"))
+        .orderBy("user_id")
+    },
+
     // EQUI-DEPTH histogram (the optimizer-statistics twin of the
     // equal-width el_quantile_sketch): 8 buckets per type holding
     // ~n/8 rows each, built entirely from the per-value cumulative

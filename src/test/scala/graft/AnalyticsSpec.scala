@@ -416,6 +416,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("el_bot_regularity: CV matches brute force; flag is threshold-consistent") {
+    val rows = SparkEntry.queries("el_bot_regularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { es =>
+        val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+        sorted.zip(sorted.tail).map { case (a, b) => (b - a) / 1000000L }
+      }.toMap
+    for (r <- rows) {
+      val gs = gaps(r.getLong(0))
+      assert(r.getLong(r.fieldIndex("n_gaps")) == gs.length.toLong)
+      val mean = gs.sum.toDouble / gs.length
+      val cv = math.sqrt(gs.map(g => g.toDouble * g).sum / gs.length - mean * mean) / mean
+      assert(math.abs(r.getDouble(r.fieldIndex("gap_cv")) - cv) < 1e-9,
+        s"user ${r.getLong(0)}")
+      assert(r.getInt(r.fieldIndex("bot_flag")) == (if (cv < 0.3) 1 else 0))
+    }
+    // synthetic fixture users are human-bursty — none should flag
+    assert(rows.forall(_.getInt(rows.head.fieldIndex("bot_flag")) == 0))
+  }
+
   test("dd_chunk_dedup: retention matches a brute-force chunk census") {
     val rows = SparkEntry.queries("dd_chunk_dedup")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
