@@ -34,6 +34,10 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    // The per-query line above grew past the driver's tail-capture window
+    // (BENCH_r01..r03 all parsed as null). The LAST line printed must be a
+    // complete, short JSON record so any tail capture can parse the result.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

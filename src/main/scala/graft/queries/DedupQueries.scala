@@ -144,17 +144,28 @@ object DedupQueries {
     * declared verifiers (jaccard, edit distance, containment, cluster
     * propagation) consume the same candidate set, and each would
     * otherwise re-run the whole signature lineage (shingle → md5 →
-    * K-min aggregate → banding). Same cache/eviction story as the IVF
-    * centroids — `ArtifactStore.invalidate(dir)` drops it. The frame is
-    * SMALL (near-dup pairs, not the corpus), so the local checkpoint is
-    * cheap at any scale. */
+    * K-min aggregate → banding). Persisted as a PARQUET ARTIFACT (the
+    * same two-layer pattern as the IVF centroids / PQ codebooks): the
+    * first caller builds and writes it, every later caller — in this JVM
+    * or any other — reads the same materialized frame, so per-verifier
+    * cost no longer depends on execution order. Unlike the centroids the
+    * artifact stays DISTRIBUTED (a parquet scan, never collected): the
+    * pair set is near-dup-scale, not constant-size, so it must not ride
+    * the driver. `ArtifactStore.invalidate(dir)` drops both layers. */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   graft.ArtifactStore.onInvalidate(candCache.remove(_))
 
   private[queries] def bandCandidatesCached(docs: DataFrame, dir: String): DataFrame =
-    candCache.computeIfAbsent(dir, _ => bandCandidates(docs).localCheckpoint(true))
+    candCache.computeIfAbsent(dir, _ => {
+      val spark = docs.sparkSession
+      val path = graft.ArtifactStore.pathFor(dir, "lsh-band-candidates")
+      val (hfs, p) = graft.Topic.fs(spark, path)
+      if (!hfs.exists(p))
+        bandCandidates(docs).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
 
   /** Shingle sets for CANDIDATE documents only: the verifiers' pair set
     * touches a tiny fraction of the corpus, so shingling every document

@@ -296,20 +296,21 @@ object EventLogQueries2 {
         |  SELECT user_id, COUNT(*) AS n_gaps,
         |         CAST(SUM(gap_s) AS BIGINT) AS sg,
         |         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sg2
-        |  FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2)
-        |SELECT user_id, n_gaps,
-        |       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
-        |       sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |            - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |              * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
-        |         / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS gap_cv,
-        |       CAST(CASE WHEN sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |                           - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |                             * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
-        |                      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |                      < CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE)
+        |  FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2),
+        |fin AS (
+        |  SELECT user_id, n_gaps,
+        |         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |         CASE WHEN sg = 0 THEN CAST(0 AS DOUBLE)
+        |              ELSE sqrt(greatest(CAST(0 AS DOUBLE),
+        |                          CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |                          - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |                            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))))
+        |                   / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END AS gap_cv
+        |  FROM st)
+        |SELECT user_id, n_gaps, mean_gap_s, gap_cv,
+        |       CAST(CASE WHEN gap_cv < CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE)
         |                 THEN 1 ELSE 0 END AS INTEGER) AS bot_flag
-        |FROM st ORDER BY user_id""".stripMargin) { (s, d) =>
+        |FROM fin ORDER BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id")
         .orderBy(col("us"), col("event_id"))
       val st = Tables.events(s, d)
@@ -323,8 +324,14 @@ object EventLogQueries2 {
              sum(col("gap_s") * col("gap_s")).as("sg2"))
         .filter(col("n_gaps") >= 2)
       val meanG = col("sg").cast("double") / col("n_gaps").cast("double")
-      val cv = sqrt(col("sg2").cast("double") / col("n_gaps").cast("double")
-                    - meanG * meanG) / meanG
+      // sub-second scripted traffic quantizes every gap to 0 s: mean=0
+      // would make cv 0/0=NaN and the E[x^2]-mean^2 form can round to a
+      // tiny negative, making sqrt NaN. sg=0 is the exact integer guard
+      // for that case (perfect regularity → cv=0 → bot_flag=1).
+      val varG = greatest(lit(0).cast("double"),
+        col("sg2").cast("double") / col("n_gaps").cast("double") - meanG * meanG)
+      val cv = when(col("sg") === 0, lit(0).cast("double"))
+        .otherwise(sqrt(varG) / meanG)
       st.select(col("user_id"), col("n_gaps"), meanG.as("mean_gap_s"),
                 cv.as("gap_cv"),
                 when(cv < lit(3).cast("double") / lit(10).cast("double"), 1)
@@ -510,6 +517,10 @@ object EventLogQueries2 {
           col("user_id"))
         .select(col("day"), col("reg"), col("hv"), col("rk"))
         .distinct()
+        // r feeds daily, the exact companion ex, and days: without the
+        // eager barrier the events scan + distinct re-executes three
+        // times (same one-scan discipline as q49/el_winsorize)
+        .localCheckpoint(true)
       val ev = r.select(col("day"), col("hv"))
       val daily = r.groupBy("day", "reg").agg(max(col("rk")).as("mreg"))
       val m = daily

@@ -75,7 +75,7 @@ object MultimodalQueries {
         |  SELECT doc_id,
         |         [ord(substring(text, i, 1))
         |          for i in range(1, least(62, length(text)) + 1)] AS px
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |m AS (
         |  SELECT doc_id, px,
         |         CAST(list_sum(px) AS BIGINT) // len(px) AS mean FROM t),
@@ -94,7 +94,11 @@ object MultimodalQueries {
       // ~30 s at sf0.1, where two codegen'd hash aggregates + one
       // doc_id equi-join run in well under a second. 62 pixel rows per
       // doc stay map-side combined throughout.
+      // length(text)>0 guard in BOTH twins: Spark's split('', '') yields
+      // [""] so an empty doc would survive with phash=0, while DuckDB's
+      // empty px list gives NULL and drops the row at the h⋈g join
       val px = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 62)"))
                   .as(Seq("j", "ch")))

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a larger corpus from a driver SF dir by consistent key-shifted
+  * replication — the SCALING.md decade-up audit input (the oracle gate stays
+  * at driver SFs; this corpus exists only to measure wall-time ratios one
+  * decade beyond sf0.1).
+  *
+  * Replication must not manufacture degenerate structure the real corpus
+  * lacks, or the ratio audit measures the generator instead of the engine:
+  *   - every foreign key shifts by the SAME per-copy stride as its primary
+  *     key, so join cardinalities scale exactly linearly;
+  *   - document text is TOKEN-ROTATED per copy (a copy-dependent cyclic
+  *     shift): within-copy near-dup structure is preserved exactly, while
+  *     cross-copy shingle sets diverge — without this, every doc gains
+  *     factor−1 near-identical twins and the LSH pair space grows
+  *     quadratically in the factor (a data artifact, not an engine cost);
+  *   - embeddings are DIMENSION-ROTATED per copy (an orthogonal transform):
+  *     norms and within-copy cosine structure are bit-preserved, cross-copy
+  *     vectors decorrelate;
+  *   - region/nation stay fixed (dimension tables of bounded cardinality).
+  *
+  * Usage: runMain graft.tools.Synth <srcSfDir> <dstDir> <factor>
+  */
+object Synth {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, fStr) = args
+    val f = fStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.repartition(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    /** One row per (source row, copy 0..f-1). */
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("cp", explode(sequence(lit(0), lit(f - 1))))
+
+    /** Per-copy stride for a key: max+1 of the source column, so shifted
+      * ranges are disjoint and dense-ish. */
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    // fixed dims
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val orders   = read("orders")
+    val part     = read("part")
+    val supplier = read("supplier")
+    val custS  = stride(customer, "c_custkey")
+    val ordS   = stride(orders, "o_orderkey")
+    val partS  = stride(part, "p_partkey")
+    val suppS  = stride(supplier, "s_suppkey")
+
+    def shifted(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      shifts.foldLeft(copies(df)) { case (acc, (c, s)) =>
+        acc.withColumn(c, col(c) + col("cp") * s)
+      }.drop("cp")
+
+    write(shifted(customer, "c_custkey" -> custS), "customer")
+    write(shifted(supplier, "s_suppkey" -> suppS), "supplier")
+    write(shifted(part, "p_partkey" -> partS), "part")
+    write(shifted(orders, "o_orderkey" -> ordS, "o_custkey" -> custS), "orders")
+    write(shifted(read("lineitem"),
+      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
+
+    // events: ts arrives as long nanos under nanosAsLong and is written
+    // back as BIGINT — Tables.events handles either representation
+    val events = read("events")
+    write(shifted(events,
+      "event_id" -> stride(events, "event_id"),
+      "user_id"  -> stride(events, "user_id")), "events")
+
+    // documents: shift doc_id, token-rotate text per copy
+    val docs = read("documents")
+    val docS = stride(docs, "doc_id")
+    write(copies(docs)
+      .withColumn("doc_id", col("doc_id") + col("cp") * docS)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("r", (col("cp") * size(col("toks"))) / f) // 0 for cp=0
+      .withColumn("r", col("r").cast("int"))
+      .withColumn("text",
+        concat_ws(" ",
+          concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
+                 slice(col("toks"), lit(1), col("r")))))
+      .drop("toks", "r", "cp"), "documents")
+
+    // embeddings: shift vec_id, rotate dimensions per copy
+    val emb  = read("embeddings")
+    val embS = stride(emb, "vec_id")
+    write(copies(emb)
+      .withColumn("vec_id", col("vec_id") + col("cp") * embS)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), col("cp") + 1,
+                     size(col("embedding")) - col("cp")),
+               slice(col("embedding"), lit(1), col("cp"))))
+      .drop("cp"), "embeddings")
+
+    Tables.check(spark, src, dst, f)
+    spark.stop()
+  }
+}
+
+/** Row-count sanity for the synthesized corpus. */
+private object Tables {
+  def check(spark: SparkSession, src: String, dst: String, f: Int): Unit =
+    graft.Tables.names.foreach { t =>
+      val s = spark.read.parquet(s"$src/$t.parquet").count()
+      val d = spark.read.parquet(s"$dst/$t.parquet").count()
+      val want = if (t == "region" || t == "nation") s else s * f
+      assert(d == want, s"$t: synthesized $d rows, expected $want")
+      println(s"[synth] $t: $s -> $d rows")
+    }
+}
