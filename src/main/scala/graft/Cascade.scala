@@ -77,6 +77,12 @@ final class Cascade(spark: SparkSession, root: String) {
     hfs.delete(p, true)
   }
 
+  /** Offset high-water mark of a topic (-1 when empty/new) — the scalar
+    * the publish path's dense-ordinal continuation needs (rpc facade,
+    * custom publishers) without forcing a full `describe` aggregate. */
+  def highWaterMark(topic: String): Long =
+    Topic.highWaterMark(spark, dir(topic))
+
   /** Topic description: row count + offset high-water mark (the broker
     * registration record, generalized). */
   def describe(topic: String): DataFrame = {

@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * lacks, or the ratio audit measures the generator instead of the engine:
   *   - every foreign key shifts by the SAME per-copy stride as its primary
   *     key, so join cardinalities scale exactly linearly;
-  *   - document text is TOKEN-ROTATED per copy (a copy-dependent cyclic
-  *     shift): within-copy near-dup structure is preserved exactly, while
-  *     cross-copy shingle sets diverge — without this, every doc gains
-  *     factor−1 near-identical twins and the LSH pair space grows
-  *     quadratically in the factor (a data artifact, not an engine cost);
+  *   - document text is TOKEN-TAGGED per copy (every token of copy i>0
+  *     gets a `~i` suffix): within-copy near-dup structure is preserved
+  *     exactly (two near-dup docs stay near-dups — their tagged shingles
+  *     still agree), while cross-copy shingle SETS are disjoint. A cyclic
+  *     token rotation is NOT enough: rotation preserves the shingle set
+  *     (only the wrap-boundary shingles change), so MinHash still banded
+  *     every doc with its factor−1 twins and the LSH pair space grew
+  *     ~factor²/2 per bucket (measured 840× pairs at factor 10) — a data
+  *     artifact that would poison the ratio audit;
   *   - embeddings are DIMENSION-ROTATED per copy (an orthogonal transform):
   *     norms and within-copy cosine structure are bit-preserved, cross-copy
   *     vectors decorrelate;
@@ -86,14 +90,13 @@ object Synth {
     val docS = stride(docs, "doc_id")
     write(copies(docs)
       .withColumn("doc_id", col("doc_id") + col("cp") * docS)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("r", (col("cp") * size(col("toks"))) / f) // 0 for cp=0
-      .withColumn("r", col("r").cast("int"))
       .withColumn("text",
-        concat_ws(" ",
-          concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
-                 slice(col("toks"), lit(1), col("r")))))
-      .drop("toks", "r", "cp"), "documents")
+        when(col("cp") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("cp"))))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("cp"), "documents")
 
     // embeddings: shift vec_id, rotate dimensions per copy
     val emb  = read("embeddings")
