@@ -144,6 +144,42 @@ object RelationalQueries9 {
         FROM rk WHERE rn = 1 ORDER BY month_no""")
     },
 
+    // Event-time RANGE window frames — the window-frame family the rest
+    // of the window suite doesn't cover (q09/q30 use ROWS frames): a
+    // rolling 1-hour per-user count/sum where the frame is defined by
+    // the ORDER-BY VALUE (all events within 3600 s), not a row count.
+    // RANGE frames are peer-inclusive, so ties in the sort key cannot
+    // make the result order-dependent — exactly why they hash-match the
+    // oracle where a ROWS frame over tied timestamps could not. This is
+    // the sliding-window aggregate WITHOUT the explode fan-out of
+    // el_hll_sliding's exact twin: each row's frame is evaluated over
+    // the sorted user partition in one pass.
+    "q54_range_frame" -> Q(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS es,
+        |         CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT user_id, event_id, es,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |       CAST(CAST(SUM(c) OVER w AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.cents
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("es")
+        .rangeBetween(-3600, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                expr("unix_micros(ts) div 1000000").as("es"),
+                cents(col("value")).as("c"))
+        .select(col("user_id"), col("event_id"), col("es"),
+                count(lit(1)).over(w).as("n_1h"),
+                (sum(col("c")).over(w).cast("double") / lit(100.0)).as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Join-key skew profile: the report that decides whether a join on
     // this key needs salting or AQE skew handling BEFORE the job runs.
     // One map-side-combined count per key, tiny global stats, and the

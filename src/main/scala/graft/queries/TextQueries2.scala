@@ -157,6 +157,49 @@ object TextQueries2 {
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("unit"))
+    },
+
+    // Zipf head profile: the vocabulary-statistics report a corpus drop
+    // gets before tokenizer/mixture decisions — top-50 tokens with rank,
+    // count, corpus share, and the rank·count product (Zipf's law
+    // predicts it near-constant; a flat head says the corpus is
+    // synthetic or template-heavy, a steep one says natural text). No
+    // ln() anywhere — the product form keeps the fit diagnostic in
+    // exact integer arithmetic (the same portability reason ta_tfidf
+    // uses linear idf). The token count is one map-side-combined
+    // aggregate; the head is a TakeOrdered (never a global vocab sort),
+    // and the rank window runs over the ≤50-row head only
+    // (PlanAssertionsSpec allowlists it with the consume point-reads).
+    "ta_zipf_rank" -> Q(
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt, COUNT(*) AS vocab_size FROM cnt),
+        |top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 50),
+        |rk AS (
+        |  SELECT token, n,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+        |  FROM top)
+        |SELECT r.rank, r.token, CAST(r.n AS BIGINT) AS n,
+        |       CAST(r.rank * r.n AS BIGINT) AS zipf_product,
+        |       CAST(r.n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share,
+        |       t.vocab_size
+        |FROM rk r, tot t ORDER BY r.rank""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("nt"), count(lit(1)).as("vocab_size"))
+      cnt.orderBy(col("n").desc, col("token")).limit(50)
+        .withColumn("rank", row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("token"), col("n"),
+                (col("rank").cast("long") * col("n")).as("zipf_product"),
+                (col("n").cast("double") / col("nt").cast("double")).as("share"),
+                col("vocab_size"))
+        .orderBy("rank")
     }
   )
 }

@@ -113,7 +113,9 @@ class PlanAssertionsSpec extends SparkSpec {
     * unbounded input. Anything else growing one fails the suite until
     * listed here with a rationale. */
   private val globalWindowByDesign = Set(
-    "el_consume_offset", "el_consume_batch", "el_consume_shard")
+    "el_consume_offset", "el_consume_batch", "el_consume_shard",
+    // rank window over the TakeOrdered head: ≤ 50 rows reach it
+    "ta_zipf_rank")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
