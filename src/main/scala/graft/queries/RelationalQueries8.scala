@@ -221,7 +221,14 @@ object RelationalQueries8 {
       // materialize the edge list ONCE (eager localCheckpoint, the
       // ClusterQueries iteration pattern): e feeds both degree dims and
       // all three propagation rounds — without the barrier the
-      // orders⋈lineitem join + distinct re-executes five times
+      // orders⋈lineitem join + distinct re-executes five times. The
+      // per-round degree joins stay: the degree-EMBEDDED edge layout
+      // (checkpoint (cust, supp, dc, ds), no degree join per round) was
+      // A/B-measured and LOST at the decade-up SF (median 6.48 s vs
+      // 5.36 s at sf1; ~even at sf0.1) — the 2×-wider materialization
+      // costs more than the joins it saves while the degree dims remain
+      // broadcast-sized, which they are until customer-dim scale stops
+      // fitting broadcast. Revisit only past that point.
       val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
               col("o_orderkey") === col("l_orderkey"))
