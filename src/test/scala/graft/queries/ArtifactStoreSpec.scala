@@ -62,6 +62,45 @@ class ArtifactStoreSpec extends graft.SparkSpec {
     ArtifactStore.invalidate(spark, dirA)
   }
 
+  test("band candidates persist as parquet, reload from the artifact, invalidate rebuilds") {
+    val dirA  = copyCorpus(sf, Seq("documents"))
+    val docsA = graft.Tables.documents(spark, dirA)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // first call builds AND persists; result must equal the direct build
+    val direct = pairSet(DedupQueries.bandCandidates(docsA))
+    assert(direct.nonEmpty, "fixture produced no candidate pairs")
+    val cached = pairSet(DedupQueries.bandCandidatesCached(docsA, dirA))
+    assert(cached == direct)
+    val artifactA = ArtifactStore.pathFor(dirA, "lsh-band-candidates")
+    assert(Files.exists(Paths.get(artifactA)), s"artifact missing: $artifactA")
+
+    // corpus B holds only 100 docs, but its artifact path is seeded with
+    // A's parquet: the cached accessor must take the LOAD path — proven
+    // by getting A's full pair set back, which B's data cannot produce
+    val dirB = copyCorpus(sf, Seq("documents"))
+    spark.read.parquet(s"$dirA/documents.parquet").limit(100)
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val artifactB = ArtifactStore.pathFor(dirB, "lsh-band-candidates")
+    Files.createDirectories(Paths.get(artifactB).getParent)
+    copyTree(Paths.get(artifactA), Paths.get(artifactB))
+    val docsB = graft.Tables.documents(spark, dirB)
+    assert(pairSet(DedupQueries.bandCandidatesCached(docsB, dirB)) == direct)
+
+    // invalidate B: artifact deleted, JVM cache evicted → next call
+    // REBUILDS from B's truncated corpus and can only see ≤ its doc ids
+    ArtifactStore.invalidate(spark, dirB)
+    assert(!Files.exists(Paths.get(artifactB)), "invalidate left the artifact")
+    val rebuilt = pairSet(DedupQueries.bandCandidatesCached(docsB, dirB))
+    assert(rebuilt != direct, "invalidate did not rebuild")
+    val maxId = spark.read.parquet(s"$dirB/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    assert(rebuilt.forall { case (a, b) => a <= maxId && b <= maxId })
+
+    ArtifactStore.invalidate(spark, dirA)
+  }
+
   test("reliable checkpoint round-trip: dd_dup_clusters agrees with localCheckpoint") {
     val ckDir = Files.createTempDirectory("graft-ck").toString
     // evict any cached labels so both runs actually propagate
