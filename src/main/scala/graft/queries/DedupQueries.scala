@@ -167,6 +167,40 @@ object DedupQueries {
       spark.read.parquet(path)
     })
 
+  /** Capped band-candidate pairs WITH their signature agreement count:
+    * (da, db, matches) — shared by dd_minhash_pairs (est = matches/K)
+    * and dd_est_calibration (matches buckets vs exact Jaccard).
+    *
+    * Single-pass formulation: ONE signature aggregate, bands exploded to
+    * (band_id, band_key) rows, bucket members gathered with collect_list
+    * and pairs generated INSIDE each bucket — no self-join, so the
+    * expensive shingle+md5+groupBy lineage runs exactly once (the
+    * round-1 two-joins-of-two-sides plan ran it 4×). Over-BandCap
+    * buckets are skipped (reported by dd_band_stats), so the per-bucket
+    * collect_list + pair fan-out is ≤ cap² at any corpus scale; AQE
+    * splits the skewed-but-under-cap reducers. `matches` is functionally
+    * determined by the pair, so the dropDuplicates is deterministic. */
+  private[queries] def estPairs(docs: DataFrame): DataFrame = {
+    val sig    = sigDf(docs)
+    val member = struct(col("doc_id") +: (0 until K).map(j => col(s"s$j")): _*)
+    val banded = sig.select(member.as("m"),
+        explode(array(
+          struct(lit(0).as("bid"), col("band0").as("bkey")),
+          struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
+      .select(col("m"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
+    val matches = (0 until K).map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    banded
+      .groupBy("bid", "bkey").agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) <= BandCap)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+              matches.cast("int").as("matches"))
+      .dropDuplicates("da", "db")
+  }
+
   /** Shingle sets for CANDIDATE documents only: the verifiers' pair set
     * touches a tiny fraction of the corpus, so shingling every document
     * twice (once per join side) is pure waste — semi-join the docs down
@@ -247,6 +281,7 @@ object DedupQueries {
     // scored by signature agreement (estimated Jaccard). Candidates come
     // from two EQUI-joins on band keys unioned + deduped — the scalable
     // formulation (no theta join; bucket sizes bound the pair space).
+    // The pair builder is shared with dd_est_calibration via estPairs.
     "dd_minhash_pairs" -> Q(
       s"""WITH $duckSigCte,
          |$duckBszCte,
@@ -265,33 +300,75 @@ object DedupQueries {
          |  JOIN bsz s1 ON s1.bid = 1 AND s1.bkey = a.band1
          |  WHERE s1.bucket_size <= $BandCap)
          |SELECT da, db, est_jaccard FROM pairs ORDER BY da, db""".stripMargin) { (s, d) =>
-      // Single-pass formulation: ONE signature aggregate, bands exploded
-      // to (band_id, band_key) rows, bucket members gathered with
-      // collect_list and pairs generated INSIDE each bucket — no
-      // self-join, so the expensive shingle+md5+groupBy lineage runs
-      // exactly once (the round-1 two-joins-of-two-sides plan ran it 4×).
-      // Over-BandCap buckets are skipped (reported by dd_band_stats), so
-      // the per-bucket collect_list + pair fan-out is ≤ cap² at any
-      // corpus scale; AQE splits the skewed-but-under-cap reducers.
-      val sig    = sigDf(Tables.documents(s, d))
-      val member = struct(col("doc_id") +: (0 until K).map(j => col(s"s$j")): _*)
-      val banded = sig.select(member.as("m"),
-          explode(array(
-            struct(lit(0).as("bid"), col("band0").as("bkey")),
-            struct(lit(1).as("bid"), col("band1").as("bkey")))).as("bk"))
-        .select(col("m"), col("bk.bid").as("bid"), col("bk.bkey").as("bkey"))
-      val pairs = banded
-        .groupBy("bid", "bkey").agg(collect_list(col("m")).as("ms"))
-        .filter(size(col("ms")) <= BandCap)
-        .select(explode(col("ms")).as("a"), col("ms"))
-        .select(col("a"), explode(col("ms")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-      val est = (0 until K).map(j => when(col(s"a.s$j") === col(s"b.s$j"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / K
-      pairs
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), est.as("est_jaccard"))
-        .dropDuplicates("da", "db")
+      estPairs(Tables.documents(s, d))
+        .select(col("da"), col("db"),
+                (col("matches").cast("double") / K).as("est_jaccard"))
         .orderBy("da", "db")
+    },
+
+    // Sketch CALIBRATION: the accuracy report for the MinHash estimator —
+    // candidate pairs bucketed by signature agreement (0..K matching
+    // permutations), each bucket scored against the EXACT shingle
+    // Jaccard. The per-bucket exact summary is the POOLED ratio
+    // Σ|A∩B| / Σ|A∪B| (one integer division — bit-portable where a mean
+    // of per-pair doubles is not) plus order-independent min/max. This
+    // is how an operator decides whether K=8 permutations suffice for
+    // the dedup threshold in use, the same observability role
+    // ss_centroid_profile plays for the IVF index. Cost: the shared
+    // estPairs build + two candidate-bounded equi-joins.
+    "dd_est_calibration" -> Q(
+      s"""WITH $duckSigCte,
+         |$duckBszCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST((${(0 until K).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")})
+         |              AS INTEGER) AS matches
+         |  FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  JOIN bsz s0 ON s0.bid = 0 AND s0.bkey = a.band0
+         |  WHERE s0.bucket_size <= $BandCap
+         |  UNION
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST((${(0 until K).map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")})
+         |              AS INTEGER) AS matches
+         |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |  JOIN bsz s1 ON s1.bid = 1 AND s1.bkey = a.band1
+         |  WHERE s1.bucket_size <= $BandCap),
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |j AS (
+         |  SELECT p.matches,
+         |         CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) AS inter,
+         |         CAST(len(list_distinct(list_concat(ta.sh, tb.sh))) AS BIGINT) AS uni
+         |  FROM pairs p
+         |  JOIN t ta ON p.da = ta.doc_id
+         |  JOIN t tb ON p.db = tb.doc_id)
+         |SELECT matches,
+         |       CAST(matches AS DOUBLE) / CAST($K AS DOUBLE) AS est_jaccard,
+         |       COUNT(*) AS n_pairs,
+         |       CAST(CAST(SUM(inter) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(SUM(uni) AS BIGINT) AS DOUBLE) AS pooled_jaccard,
+         |       MIN(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS min_exact,
+         |       MAX(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS max_exact
+         |FROM j GROUP BY matches ORDER BY matches""".stripMargin) { (s, d) =>
+      val docs  = Tables.documents(s, d)
+      val pairs = estPairs(docs)
+      val (ta, tb) = candidateShingleSides(docs, pairs.select(col("da"), col("db")))
+      pairs
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select(col("matches"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+          size(array_union(col("a_sh"), col("b_sh"))).cast("long").as("uni"))
+        .groupBy("matches")
+        .agg(count(lit(1)).as("n_pairs"),
+             (sum(col("inter")).cast("double") / sum(col("uni")).cast("double"))
+               .as("pooled_jaccard"),
+             min(col("inter").cast("double") / col("uni")).as("min_exact"),
+             max(col("inter").cast("double") / col("uni")).as("max_exact"))
+        .select(col("matches"),
+                (col("matches").cast("double") / K).as("est_jaccard"),
+                col("n_pairs"), col("pooled_jaccard"),
+                col("min_exact"), col("max_exact"))
+        .orderBy("matches")
     },
 
     // Band-bucket size distribution + the over-cap report: the out-of-band
