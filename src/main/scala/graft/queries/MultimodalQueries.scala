@@ -61,6 +61,53 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Audio energy profile over a binary "PCM stream": the first 256
+    // bytes as unsigned samples, framed 16 samples per window — per-doc
+    // frame count, total energy (Σ sample² in BIGINT), low-energy
+    // ("silence") frame count via an integer mean-square threshold, and
+    // the silence ratio a speech pipeline gates on (VAD's batch
+    // analogue). Same fake-decode contract as mm_phash (ascii values
+    // stand in for the codec), same scalable shape: posexplode → two
+    // codegen'd hash aggregates, ≤256 sample rows per doc map-side
+    // combined — not per-element HOF lambdas (the mm_phash 36× lesson).
+    "mm_audio_energy" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, (u.i - 1) // 16 AS frame,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, 257)) u(i)
+        |  WHERE length(d.text) > 0 AND u.i <= least(256, length(d.text))),
+        |fr AS (
+        |  SELECT doc_id, frame, CAST(SUM(p * p) AS BIGINT) AS ss, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id, frame)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |       CAST(SUM(ss) AS BIGINT) AS energy_total,
+        |       CAST(SUM(CASE WHEN ss < 10000 * n THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS silence_frames,
+        |       CAST(SUM(CASE WHEN ss < 10000 * n THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val px = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+                posexplode(expr("slice(split(text, ''), 1, 256)"))
+                  .as(Seq("i", "ch")))
+        .select(col("doc_id"), expr("i div 16").as("frame"),
+                ascii(col("ch")).cast("long").as("p"))
+      px.groupBy("doc_id", "frame")
+        .agg(sum(col("p") * col("p")).as("ss"), count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+             sum(col("ss")).as("energy_total"),
+             sum(when(col("ss") < lit(10000L) * col("n"), 1).otherwise(0))
+               .cast("int").as("silence_frames"))
+        .select(col("doc_id"), col("n_frames"), col("energy_total"),
+                col("silence_frames"),
+                (col("silence_frames").cast("double") / col("n_frames").cast("double"))
+                  .as("silence_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Perceptual average-hash (aHash) over the deterministic fake raster
     // (first 62 byte values as "pixels" — 62 bits keeps the BIGINT
     // positive in both engines): bit j set iff pixel j exceeds the
