@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * Image payloads are decoded FOR REAL: the JDK ships PNG/BMP/GIF/JPEG
   * codecs in `javax.imageio`, so `decode` parses actual encoded bytes and
   * emits true pixel dimensions plus a luminance histogram computed from
-  * the decoded raster. Audio/video codecs are not in the JDK, so those
-  * payloads take the documented non-image fallback (byte histogram,
-  * 0×0 dimensions — the "no codec" signal). The pipeline shape is the
-  * production one either way: a `binary` payload column, a typed Dataset,
-  * and `mapPartitions` so per-partition setup (codec registry scan, model
-  * load) amortizes across the batch — the Scala/JVM equivalent of the
-  * Python `mapInPandas` batch-UDF pattern.
+  * the decoded raster. Audio is ALSO real: `javax.sound.sampled` ships a
+  * WAV/AIFF/AU container parser, so [[pcmEnergy]] decodes actual PCM
+  * samples (the declared fake-raster twin is `mm_audio_energy`). Video
+  * codecs are not in the JDK, so those payloads take the documented
+  * fallback (byte histogram, 0×0 dimensions — the "no codec" signal).
+  * The pipeline shape is the production one either way: a `binary`
+  * payload column, a typed Dataset, and `mapPartitions` so per-partition
+  * setup (codec registry scan, model load) amortizes across the batch —
+  * the Scala/JVM equivalent of the Python `mapInPandas` batch-UDF
+  * pattern.
   */
 object Multimodal {
 
@@ -53,10 +56,36 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A deterministic synthetic audio clip: 16-bit mono PCM, a sine tone
+    * for the first `silentFrom` samples and literal silence after,
+    * WAV-encoded through the real `javax.sound.sampled` writer — so the
+    * decode path exercises an actual container round-trip offline. */
+  def syntheticWav(nSamples: Int, freqHz: Double, silentFrom: Int,
+                   sampleRate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v: Int =
+        if (i >= silentFrom) 0
+        else (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toInt
+      data(2 * i) = (v & 0xff).toByte // little-endian per the format below
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Wrap documents as binary assets. `image`-kind assets carry REAL
-    * PNG payloads (synthesized deterministically from the doc id, since
-    * the corpus ships no media); audio/video kinds carry the utf-8 text
-    * bytes as an opaque stand-in payload. */
+    * PNG payloads and `audio`-kind assets REAL WAV payloads (both
+    * synthesized deterministically from the doc id, since the corpus
+    * ships no media); `video` kinds carry the utf-8 text bytes as an
+    * opaque stand-in payload (no JVM video codec exists to feed). */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
     docs.select(
@@ -67,10 +96,14 @@ object Multimodal {
       col("text"))
       .as[(Long, String, String)]
       .map { case (id, kind, text) =>
-        val payload =
-          if (kind == "image")
+        val payload = kind match {
+          case "image" =>
             syntheticImage((id % 48 + 16).toInt, (id % 32 + 16).toInt, id)
-          else text.getBytes("UTF-8")
+          case "audio" =>
+            val n = (1024 + id % 512).toInt
+            syntheticWav(n, 110.0 + id % 330, silentFrom = (n * (id % 5) / 8).toInt)
+          case _ => text.getBytes("UTF-8")
+        }
         Asset(id, kind, payload)
       }
   }
@@ -196,6 +229,87 @@ object Multimodal {
           c += 1
         }
         AssetHash(a.asset_id, a.kind, decoded = img != null, phash = hash)
+      }
+    }
+  }
+
+  /** Decoded audio features: real sample statistics for payloads the JVM
+    * sound stack parses, byte-pool fallback (decoded=false) otherwise.
+    * The two families never mix silently — same contract as
+    * [[AssetHash.decoded]]. */
+  final case class AudioFeatures(
+      asset_id: Long, kind: String, decoded: Boolean, sample_rate: Int,
+      n_samples: Long, n_frames: Int, energy_total: Long,
+      silence_frames: Int, silence_ratio: Double)
+
+  /** REAL audio decode + energy/silence profiling: `javax.sound.sampled`
+    * parses the container (WAV/AIFF/AU ship with the JDK), non-16-bit
+    * PCM is converted through the real `AudioSystem` conversion path,
+    * and per-frame energy is Σ sample² in integer arithmetic — a frame
+    * is "silence" when its mean square is below `silenceMeanSq` (VAD's
+    * energy gate). Payloads the sound stack rejects — video/text kinds,
+    * truncated headers — fall back to bytes-as-unsigned-samples with
+    * `decoded = false` (the same fake-decode rule as the declared
+    * `mm_audio_energy` twin, so the fallback stays oracle-shaped).
+    * Same `mapPartitions` batch shape as [[decode]]: the audio provider
+    * registry lookup amortizes per partition. Σ sample² in a Long holds
+    * to ~8.6e9 max-amplitude samples per asset (≈ 12 days of 8 kHz
+    * audio) — beyond that, frame the clip upstream. */
+  def pcmEnergy(assets: Dataset[Asset], frameSamples: Int = 256,
+                silenceMeanSq: Long = 1000000L): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    require(frameSamples > 0)
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val decoded: Option[(Int, Array[Int])] =
+          try {
+            val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(a.payload))
+            val f = raw.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              f.getSampleRate, 16, f.getChannels, true, false)
+            val ais =
+              if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) raw
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+            val bytes = ais.readAllBytes()
+            val ch = ais.getFormat.getChannels
+            // mono mix by taking channel 0 — deterministic, and the
+            // energy gate doesn't need the full downmix
+            val stride = 2 * ch
+            val samples = new Array[Int](bytes.length / stride)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = ((bytes(i * stride + 1) << 8) |
+                            (bytes(i * stride) & 0xff))
+              i += 1
+            }
+            Some((ais.getFormat.getSampleRate.toInt, samples))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val (rate, samples, isReal) = decoded match {
+          case Some((r, s)) => (r, s, true)
+          case None =>
+            val s = new Array[Int](a.payload.length)
+            var i = 0
+            while (i < s.length) {
+              s(i) = java.lang.Byte.toUnsignedInt(a.payload(i)); i += 1
+            }
+            (0, s, false)
+        }
+        val nFrames = (samples.length + frameSamples - 1) / frameSamples
+        var energy = 0L; var silence = 0; var fr = 0
+        while (fr < nFrames) {
+          val from = fr * frameSamples
+          val until = math.min(from + frameSamples, samples.length)
+          var ss = 0L; var i = from
+          while (i < until) { val v = samples(i).toLong; ss += v * v; i += 1 }
+          energy += ss
+          if (ss < silenceMeanSq * (until - from)) silence += 1
+          fr += 1
+        }
+        AudioFeatures(a.asset_id, a.kind, isReal, rate, samples.length.toLong,
+          nFrames, energy, silence,
+          if (nFrames == 0) 0.0 else silence.toDouble / nFrames)
       }
     }
   }

@@ -31,13 +31,50 @@ class OperatorsSpec extends SparkSpec {
       .filter(f => f.kind != "image" && (f.histogram.sum != f.byte_len || f.width != 0))
       .count()
     assert(bad === 0)
-    // stats handoff keeps totals
+    // stats handoff keeps totals; video assets carry the raw text bytes
+    // (image/audio carry real PNG/WAV payloads instead)
     val stats = Multimodal.kindStats(features)
     assert(stats.agg(sum(col("n_assets"))).head().getLong(0) === n)
-    val textBytes = docs.filter(col("doc_id") % 3 =!= 0)
+    val textBytes = docs.filter(col("doc_id") % 3 === 2)
       .agg(sum(length(encode(col("text"), "UTF-8")))).head().getLong(0)
-    assert(stats.filter(col("kind") =!= "image")
+    assert(stats.filter(col("kind") === "video")
       .agg(sum(col("total_bytes"))).head().getLong(0) === textBytes)
+  }
+
+  test("pcmEnergy decodes real WAV: sample-exact silence detection, typed fallback") {
+    import spark.implicits._
+    // 4096 samples at 8 kHz: a 220 Hz tone for the first half, literal
+    // zeros after → with 256-sample frames, exactly 8 loud + 8 silent
+    val wav = Multimodal.syntheticWav(4096, 220.0, silentFrom = 2048)
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", wav),
+      Multimodal.Asset(2L, "audio", "not audio at all".getBytes("UTF-8"))).toDS()
+    val f = Multimodal.pcmEnergy(assets).collect().map(x => x.asset_id -> x).toMap
+
+    val real = f(1L)
+    assert(real.decoded && real.sample_rate === 8000)
+    assert(real.n_samples === 4096L && real.n_frames === 16)
+    assert(real.silence_frames === 8, s"got ${real.silence_frames}")
+    assert(real.silence_ratio === 0.5)
+    // the tone's energy survives the WAV container round-trip: mean
+    // square of a 12000-amplitude sine ≈ amp²/2 per loud sample
+    assert(real.energy_total > 2048L * 12000L * 12000L / 4)
+
+    // an undecodable payload takes the byte-pool fallback, flagged
+    val fb = f(2L)
+    assert(!fb.decoded && fb.sample_rate === 0)
+    assert(fb.n_samples === 16L)
+
+    // the full corpus pipeline: every audio asset decodes for real, and
+    // the silence fraction matches its generator (id%5)/8 complement
+    val docs  = Tables.documents(spark, sf).limit(60)
+    val audio = Multimodal.pcmEnergy(Multimodal.assetsFromDocuments(docs))
+      .filter(a => a.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { a =>
+      assert(a.decoded, s"asset ${a.asset_id} did not decode")
+      assert(a.n_samples === 1024 + a.asset_id % 512, s"asset ${a.asset_id}")
+    }
   }
 
   test("averageHash is content-addressed: container-invariant, raster-sensitive") {
