@@ -64,7 +64,13 @@ final class CascadeRpc(spark: SparkSession, cascade: Cascade, topic: String,
       }
     }
 
-  override def send(request: PublishDataToBroker): BrokerToPublisherAck = {
+  // the reference broker serializes publish under its file mutexes
+  // (src/broker/main.rs:55-56,87-91); without this, two concurrent rpc
+  // publishes read the same hwm and mint DUPLICATE event_ids (the
+  // offset sequence itself is already safe under Topic's publish lock)
+  private val publishLock = new Object
+
+  override def send(request: PublishDataToBroker): BrokerToPublisherAck = publishLock.synchronized {
     import spark.implicits._
     // event envelope: the reference triple (name, timestamp, number)
     // embeds as (event_type, ts, value) — the Cascade mapping; event_id
