@@ -193,11 +193,12 @@ object EventStream {
     val r = right.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
                          col("ts").as("r_ts"), col("event_type").as("r_type"))
       .withWatermark("r_ts", band)
-    // joinType "left_outer": unmatched left rows surface with nulls ONLY
-    // once the watermark proves their band can no longer match — the
-    // outer result is watermark-delayed by construction, which is why a
-    // terminating run emits null rows for expired windows but holds the
-    // final in-flight window open (StreamJoinSpec pins this)
+    // joinType "left_outer"/"full_outer": unmatched rows surface with
+    // nulls ONLY once the watermark proves their band can no longer
+    // match — the outer result is watermark-delayed by construction,
+    // which is why a terminating run emits null rows for expired windows
+    // but holds the final in-flight window open (StreamJoinSpec pins
+    // both outer variants against their batch twins)
     l.join(r,
       col("l_user") === col("r_user") &&
       col("r_ts") >= col("l_ts") &&

@@ -85,6 +85,51 @@ class StreamJoinSpec extends SparkSpec {
     assert(gotNull.count() <= wantNull.count())
   }
 
+  test("full-outer stream-stream join: both sides' unmatched rows surface") {
+    val dirA = Files.createTempDirectory("ssjf-a").toString + "/t"
+    val dirB = Files.createTempDirectory("ssjf-b").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks    = ev.filter(col("event_type") === "click")
+    purchases.repartition(2).write.parquet(dirA)
+    clicks.repartition(2).write.parquet(dirB)
+    val joined = EventStream.streamStreamJoin(
+      EventStream.ingest(spark, dirA, 1), EventStream.ingest(spark, dirB, 1),
+      band = "24 hours", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjf")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssjf-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssjf")
+    val l = purchases.select(col("user_id").as("lu"), col("event_id").as("l_event"),
+                             col("ts").as("lt"))
+    val r = clicks.select(col("user_id").as("ru"), col("event_id").as("r_event"),
+                          col("ts").as("rt"))
+    val batch = l.join(r,
+        col("lu") === col("ru") && col("rt") >= col("lt") &&
+        col("rt") <= col("lt") + expr("INTERVAL 24 HOURS") &&
+        col("l_event") =!= col("r_event"), "full_outer")
+    // inner portion exact; null rows on EACH side are a subset of the
+    // batch's (the stream holds back windows still inside the final
+    // watermark), and both sides actually produced some
+    val gotInner  = got.filter(col("l_event").isNotNull && col("r_event").isNotNull)
+      .select("l_event", "r_event")
+    val wantInner = batch.filter(col("l_event").isNotNull && col("r_event").isNotNull)
+      .select("l_event", "r_event")
+    assert(gotInner.exceptAll(wantInner).isEmpty && wantInner.exceptAll(gotInner).isEmpty)
+    val gotLeftNull  = got.filter(col("r_event").isNull).select("l_event")
+    val wantLeftNull = batch.filter(col("r_event").isNull).select("l_event")
+    val gotRightNull  = got.filter(col("l_event").isNull).select("r_event")
+    val wantRightNull = batch.filter(col("l_event").isNull).select("r_event")
+    assert(gotLeftNull.count() > 0 && gotRightNull.count() > 0,
+      "full outer emitted no unmatched rows")
+    assert(gotLeftNull.exceptAll(wantLeftNull).isEmpty,
+      "stream emitted a left-null row for a left that HAS a batch match")
+    assert(gotRightNull.exceptAll(wantRightNull).isEmpty,
+      "stream emitted a right-null row for a right that HAS a batch match")
+  }
+
   test("ingestValue acks 0 (false) when the topic backlog is at capacity") {
     val root = Files.createTempDirectory("ack").toString
     val c    = new Cascade(spark, root)
