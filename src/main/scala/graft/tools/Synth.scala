@@ -103,11 +103,14 @@ object Synth {
     val embS = stride(emb, "vec_id")
     write(copies(emb)
       .withColumn("vec_id", col("vec_id") + col("cp") * embS)
+      // rotate MODULO the dimension: cp can exceed dim at factor > 64,
+      // where an unwrapped slice length goes negative and throws
+      .withColumn("r", pmod(col("cp"), size(col("embedding"))))
       .withColumn("embedding",
-        concat(slice(col("embedding"), col("cp") + 1,
-                     size(col("embedding")) - col("cp")),
-               slice(col("embedding"), lit(1), col("cp"))))
-      .drop("cp"), "embeddings")
+        concat(slice(col("embedding"), col("r") + 1,
+                     size(col("embedding")) - col("r")),
+               slice(col("embedding"), lit(1), col("r"))))
+      .drop("r", "cp"), "embeddings")
 
     Tables.check(spark, src, dst, f)
     spark.stop()
