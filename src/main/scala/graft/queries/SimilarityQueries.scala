@@ -24,6 +24,16 @@ object SimilarityQueries {
 
   private val DIM   = 64
   private val NBITS = 8
+  // Adaptive LSH blocking: a fixed b-bit signature has 2^b buckets, so
+  // once n >> 2^b every bucket grows linearly with the corpus and the
+  // within-bucket pair count grows QUADRATICALLY (measured: 78M candidate
+  // pairs at the synthesized sf10 decade). Buckets over this cap are
+  // re-keyed on an extended 2b-bit signature (same plane family — the
+  // low b bits of the extended signature ARE the base signature), which
+  // splits each hot bucket ~2^b ways while cold buckets keep full
+  // recall. Both twins apply the same rule, so the oracle stays exact;
+  // at driver SFs no bucket reaches the cap and results are unchanged.
+  private val BUCKET_CAP = 64
 
   def defs: Map[String, Q] = Map(
 
@@ -108,23 +118,38 @@ object SimilarityQueries {
     // random; the operator is the point, the threshold is data-tuned).
     "dd_embedding_neardup" -> Q(
       s"""WITH sigs AS (
-         |  SELECT vec_id, embedding, ${duckLshSignature("embedding", DIM, NBITS)} AS sig
+         |  SELECT vec_id, embedding,
+         |         ${duckLshSignature("embedding", DIM, 2 * NBITS)} AS sigx
          |  FROM embeddings),
+         |s8 AS (SELECT vec_id, embedding, sigx, sigx % ${1 << NBITS} AS sig FROM sigs),
+         |sz AS (SELECT sig, COUNT(*) AS bn FROM s8 GROUP BY sig),
+         |keyed AS (
+         |  SELECT s.vec_id, s.embedding,
+         |         CASE WHEN z.bn > $BUCKET_CAP THEN s.sigx + ${1 << (2 * NBITS)}
+         |              ELSE s.sig END AS bkey
+         |  FROM s8 s JOIN sz z ON s.sig = z.sig),
          |pairs AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
          |         ${duckCosine("a.embedding", "b.embedding")} AS cosine
-         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT va, vb, cosine FROM pairs WHERE cosine >= 0.25
          |ORDER BY va, vb""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val sigs = Tables.embeddings(s, d)
-        .withColumn("sig", lshSignature(col("embedding"), DIM, NBITS))
+        .withColumn("sigx", lshSignature(col("embedding"), DIM, 2 * NBITS))
+        .withColumn("sig", col("sigx") % (1 << NBITS))
         .withColumn("nrm", nativeNorm(col("embedding")))
-      val a = sigs.select(col("vec_id").as("va"), col("embedding").as("ea"),
-                          col("sig").as("siga"), col("nrm").as("na"))
-      val b = sigs.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-                          col("sig").as("sigb"), col("nrm").as("nb"))
-      a.join(b, col("siga") === col("sigb") && col("va") < col("vb"))
+      // bucket occupancy: ≤ 2^NBITS rows — a broadcast dim by construction
+      val sizes = sigs.groupBy("sig").agg(count(lit(1)).as("bn"))
+      val keyed = sigs.join(broadcast(sizes), "sig")
+        .withColumn("bkey",
+          when(col("bn") > BUCKET_CAP, col("sigx") + (1 << (2 * NBITS)))
+            .otherwise(col("sig")))
+      val a = keyed.select(col("vec_id").as("va"), col("embedding").as("ea"),
+                           col("bkey").as("ka"), col("nrm").as("na"))
+      val b = keyed.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                           col("bkey").as("kb"), col("nrm").as("nb"))
+      a.join(b, col("ka") === col("kb") && col("va") < col("vb"))
         .select(col("va"), col("vb"),
                 (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.25)

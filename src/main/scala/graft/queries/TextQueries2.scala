@@ -150,12 +150,18 @@ object TextQueries2 {
           transform(sequence(lit(1), length(tok), lit(2)),
             p => tok.substr(p, lit(2))))
           .otherwise(array().cast("array<string>"))))
+      // two-level aggregate instead of count+countDistinct in one agg:
+      // the single-agg form plans an Expand that doubles every exploded
+      // unit row before the shuffle; pre-aggregating per (unit, doc_id)
+      // gets map-side combine on the dominant duplication instead
+      // (measured 25.7 s -> linear at the sf10 decade)
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(units).as("unit"))
+        .groupBy("unit", "doc_id")
+        .agg(count(lit(1)).as("c"))
         .groupBy("unit")
-        .agg(count(lit(1)).as("n_occurrences"),
-             countDistinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("unit"))
     },
 
