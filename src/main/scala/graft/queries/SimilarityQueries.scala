@@ -190,6 +190,59 @@ object SimilarityQueries {
              max(col("c")).as("max_cosine"),
              min(col("c")).as("min_cosine"))
         .orderBy("label")
+    },
+
+    // Johnson–Lindenstrauss random projection: 64-dim float embeddings
+    // down to RDIM=16 via a deterministic ±1 sign matrix (md5-parity of
+    // "rp|j|i" — the same portable-hash family as the LSH planes, so the
+    // oracle derives the identical matrix). Sign projections preserve
+    // norms in expectation (E[‖y‖²] = RDIM·‖x‖²), which the emitted
+    // norm_ratio exhibits per vector. This is the scale path that makes
+    // everything downstream (ANN, clustering, dedup) 4× cheaper per
+    // vector: one corpus pass, RDIM codegen'd dots per row, no shuffle
+    // at all. All sums are sequential left-to-right folds (Vectors
+    // invariant), so the floats hash-match the oracle bit-for-bit.
+    "ss_rp_project" -> Q({
+      def signList(j: Int): String =
+        s"[CASE WHEN CAST(('0x' || substring(md5('rp|$j|' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END for d in range(0, $DIM)]"
+      s"""WITH p AS (
+         |  SELECT vec_id, label,
+         |         ${duckDot("embedding", "embedding")} AS onorm2,
+         |${(0 until RDIM).map(j => s"         ${duckDot("embedding", signList(j))} AS y$j").mkString(",\n")}
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, label, y0, onorm2,
+         |         (${(0 until RDIM).map(j => s"y$j*y$j").mkString(" + ")}) AS pnorm2
+         |  FROM p)
+         |SELECT vec_id, label, y0, onorm2, pnorm2,
+         |       pnorm2 / (${RDIM.toDouble} * onorm2) AS norm_ratio
+         |FROM q ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      FloatDot.register(s)
+      val signCols = (0 until RDIM).map { j =>
+        nativeDot(col("embedding"),
+                  array((0 until DIM).map(i => lit(rpSign(j, i))): _*)).as(s"y$j")
+      }
+      val p = Tables.embeddings(s, d).select(
+        Seq(col("vec_id"), col("label"),
+            nativeDot(col("embedding"), col("embedding")).as("onorm2")) ++ signCols: _*)
+      val pn = (0 until RDIM).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _)
+      p.select(col("vec_id"), col("label"), col("y0"), col("onorm2"), pn.as("pnorm2"))
+        .select(col("vec_id"), col("label"), col("y0"), col("onorm2"), col("pnorm2"),
+                (col("pnorm2") / (lit(RDIM.toDouble) * col("onorm2"))).as("norm_ratio"))
+        .orderBy("vec_id")
     }
   )
+
+  /** Projected dimensionality for ss_rp_project. */
+  private val RDIM = 16
+
+  /** Deterministic ±1 JL sign for projected dim `j`, input dim `i` —
+    * md5-parity of "rp|j|i", mirrored verbatim in the oracle fragment. */
+  private def rpSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
 }

@@ -421,6 +421,69 @@ object SimilarityQueries2 {
         .agg((sum(col("pc")).cast("double") / lit(100.0)).as("total_value"),
              sum(col("pn")).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // ANN recall@3: the evaluation metric every ANN deployment runs —
+    // IVF probe results (ss_ivf_ann's exact config) joined against the
+    // brute-force ground-truth top-3 for the same query set, hits
+    // counted per query. Both sides are deterministic (ties broken by
+    // vec_id), so even the RECALL of the approximate index is
+    // oracle-checked exactly. Scale shape: truth is one corpus pass
+    // against a 10-query broadcast (corpus never shuffles); the ANN
+    // side is cell-bounded; the final join is 30 rows.
+    "ss_ann_recall" -> Q(
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, label, embedding, cluster FROM refined WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cluster FROM refined
+         |  WHERE rn <= 2 AND vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |acand AS (
+         |  SELECT p.qid, m.vec_id,
+         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+         |  FROM probes p JOIN members m ON p.cluster = m.cluster AND p.qid <> m.vec_id),
+         |aranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM acand),
+         |ann AS (SELECT qid, vec_id FROM aranked WHERE rank <= 3),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |tcand AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${duckCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |tranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM tcand),
+         |truth AS (SELECT qid, vec_id FROM tranked WHERE rank <= 3),
+         |hits AS (
+         |  SELECT t.qid, COUNT(*) AS n FROM truth t
+         |  JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id GROUP BY t.qid)
+         |SELECT q2.qid, CAST(COALESCE(h.n, 0) AS INTEGER) AS n_hits,
+         |       CAST(COALESCE(h.n, 0) AS DOUBLE) / 3.0 AS recall_at_3
+         |FROM (SELECT DISTINCT qid FROM q) q2 LEFT JOIN hits h ON q2.qid = h.qid
+         |ORDER BY q2.qid""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val ann = ivfAnn(s, d, NSEEDS, 2).select(col("qid"), col("vec_id"))
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val q = e.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = truth.join(ann, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      q.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n"), lit(0L)).cast("int").as("n_hits"),
+                (coalesce(col("n"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+        .orderBy("qid")
     }
   )
 }

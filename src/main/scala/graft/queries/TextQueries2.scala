@@ -206,6 +206,114 @@ object TextQueries2 {
                 (col("n").cast("double") / col("nt").cast("double")).as("share"),
                 col("vocab_size"))
         .orderBy("rank")
+    },
+
+    // BPE tokenizer TRAINING, distributed: three merge rounds of
+    // byte-pair encoding over the corpus vocabulary (Sennrich et al.
+    // 2016's algorithm — the way every modern LLM tokenizer is built).
+    // Scale shape: the corpus collapses to (word, count) in ONE
+    // map-side-combined pass; every subsequent round is vocab-bounded
+    // (pair counting, the 1-row argmax winner joined back as a
+    // broadcast, and a per-word windowed merge), so 100 TB of text
+    // costs one scan plus work proportional to the vocabulary.
+    // The merge applies the canonical leftmost-greedy rule exactly:
+    // within a run of consecutive overlapping matches (only possible
+    // for self-pairs like "a a") positions at even offset from the run
+    // start merge — a window computation, no sequential driver loop.
+    // Winner ties break lexicographically; counts are integral; both
+    // twins state the identical three unrolled rounds.
+    "ta_bpe_merges" -> Q({
+      def duckRound(r: Int): String = {
+        val (vin, vout) = (s"v$r", s"v${r + 1}")
+        s"""s$r AS (SELECT w, wc, string_split(repr, ' ') AS sy FROM $vin),
+           |m$r AS (
+           |  SELECT w, wc, s AS p, sy[s] AS sym,
+           |         CASE WHEN s < len(sy) THEN sy[s+1] END AS nxt
+           |  FROM s$r, unnest(range(1, len(sy)+1)) u(s)),
+           |w$r AS (
+           |  SELECT sym AS wl, nxt AS wr, CAST(SUM(wc) AS BIGINT) AS cnt
+           |  FROM m$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           |  ORDER BY cnt DESC, wl, wr LIMIT 1),
+           |f$r AS (
+           |  SELECT m.*, (m.nxt IS NOT NULL AND m.sym = (SELECT wl FROM w$r)
+           |               AND m.nxt = (SELECT wr FROM w$r)) AS flg
+           |  FROM m$r m),
+           |r$r AS (
+           |  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, flg ORDER BY p) AS run
+           |  FROM f$r),
+           |g$r AS (
+           |  SELECT *, flg AND (p - MIN(p) OVER (PARTITION BY w, flg, run)) % 2 = 0 AS mrg
+           |  FROM r$r),
+           |c$r AS (
+           |  SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+           |  FROM g$r),
+           |$vout AS (
+           |  SELECT w, wc,
+           |         string_agg(CASE WHEN mrg THEN sym || nxt ELSE sym END, ' ' ORDER BY p) AS repr
+           |  FROM c$r WHERE NOT consumed GROUP BY w, wc)""".stripMargin
+      }
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |v1 AS (
+         |  SELECT w, COUNT(*) AS wc,
+         |         rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr
+         |  FROM tok WHERE length(w) > 0 GROUP BY w),
+         |${duckRound(1)},
+         |${duckRound(2)},
+         |${duckRound(3)}
+         |SELECT 1 AS merge_round, wl AS left_sym, wr AS right_sym, cnt FROM w1
+         |UNION ALL SELECT 2, wl, wr, cnt FROM w2
+         |UNION ALL SELECT 3, wl, wr, cnt FROM w3
+         |ORDER BY merge_round""".stripMargin
+    }) { (s, d) =>
+      val v1 = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("repr", rtrim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val (w1, v2) = bpeRound(v1)
+      val (w2, v3) = bpeRound(v2)
+      val (w3, _)  = bpeRound(v3)
+      def shaped(w: org.apache.spark.sql.DataFrame, r: Int) =
+        w.select(lit(r).as("merge_round"), col("wl").as("left_sym"),
+                 col("wr").as("right_sym"), col("cnt"))
+      shaped(w1, 1).union(shaped(w2, 2)).union(shaped(w3, 3)).orderBy("merge_round")
     }
   )
+
+  /** One BPE merge round over a (w, wc, repr) vocabulary frame: returns
+    * (the winning pair as a 1-row frame, the merged vocabulary). All
+    * windows partition by word — bounded by the longest word, never by
+    * the corpus. */
+  private def bpeRound(v: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val syms = v.select(col("w"), col("wc"),
+                        posexplode(split(col("repr"), " ")).as(Seq("p", "sym")))
+    val wSeq = Window.partitionBy("w").orderBy("p")
+    val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
+    val winner = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+      .select(col("sym").as("wl"), col("nxt").as("wr"), col("cnt"))
+    val flagged = withNext
+      .crossJoin(broadcast(winner.select(col("wl"), col("wr"))))
+      .withColumn("flg", col("nxt").isNotNull &&
+                         col("sym") === col("wl") && col("nxt") === col("wr"))
+    val wRun    = Window.partitionBy(col("w"), col("flg")).orderBy("p")
+    val wRunMin = Window.partitionBy(col("w"), col("flg"), col("run"))
+    val merged = flagged
+      .withColumn("run", col("p") - row_number().over(wRun))
+      .withColumn("mrg", col("flg") &&
+                         pmod(col("p") - min(col("p")).over(wRunMin), lit(2)) === 0)
+      .withColumn("consumed", coalesce(lag(col("mrg"), 1).over(wSeq), lit(false)))
+    val vNext = merged.filter(!col("consumed"))
+      .withColumn("osym", when(col("mrg"), concat(col("sym"), col("nxt")))
+                            .otherwise(col("sym")))
+      .groupBy(col("w"), col("wc"))
+      .agg(array_join(
+             transform(array_sort(collect_list(struct(col("p"), col("osym")))),
+                       x => x.getField("osym")), " ").as("repr"))
+    (winner, vNext)
+  }
 }

@@ -98,4 +98,52 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= 0 && c < 16, s"code$b=$c out of range")
     }
   }
+
+  test("ss_ann_recall reports exactly the recall the brute-force gate computes") {
+    val qids = (8L until 18L).toSeq
+    val rows = SparkEntry.queries("ss_ann_recall")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSet == qids.toSet)
+    val reported = rows.map(r => r.getAs[Long]("qid") -> r.getAs[Int]("n_hits")).toMap
+    val ann = SparkEntry.queries("ss_ivf_ann")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    qids.foreach { q =>
+      val qv = vecs(q)
+      val exact = vecs.view.filterKeys(_ != q).toSeq
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).map(_._1).toSet
+      assert(reported(q) == (ann(q) & exact).size,
+        s"qid $q: reported ${reported(q)} hits != recomputed ${(ann(q) & exact).size}")
+    }
+    // the ratio column is hits/3 and the mean sits above the suite's floor
+    rows.foreach(r => assert(
+      r.getAs[Double]("recall_at_3") == r.getAs[Int]("n_hits") / 3.0))
+    val mean = rows.map(_.getAs[Double]("recall_at_3")).sum / rows.length
+    assert(mean >= 0.3, s"mean recall $mean below the ss_ivf_ann floor")
+  }
+
+  test("ss_rp_project: JL sign projection preserves norms in expectation") {
+    val rows = SparkEntry.queries("ss_rp_project")(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    val ratios = rows.map(_.getAs[Double]("norm_ratio"))
+    // per-vector: χ²-style concentration (RDIM=16 → sd ≈ 0.35); band is
+    // loose enough to never flake, tight enough to catch a wrong matrix
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"norm ratio escaped (0.05, 5): ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean (expected ≈1)")
+    // y0 spot-check: recompute the first projected coordinate directly
+    val first = rows.minBy(_.getAs[Long]("vec_id"))
+    val v = vecs(first.getAs[Long]("vec_id"))
+    val y0 = v.indices.map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp|0|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val s = if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      v(i).toDouble * s
+    }.sum
+    assert(math.abs(first.getAs[Double]("y0") - y0) < 1e-9,
+      s"y0 ${first.getAs[Double]("y0")} != direct $y0")
+  }
 }
