@@ -122,6 +122,64 @@ object FunnelQueries {
           Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id")),
           Seq("day"), col("user_id"))
         .orderBy("day")
+    },
+
+    // SCD Type-2 interval build: collapse each user's event stream into
+    // versioned validity intervals — a new version opens whenever the
+    // event_type CHANGES (lag-detected), valid_to is the next version's
+    // valid_from (NULL = current, the open interval), exactly the
+    // slowly-changing-dimension shape a warehouse merge maintains. All
+    // windows partition by user (bounded); run-numbering is one
+    // running sum over the change flags; timestamps are integer epoch
+    // micros so the intervals are engine-exact. Ties at the same
+    // microsecond order by event_id — deterministic in both twins.
+    "el_scd2_intervals" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |x AS (
+        |  SELECT *, CASE WHEN LAG(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |                 OR LAG(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY us, event_id) <> event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |         MIN(us) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, version)
+        |SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+        |       CAST(valid_from AS BIGINT) AS valid_from,
+        |       CAST(LEAD(valid_from) OVER
+        |              (PARTITION BY user_id ORDER BY version) AS BIGINT) AS valid_to,
+        |       CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(CASE WHEN LEAD(valid_from) OVER
+        |                   (PARTITION BY user_id ORDER BY version) IS NULL
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM g ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      val lagT = lag(col("event_type"), 1).over(wSeq)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                expr("unix_micros(ts)").as("us"))
+        .withColumn("chg", when(lagT.isNull || lagT =!= col("event_type"), 1)
+                             .otherwise(0))
+        .withColumn("version", sum(col("chg")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("event_type"),
+             min(col("us")).as("valid_from"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("version").cast("int").as("version"),
+                col("event_type"), col("valid_from"),
+                lead(col("valid_from"), 1).over(wVer).as("valid_to"),
+                col("n_events"),
+                when(lead(col("valid_from"), 1).over(wVer).isNull, 1)
+                  .otherwise(0).as("is_current"))
+        .orderBy("user_id", "version")
     }
   )
 }

@@ -277,6 +277,62 @@ object TextQueries2 {
         w.select(lit(r).as("merge_round"), col("wl").as("left_sym"),
                  col("wr").as("right_sym"), col("cnt"))
       shaped(w1, 1).union(shaped(w2, 2)).union(shaped(w3, 3)).orderBy("merge_round")
+    },
+
+    // Collocation mining (the word2vec phrase-detection pass): bigrams
+    // ranked by LIFT = p(ab)/(p(a)·p(b)) — association strength, the
+    // log-free monotone twin of PMI, so no transcendental functions
+    // cross the oracle. The lift is computed as exactly two IEEE
+    // divisions and one multiply in a stated order, making even the
+    // double-valued ranking key bit-portable. Scale shape: gram and
+    // unigram counts are map-side-combined aggregates; N is a 1-row
+    // broadcast; the final top-20 is TakeOrdered (never a global sort);
+    // the rank window runs over 20 rows (the ta_zipf_rank pattern).
+    "ta_collocations" -> Q(
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |inst AS (
+        |  SELECT toks[s] AS a, toks[s+1] AS b
+        |  FROM t, unnest(range(1, len(toks))) u(s)),
+        |bg AS (SELECT a, b, COUNT(*) AS nab FROM inst GROUP BY a, b),
+        |un AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uc AS (SELECT token, COUNT(*) AS n FROM un GROUP BY token),
+        |tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS nn FROM bg),
+        |sc AS (
+        |  SELECT bg.a, bg.b, bg.nab,
+        |         (CAST(bg.nab AS DOUBLE) / CAST(ua.n AS DOUBLE))
+        |           * (CAST(t.nn AS DOUBLE) / CAST(ub.n AS DOUBLE)) AS lift
+        |  FROM bg JOIN uc ua ON bg.a = ua.token
+        |          JOIN uc ub ON bg.b = ub.token, tot t
+        |  WHERE bg.nab >= 5),
+        |top AS (SELECT * FROM sc ORDER BY lift DESC, a, b LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS INTEGER) AS rank,
+        |       a, b, CAST(nab AS BIGINT) AS n_ab, lift
+        |FROM top ORDER BY rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val inst = docs
+        .select(split(col("text"), " ").as("toks"))
+        .withColumn("i", explode(
+          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
+            .otherwise(array().cast("array<int>"))))
+        .select(expr("toks[i-1]").as("a"), expr("toks[i]").as("b"))
+      val bg = inst.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val uc = docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val tot = bg.agg(sum(col("nab")).as("nn"))
+      val sc = bg.filter(col("nab") >= 5)
+        .join(uc.select(col("token").as("ta"), col("n").as("na")), col("a") === col("ta"))
+        .join(uc.select(col("token").as("tb"), col("n").as("nb")), col("b") === col("tb"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("nab"),
+                ((col("nab").cast("double") / col("na").cast("double"))
+                  * (col("nn").cast("double") / col("nb").cast("double"))).as("lift"))
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift").desc, col("a"), col("b"))
+      sc.orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+        .withColumn("rank", row_number().over(w20))
+        .select(col("rank"), col("a"), col("b"), col("nab").as("n_ab"), col("lift"))
+        .orderBy("rank")
     }
   )
 

@@ -115,7 +115,9 @@ class PlanAssertionsSpec extends SparkSpec {
   private val globalWindowByDesign = Set(
     "el_consume_offset", "el_consume_batch", "el_consume_shard",
     // rank window over the TakeOrdered head: ≤ 50 rows reach it
-    "ta_zipf_rank")
+    "ta_zipf_rank",
+    // same pattern: rank window over a 20-row TakeOrdered head
+    "ta_collocations")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
