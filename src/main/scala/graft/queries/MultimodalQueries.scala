@@ -161,6 +161,60 @@ object MultimodalQueries {
       h.join(g, col("phash") === col("g_phash"))
         .select(col("doc_id"), col("phash"), col("n_same"))
         .orderBy("doc_id")
+    },
+
+    // Scene-cut detection over the binary "video": mm_frame_sample's
+    // strided frames reduced to an integer luminance stand-in (byte sum
+    // of the 64-byte chunk — same fake-decode contract), consecutive
+    // frames compared by a doc-partitioned lag window, a cut flagged
+    // when |Δ| exceeds the data-tuned threshold. The shot-boundary
+    // report a video curation pipeline computes before clip extraction.
+    // Scale shape: frames×64 byte rows collapse in a map-side-combined
+    // aggregate (the mm_audio_energy recipe, not per-element HOF
+    // lambdas — the mm_phash 36× lesson), then one bounded per-doc
+    // window; everything integer, oracle-exact.
+    "mm_scene_cuts" -> Q(
+      """WITH fr AS (
+        |  SELECT d.doc_id, f AS frame_no,
+        |         substring(d.text, CAST(f * 64 + 1 AS INTEGER), 64) AS chunk
+        |  FROM documents d,
+        |       unnest(CASE WHEN length(text) // 64 > 0
+        |                   THEN [x for x in range(0, length(text) // 64, 4)]
+        |                   ELSE [] END) t(f)),
+        |px AS (
+        |  SELECT doc_id, frame_no,
+        |         CAST(SUM(ord(substring(chunk, CAST(j AS INTEGER), 1))) AS BIGINT) AS fsum
+        |  FROM fr, unnest(range(1, 65)) u(j)
+        |  GROUP BY doc_id, frame_no),
+        |dl AS (
+        |  SELECT doc_id, frame_no, fsum,
+        |         fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY frame_no) AS delta
+        |  FROM px)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |       CAST(SUM(CASE WHEN abs(delta) > 300 THEN 1 ELSE 0 END) AS INTEGER) AS n_cuts,
+        |       CAST(MAX(abs(delta)) AS BIGINT) AS max_abs_delta,
+        |       CAST(MIN(CASE WHEN abs(delta) > 300 THEN frame_no END) AS BIGINT)
+        |         AS first_cut_frame
+        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nFrames  = expr("CAST(length(text) div 64 AS BIGINT)")
+      val frameIds = when(nFrames > 0,
+        sequence(lit(0L), nFrames - 1, lit(4L))).otherwise(array().cast("array<bigint>"))
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), explode(frameIds).as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+                posexplode(split(expr("substring(text, CAST(frame_no * 64 + 1 AS INT), 64)"),
+                                 "")).as(Seq("j", "ch")))
+        .groupBy("doc_id", "frame_no")
+        .agg(sum(ascii(col("ch"))).as("fsum"))
+      val wd = Window.partitionBy("doc_id").orderBy("frame_no")
+      px.withColumn("delta", col("fsum") - lag(col("fsum"), 1).over(wd))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+             sum(when(abs(col("delta")) > 300, 1).otherwise(0)).cast("int").as("n_cuts"),
+             max(abs(col("delta"))).as("max_abs_delta"),
+             min(when(abs(col("delta")) > 300, col("frame_no"))).as("first_cut_frame"))
+        .orderBy("doc_id")
     }
   )
 }
