@@ -521,6 +521,66 @@ object DedupQueries {
         .orderBy("decile")
     },
 
+    // LSH banding PARAMETER TUNING: the S-curve detection probability
+    // P(s) = 1 − (1 − s^r)^b evaluated at each observed Jaccard decile's
+    // midpoint for three (b,r) splits of the K=8 signature — the report
+    // that decides whether to rebands before a full-corpus dedup run
+    // (current config b=2·r=4 vs the higher-recall b=4·r=2 / b=8·r=1).
+    // Every power is UNROLLED to stated IEEE squarings/multiplies on a
+    // per-decile constant (never a pow() library call, whose libm vs
+    // StrictMath results differ in the last ulp), so even the double
+    // columns hash-match the oracle. Scale shape: one tiny aggregate
+    // over the already-bounded verified-pair set; the curve arithmetic
+    // runs on ≤10 rows.
+    "dd_band_tune" -> Q(
+      s"""WITH $duckCandCte,
+         |t AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+         |j AS (
+         |  SELECT CAST(least(9, CAST(floor(
+         |           CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(ta.sh, tb.sh))) * 10)
+         |           AS BIGINT)) AS INTEGER) AS decile
+         |  FROM cand c
+         |  JOIN t ta ON c.da = ta.doc_id
+         |  JOIN t tb ON c.db = tb.doc_id),
+         |h AS (SELECT decile, COUNT(*) AS n_pairs FROM j GROUP BY decile),
+         |m AS (SELECT *, (CAST(decile AS DOUBLE) + 0.5) / 10.0 AS s_mid FROM h),
+         |p AS (
+         |  SELECT decile, n_pairs, s_mid,
+         |         (s_mid * s_mid) * (s_mid * s_mid) AS s4,
+         |         s_mid * s_mid AS s2
+         |  FROM m)
+         |SELECT decile, CAST(n_pairs AS BIGINT) AS n_pairs, s_mid,
+         |       1.0 - (1.0 - s4) * (1.0 - s4) AS p_b2r4,
+         |       1.0 - ((1.0 - s2) * (1.0 - s2)) * ((1.0 - s2) * (1.0 - s2)) AS p_b4r2,
+         |       1.0 - (((1.0 - s_mid) * (1.0 - s_mid)) * ((1.0 - s_mid) * (1.0 - s_mid)))
+         |           * (((1.0 - s_mid) * (1.0 - s_mid)) * ((1.0 - s_mid) * (1.0 - s_mid)))
+         |         AS p_b8r1
+         |FROM p ORDER BY decile""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = bandCandidatesCached(docs, d)
+      val (ta, tb) = candidateShingleSides(docs, cand)
+      val h = cand
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select((size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+                 size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        .groupBy(least(lit(9L), floor(col("jaccard") * 10).cast("long")).cast("int")
+                   .as("decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val sMid = (col("decile").cast("double") + lit(0.5)) / lit(10.0)
+      val s2   = col("s_mid") * col("s_mid")
+      val s4   = (col("s_mid") * col("s_mid")) * (col("s_mid") * col("s_mid"))
+      val u    = lit(1.0) - col("s_mid")
+      h.withColumn("s_mid", sMid)
+        .select(col("decile"), col("n_pairs"), col("s_mid"),
+          (lit(1.0) - (lit(1.0) - s4) * (lit(1.0) - s4)).as("p_b2r4"),
+          (lit(1.0) - ((lit(1.0) - s2) * (lit(1.0) - s2)) *
+                      ((lit(1.0) - s2) * (lit(1.0) - s2))).as("p_b4r2"),
+          (lit(1.0) - ((u * u) * (u * u)) * ((u * u) * (u * u))).as("p_b8r1"))
+        .orderBy("decile")
+    },
+
     // Sorted-neighborhood blocking — the SECOND blocking family next to
     // LSH banding (classic entity-resolution method: sort by a
     // similarity-preserving key, compare only rank-adjacent records).

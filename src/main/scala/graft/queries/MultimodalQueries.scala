@@ -108,6 +108,58 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Leading/trailing silence TRIM points — the clip-extraction step
+    // that follows mm_audio_energy's VAD profile: per "audio" doc, the
+    // first and last frame above the silence threshold (same 16-byte
+    // frames, same integer Σp² < 10000·n test) and how many frames the
+    // trim keeps vs drops. All-silence docs trim to zero frames with
+    // NULL endpoints. Scale shape: identical to mm_audio_energy — one
+    // map-side-combined frame aggregate then a per-doc rollup; trim
+    // arithmetic is NULL-safe integer post-aggregation.
+    "mm_silence_trim" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, (u.i - 1) // 16 AS frame,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, 257)) u(i)
+        |  WHERE length(d.text) > 0 AND u.i <= least(256, length(d.text))),
+        |fr AS (
+        |  SELECT doc_id, frame, CAST(SUM(p * p) AS BIGINT) AS ss, COUNT(*) AS n
+        |  FROM px GROUP BY doc_id, frame),
+        |ag AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |         CAST(MIN(CASE WHEN ss >= 10000 * n THEN frame END) AS BIGINT)
+        |           AS first_sound,
+        |         CAST(MAX(CASE WHEN ss >= 10000 * n THEN frame END) AS BIGINT)
+        |           AS last_sound
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc_id, n_frames, first_sound, last_sound,
+        |       CAST(COALESCE(last_sound - first_sound + 1, 0) AS BIGINT)
+        |         AS kept_frames,
+        |       CAST(n_frames - COALESCE(last_sound - first_sound + 1, 0) AS BIGINT)
+        |         AS trimmed_frames
+        |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val px = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+                posexplode(expr("slice(split(text, ''), 1, 256)"))
+                  .as(Seq("i", "ch")))
+        .select(col("doc_id"), expr("i div 16").as("frame"),
+                ascii(col("ch")).cast("long").as("p"))
+      val ag = px.groupBy("doc_id", "frame")
+        .agg(sum(col("p") * col("p")).as("ss"), count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+             min(when(col("ss") >= lit(10000L) * col("n"), col("frame")))
+               .cast("long").as("first_sound"),
+             max(when(col("ss") >= lit(10000L) * col("n"), col("frame")))
+               .cast("long").as("last_sound"))
+      val kept = coalesce(col("last_sound") - col("first_sound") + 1, lit(0L))
+      ag.select(col("doc_id"), col("n_frames"), col("first_sound"), col("last_sound"),
+                kept.as("kept_frames"),
+                (col("n_frames") - kept).cast("long").as("trimmed_frames"))
+        .orderBy("doc_id")
+    },
+
     // Perceptual average-hash (aHash) over the deterministic fake raster
     // (first 62 byte values as "pixels" — 62 bits keeps the BIGINT
     // positive in both engines): bit j set iff pixel j exceeds the

@@ -223,35 +223,6 @@ object TextQueries2 {
     // Winner ties break lexicographically; counts are integral; both
     // twins state the identical three unrolled rounds.
     "ta_bpe_merges" -> Q({
-      def duckRound(r: Int): String = {
-        val (vin, vout) = (s"v$r", s"v${r + 1}")
-        s"""s$r AS (SELECT w, wc, string_split(repr, ' ') AS sy FROM $vin),
-           |m$r AS (
-           |  SELECT w, wc, s AS p, sy[s] AS sym,
-           |         CASE WHEN s < len(sy) THEN sy[s+1] END AS nxt
-           |  FROM s$r, unnest(range(1, len(sy)+1)) u(s)),
-           |w$r AS (
-           |  SELECT sym AS wl, nxt AS wr, CAST(SUM(wc) AS BIGINT) AS cnt
-           |  FROM m$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
-           |  ORDER BY cnt DESC, wl, wr LIMIT 1),
-           |f$r AS (
-           |  SELECT m.*, (m.nxt IS NOT NULL AND m.sym = (SELECT wl FROM w$r)
-           |               AND m.nxt = (SELECT wr FROM w$r)) AS flg
-           |  FROM m$r m),
-           |r$r AS (
-           |  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, flg ORDER BY p) AS run
-           |  FROM f$r),
-           |g$r AS (
-           |  SELECT *, flg AND (p - MIN(p) OVER (PARTITION BY w, flg, run)) % 2 = 0 AS mrg
-           |  FROM r$r),
-           |c$r AS (
-           |  SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
-           |  FROM g$r),
-           |$vout AS (
-           |  SELECT w, wc,
-           |         string_agg(CASE WHEN mrg THEN sym || nxt ELSE sym END, ' ' ORDER BY p) AS repr
-           |  FROM c$r WHERE NOT consumed GROUP BY w, wc)""".stripMargin
-      }
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |v1 AS (
          |  SELECT w, COUNT(*) AS wc,
@@ -277,6 +248,57 @@ object TextQueries2 {
         w.select(lit(r).as("merge_round"), col("wl").as("left_sym"),
                  col("wr").as("right_sym"), col("cnt"))
       shaped(w1, 1).union(shaped(w2, 2)).union(shaped(w3, 3)).orderBy("merge_round")
+    },
+
+    // BPE tokenizer INFERENCE — the other half of ta_bpe_merges: encode
+    // the corpus with the trained merges and report per-document token
+    // counts, the number every packing/pricing/curriculum decision keys
+    // on. Scale shape: the merges apply to the VOCABULARY (distinct
+    // words), never to document instances — 100 TB of text costs one
+    // word-count pass to train, vocab-bounded merge rounds, then one
+    // doc→vocab equi-join to sum token counts per document. All-integer
+    // output (base symbols vs post-merge tokens), so oracle-exact.
+    "ta_bpe_encode" -> Q({
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |v1 AS (
+         |  SELECT w, COUNT(*) AS wc,
+         |         rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr
+         |  FROM tok WHERE length(w) > 0 GROUP BY w),
+         |${duckRound(1)},
+         |${duckRound(2)},
+         |${duckRound(3)},
+         |enc AS (SELECT w, len(string_split(repr, ' ')) AS n_sym FROM v4),
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT d.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(length(d.w)) AS BIGINT) AS n_base_symbols,
+         |       CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(length(d.w)) - SUM(e.n_sym) AS BIGINT) AS n_saved
+         |FROM dw d JOIN enc e ON d.w = e.w
+         |WHERE length(d.w) > 0
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val v1 = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("repr", rtrim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val (_, v2) = bpeRound(v1)
+      val (_, v3) = bpeRound(v2)
+      val (_, v4) = bpeRound(v3)
+      // the trained tokenizer is a vocab-sized dim: word → token count
+      val enc = v4.select(col("w"), size(split(col("repr"), " ")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             sum(length(col("w"))).as("n_base_symbols"),
+             sum(col("n_sym")).as("n_tokens"),
+             (sum(length(col("w"))) - sum(col("n_sym"))).as("n_saved"))
+        .orderBy("doc_id")
     },
 
     // Collocation mining (the word2vec phrase-detection pass): bigrams
@@ -340,10 +362,50 @@ object TextQueries2 {
     * (the winning pair as a 1-row frame, the merged vocabulary). All
     * windows partition by word — bounded by the longest word, never by
     * the corpus. */
+  /** One unrolled BPE merge round as DuckDB CTEs, v{r} → v{r+1} — the
+    * oracle twin of `bpeRound`, shared by training and encoding. */
+  private def duckRound(r: Int): String = {
+    val (vin, vout) = (s"v$r", s"v${r + 1}")
+    s"""s$r AS (SELECT w, wc, string_split(repr, ' ') AS sy FROM $vin),
+       |m$r AS (
+       |  SELECT w, wc, s AS p, sy[s] AS sym,
+       |         CASE WHEN s < len(sy) THEN sy[s+1] END AS nxt
+       |  FROM s$r, unnest(range(1, len(sy)+1)) u(s)),
+       |w$r AS (
+       |  SELECT sym AS wl, nxt AS wr, CAST(SUM(wc) AS BIGINT) AS cnt
+       |  FROM m$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, wl, wr LIMIT 1),
+       |f$r AS (
+       |  SELECT m.*, (m.nxt IS NOT NULL AND m.sym = (SELECT wl FROM w$r)
+       |               AND m.nxt = (SELECT wr FROM w$r)) AS flg
+       |  FROM m$r m),
+       |r$r AS (
+       |  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, flg ORDER BY p) AS run
+       |  FROM f$r),
+       |g$r AS (
+       |  SELECT *, flg AND (p - MIN(p) OVER (PARTITION BY w, flg, run)) % 2 = 0 AS mrg
+       |  FROM r$r),
+       |c$r AS (
+       |  SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY p), FALSE) AS consumed
+       |  FROM g$r),
+       |$vout AS (
+       |  SELECT w, wc,
+       |         string_agg(CASE WHEN mrg THEN sym || nxt ELSE sym END, ' ' ORDER BY p) AS repr
+       |  FROM c$r WHERE NOT consumed GROUP BY w, wc)""".stripMargin
+  }
+
   private def bpeRound(v: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val syms = v.select(col("w"), col("wc"),
+    // eager checkpoint: the vocabulary is re-read by BOTH the winner
+    // aggregate and the merge below, and each round's output feeds the
+    // next — without the barrier the v1 lineage re-executes 2^round
+    // times (measured 7 s for the 3-round encode at sf0.1, 1.6 s with
+    // it). Vocab-bounded rows, so the materialization is small at any
+    // corpus scale — the persisted-merges-table shape of a real
+    // tokenizer trainer.
+    val vc = v.localCheckpoint(true)
+    val syms = vc.select(col("w"), col("wc"),
                         posexplode(split(col("repr"), " ")).as(Seq("p", "sym")))
     val wSeq = Window.partitionBy("w").orderBy("p")
     val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wSeq))
@@ -352,6 +414,9 @@ object TextQueries2 {
       .agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
       .select(col("sym").as("wl"), col("nxt").as("wr"), col("cnt"))
+      // 1-row winner, checkpointed: it enters the merge as a broadcast
+      // AND is returned to the caller — one pair-count pass, not two
+      .localCheckpoint(true)
     val flagged = withNext
       .crossJoin(broadcast(winner.select(col("wl"), col("wr"))))
       .withColumn("flg", col("nxt").isNotNull &&

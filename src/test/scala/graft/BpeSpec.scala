@@ -44,5 +44,22 @@ class BpeSpec extends SparkSpec {
                  r.getAs[Long]("cnt")))
       .toSeq
     assert(got == expect, s"distributed merges $got != sequential reference $expect")
+
+    // ENCODE side (ta_bpe_encode): per-document token counts under the
+    // final vocabulary must equal the sequential reference applied
+    // word-by-word — the vocab-join inference path introduces no drift.
+    val symCount: Map[String, Int] = repr.map { case (w, (syms, _)) => w -> syms.length }
+    val expectDocs = Tables.documents(spark, sf).collect().map { r =>
+      val ws = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+      (r.getAs[Long]("doc_id"), ws.length.toLong,
+       ws.map(_.length.toLong).sum, ws.map(w => symCount(w).toLong).sum)
+    }.sortBy(_._1).toSeq
+    val gotDocs = SparkEntry.queries("ta_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+                 r.getAs[Long]("n_base_symbols"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1).toSeq
+    assert(gotDocs == expectDocs,
+      s"distributed encode diverges from sequential reference (first: " +
+        s"${gotDocs.zip(expectDocs).find(p => p._1 != p._2)})")
   }
 }
