@@ -215,6 +215,84 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // NEAR-duplicate images: Hamming-ball pairs over the aHash via
+    // multi-index hashing (Norouzi, Punjani, Fleet 2012) — the 62-bit
+    // hash splits into four 16-bit bands; by pigeonhole any pair within
+    // Hamming distance 3 collides on at least one band EXACTLY (full
+    // recall at r≤3), pairs out to the reported r≤8 are caught
+    // best-effort. The step beyond mm_phash's exact-bucket grouping:
+    // re-encoded/slightly-edited images hash close-but-not-equal.
+    // Scale shape: band buckets meet in equi-joins (never all-pairs)
+    // and buckets outside [2,256] rows are dropped in BOTH twins — the
+    // dd_minhash BandCap rule, keeping the pair space bounded under any
+    // skew; the hash frame is checkpointed once for the two join sides.
+    "mm_phash_pairs" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         [ord(substring(text, i, 1))
+        |          for i in range(1, least(62, length(text)) + 1)] AS px
+        |  FROM documents WHERE length(text) > 0),
+        |m AS (
+        |  SELECT doc_id, px,
+        |         CAST(list_sum(px) AS BIGINT) // len(px) AS mean FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum([CASE WHEN px[j] > mean
+        |                             THEN CAST(1 AS BIGINT) << (j - 1)
+        |                             ELSE CAST(0 AS BIGINT) END
+        |                        for j in range(1, len(px) + 1)]) AS BIGINT) AS phash
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, phash, bid,
+        |         CAST((phash >> (bid * 16)) & 65535 AS BIGINT) AS bkey
+        |  FROM h, unnest([0, 1, 2, 3]) u(bid)),
+        |ok AS (
+        |  SELECT bid, bkey FROM b GROUP BY bid, bkey
+        |  HAVING COUNT(*) BETWEEN 2 AND 256),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS da, c.doc_id AS db,
+        |                  a.phash AS ha, c.phash AS hb
+        |  FROM b a
+        |  JOIN ok o ON a.bid = o.bid AND a.bkey = o.bkey
+        |  JOIN b c ON a.bid = c.bid AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM p WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY da, db""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val px = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+                posexplode(expr("slice(split(text, ''), 1, 62)"))
+                  .as(Seq("j", "ch")))
+        .select(col("doc_id"), col("j"), ascii(col("ch")).as("p"))
+      val stats = px.groupBy(col("doc_id").as("m_doc"))
+        .agg(expr("CAST(SUM(p) AS BIGINT) div COUNT(1)").as("mean"))
+      // checkpointed: the hash frame feeds the band explode whose two
+      // self-join sides would otherwise re-run the raster aggregation
+      val h = px.join(stats, col("doc_id") === col("m_doc"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("p") > col("mean"),
+                      expr("shiftleft(CAST(1 AS BIGINT), j)"))
+               .otherwise(0L)).as("phash"))
+        .localCheckpoint(true)
+      val b = h.select(col("doc_id"), col("phash"),
+                       explode(expr("array(0, 1, 2, 3)")).as("bid"))
+        .withColumn("bkey", expr("shiftright(phash, bid * 16) & 65535"))
+      val fb = b.withColumn("bn", count(lit(1)).over(Window.partitionBy("bid", "bkey")))
+        .filter(col("bn") >= 2 && col("bn") <= 256)
+      val a = fb.select(col("bid"), col("bkey"),
+                        col("doc_id").as("da"), col("phash").as("ha"))
+      val c = fb.select(col("bid").as("bid2"), col("bkey").as("bkey2"),
+                        col("doc_id").as("db"), col("phash").as("hb"))
+      a.join(c, col("bid") === col("bid2") && col("bkey") === col("bkey2") &&
+                col("da") < col("db"))
+        .select("da", "db", "ha", "hb").distinct()
+        .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(col("hamming") <= 8)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    },
+
     // Scene-cut detection over the binary "video": mm_frame_sample's
     // strided frames reduced to an integer luminance stand-in (byte sum
     // of the 64-byte chunk — same fake-decode contract), consecutive
