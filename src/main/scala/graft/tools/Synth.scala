@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   *     vectors decorrelate;
   *   - region/nation stay fixed (dimension tables of bounded cardinality).
   *
+  * Do NOT compose applications (src → ×10 → ×10): copy 0 keeps its text
+  * untagged, so the first application's `~t` family collides token-for-token
+  * with the second application's `~t` tagging of the untagged family —
+  * every such doc gains an exact cross-copy twin, df doubles, and pair
+  * queries inflate quadratically in the merged families (measured:
+  * dd_dup_spans rows 2.5× over linear on a composed sf10, clean 10× per
+  * decade on a single-application factor-100 corpus). Embedding rotations
+  * compose commutatively and collide the same way. Always generate each
+  * scale directly from the driver corpus with one factor.
+  *
   * Usage: runMain graft.tools.Synth <srcSfDir> <dstDir> <factor>
   */
 object Synth {
