@@ -85,65 +85,152 @@ object DedupQueries2 {
     // grams never shuffle as pairs (dropped at the rare-dim join), the
     // run windows partition by (pair, diagonal) — bounded by the longest
     // shared span, never the corpus. All-integer output, oracle-exact.
-    "dd_dup_spans" -> Q({
-      val gh = graft.functions.Portable.duckH("array_to_string(toks[i:i+7], ' ')", 8)
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, $gh AS gh
-         |  FROM t, unnest(range(1, len(toks) - 6)) u(i)),
-         |rare AS (
-         |  SELECT gh FROM g GROUP BY gh
-         |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 3),
-         |i AS (SELECT g.* FROM g JOIN rare r ON g.gh = r.gh),
-         |pr AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
-         |  FROM i a JOIN i b ON a.gh = b.gh AND a.doc_id < b.doc_id),
-         |dg AS (
-         |  SELECT *, pa - pb AS diag,
-         |         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
-         |           AS run
-         |  FROM pr),
-         |sp AS (
-         |  SELECT da, db, MIN(pa) AS start_a, MIN(pb) AS start_b,
-         |         CAST(COUNT(*) + 7 AS BIGINT) AS span_len
-         |  FROM dg GROUP BY da, db, diag, run)
+    "dd_dup_spans" -> Q(
+      s"""WITH $spanCtes
          |SELECT da, db, start_a, start_b, span_len
-         |FROM sp WHERE span_len >= 10
-         |ORDER BY da, db, start_a, start_b""".stripMargin
-    }) { (s, d) =>
+         |FROM spans
+         |ORDER BY da, db, start_a, start_b""".stripMargin) { (s, d) =>
+      spansOf(grams(s, d)).orderBy("da", "db", "start_a", "start_b")
+    },
+
+    // The ACTION the span detector drives (Lee et al. 2022's "deduplicate
+    // the training data" step): for every detected span pair the larger
+    // doc_id loses its copy (the min doc of each family keeps the text),
+    // and per affected doc the removable token ranges are interval-UNIONED
+    // (overlapping spans from different partners must not double-count)
+    // into exact removal accounting: how many tokens scrubbing drops and
+    // how many survive. Interval union is the gaps-and-islands window:
+    // an interval starts a new island iff its start clears the running
+    // max end; island coverage is then contiguous by construction.
+    // Scale shape: inherits the span pipeline's bounds (rare-gram
+    // blocking, (pair, diagonal) windows); the union windows partition
+    // per DOC and hold only that doc's span intervals; token counts come
+    // from the already-materialized gram table (max gram position + 8),
+    // never a second corpus scan. All-integer output, oracle-exact.
+    "dd_span_scrub" -> Q(
+      s"""WITH $spanCtes,
+         |iv AS (
+         |  SELECT db AS doc_id, start_b AS s, start_b + span_len AS e FROM spans),
+         |mx AS (
+         |  SELECT doc_id, s, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM iv),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |         SUM(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e
+         |                 ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM mx),
+         |un AS (SELECT doc_id, island, MIN(s) AS s0, MAX(e) AS e1
+         |       FROM isl GROUP BY doc_id, island),
+         |acc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |               CAST(SUM(e1 - s0) AS BIGINT) AS tokens_removed
+         |        FROM un GROUP BY doc_id),
+         |nt AS (SELECT doc_id, MAX(p) + 8 AS n_tokens FROM g GROUP BY doc_id)
+         |SELECT a.doc_id, n.n_tokens, a.n_spans, a.tokens_removed,
+         |       n.n_tokens - a.tokens_removed AS tokens_kept
+         |FROM acc a JOIN nt n ON a.doc_id = n.doc_id
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      import graft.functions.Portable.h32
-      val ghArr = when(size(col("toks")) >= 8,
-        transform(sequence(lit(0), size(col("toks")) - 8), i =>
-          h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
-        .otherwise(array().cast("array<bigint>"))
-      // eager checkpoint: the gram table feeds the df-dim, the join-side
-      // instances, AND both halves of the self-join — materialized once
-      // (the suffix-array analogue also builds its index once; at 100 TB
-      // this barrier becomes a checkpoint dir, same as the CC loop)
-      val g = Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(ghArr).as(Seq("p", "gh")))
-        .select(col("doc_id"), col("p").cast("long").as("p"), col("gh"))
-        .localCheckpoint(true)
-      val rare = g.groupBy("gh")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 3)
-        .select("gh")
-      val i  = g.join(rare, "gh")
-      val a  = i.select(col("gh"), col("doc_id").as("da"), col("p").as("pa"))
-      val b  = i.select(col("gh").as("gh2"), col("doc_id").as("db"), col("p").as("pb"))
-      val pr = a.join(b, col("gh") === col("gh2") && col("da") < col("db"))
-        .withColumn("diag", col("pa") - col("pb"))
-      val wRun = Window.partitionBy("da", "db", "diag").orderBy("pa")
-      pr.withColumn("run", col("pa") - row_number().over(wRun))
-        .groupBy("da", "db", "diag", "run")
-        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-             (count(lit(1)) + 7).as("span_len"))
-        .filter(col("span_len") >= 10)
-        .select("da", "db", "start_a", "start_b", "span_len")
-        .orderBy("da", "db", "start_a", "start_b")
+      val g  = grams(s, d)
+      val iv = spansOf(g)
+        .select(col("db").as("doc_id"), col("start_b").as("s"),
+                (col("start_b") + col("span_len")).as("e"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("doc_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val un = iv
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("ni", when(col("pmax").isNull || col("s") >= col("pmax"), 1)
+          .otherwise(0))
+        .withColumn("island", sum(col("ni")).over(wCum))
+        .groupBy("doc_id", "island")
+        .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
+      val acc = un.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum(col("e1") - col("s0")).as("tokens_removed"))
+      val nt = g.groupBy("doc_id").agg((max(col("p")) + 8).as("n_tokens"))
+      acc.join(nt, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("tokens_removed"),
+                (col("n_tokens") - col("tokens_removed")).as("tokens_kept"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The dup-span CTE chain shared by detection (`dd_dup_spans`) and the
+    * scrub accounting (`dd_span_scrub`) — DuckDB twin of [[grams]] +
+    * [[spansOf]]. Ends at `spans` (the ≥10-token maximal shared runs);
+    * `g` stays visible for downstream token-count derivation.
+    */
+  private def spanCtes: String = {
+    val gh = graft.functions.Portable.duckH("array_to_string(toks[i:i+7], ' ')", 8)
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, $gh AS gh
+       |  FROM t, unnest(range(1, len(toks) - 6)) u(i)),
+       |rare AS (
+       |  SELECT gh FROM g GROUP BY gh
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 3),
+       |i AS (SELECT g.* FROM g JOIN rare r ON g.gh = r.gh),
+       |pr AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+       |  FROM i a JOIN i b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |dg AS (
+       |  SELECT *, pa - pb AS diag,
+       |         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+       |           AS run
+       |  FROM pr),
+       |sp AS (
+       |  SELECT da, db, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       |         CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+       |  FROM dg GROUP BY da, db, diag, run),
+       |spans AS (SELECT * FROM sp WHERE span_len >= 10)""".stripMargin
+  }
+
+  /** Per-doc 8-gram hash table (doc_id, p, gh), eagerly checkpointed: it
+    * feeds the df-dim, the join-side instances, both halves of the
+    * self-join, and the scrub's token counts — materialized once (the
+    * suffix-array analogue also builds its index once; at 100 TB this
+    * barrier becomes a checkpoint dir, same as the CC loop).
+    */
+  private def grams(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Portable.h32
+    val ghArr = when(size(col("toks")) >= 8,
+      transform(sequence(lit(0), size(col("toks")) - 8), i =>
+        h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
+      .otherwise(array().cast("array<bigint>"))
+    Tables.documents(s, d)
+      .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(ghArr).as(Seq("p", "gh")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("gh"))
+      .localCheckpoint(true)
+  }
+
+  /** Maximal shared spans (≥10 tokens) between doc pairs: rare grams
+    * (df 2–3) meet in an equi-join, same-diagonal consecutive positions
+    * coalesce via the run-id window. See `dd_dup_spans`' scaladoc for
+    * the rarity-cap tradeoff.
+    */
+  private def spansOf(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rare = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 3)
+      .select("gh")
+    val i  = g.join(rare, "gh")
+    val a  = i.select(col("gh"), col("doc_id").as("da"), col("p").as("pa"))
+    val b  = i.select(col("gh").as("gh2"), col("doc_id").as("db"), col("p").as("pb"))
+    val pr = a.join(b, col("gh") === col("gh2") && col("da") < col("db"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wRun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    pr.withColumn("run", col("pa") - row_number().over(wRun))
+      .groupBy("da", "db", "diag", "run")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+           (count(lit(1)) + 7).as("span_len"))
+      .filter(col("span_len") >= 10)
+      .select("da", "db", "start_a", "start_b", "span_len")
+  }
 }

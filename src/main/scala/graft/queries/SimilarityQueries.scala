@@ -66,6 +66,52 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // Contrastive-training triplet mining — the batch-construction step
+    // of embedding training: per anchor (vec_id < 10), the nearest
+    // SAME-label vector (the positive) and the 3 nearest DIFFERENT-label
+    // vectors (the hard negatives — the pairs that actually move a
+    // contrastive loss). Same broadcast-anchor/corpus-scan-once shape as
+    // ss_cosine_topk (the corpus side never shuffles; one fused codegen
+    // fold per pair); for corpus-scale anchor sets the anchor broadcast
+    // swaps for the IVF probe-cell equi-join (ss_ivf_ann) with identical
+    // downstream ranking — mining is rank-k per (anchor, side) either way.
+    "ss_triplet_mine" -> Q(
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |         ${duckCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS role,
+         |         vec_id, label, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid, label = qlabel
+         |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, role, rank, vec_id, label, cosine FROM ranked
+         |WHERE (role = 'pos' AND rank = 1) OR (role = 'neg' AND rank <= 3)
+         |ORDER BY qid, role DESC, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("qid"), col("role"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+                when(col("label") === col("qlabel"), lit("pos"))
+                  .otherwise(lit("neg")).as("role"),
+                col("vec_id"), col("label"),
+                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+                  .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter((col("role") === "pos" && col("rank") === 1) ||
+                (col("role") === "neg" && col("rank") <= 3))
+        .orderBy(col("qid"), col("role").desc, col("rank"))
+    },
+
     // LSH signatures: the bucketing key for ANN + embedding near-dup.
     "ss_lsh_signature" -> Q(
       s"""SELECT vec_id, label,
