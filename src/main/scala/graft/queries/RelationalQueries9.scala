@@ -180,6 +180,33 @@ object RelationalQueries9 {
         .orderBy("user_id", "event_id")
     },
 
+    // BAG-semantics set ops — the ALL variants q14 deliberately omits:
+    // EXCEPT ALL / INTERSECT ALL preserve per-key multiplicity (a
+    // customer with three 1995 orders and one 1996 order contributes
+    // two surplus rows and one matched row — distinct-semantics ops
+    // collapse all of that to membership). Spark plans both as a
+    // count-aggregate per key + row regeneration: the shuffle carries
+    // one (key, count) pair per DISTINCT key, map-side combined, never
+    // the raw occurrence rows — the right bag-difference shape at scale.
+    "q55_bag_setops" -> Q(
+      """SELECT 'matched' AS src, k FROM (
+        |  (SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995)
+        |  INTERSECT ALL
+        |  (SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996))
+        |UNION ALL
+        |SELECT 'surplus_95' AS src, k FROM (
+        |  (SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995)
+        |  EXCEPT ALL
+        |  (SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996))
+        |ORDER BY src, k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("k"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("k"))
+      a.intersectAll(b).select(lit("matched").as("src"), col("k"))
+        .unionAll(a.exceptAll(b).select(lit("surplus_95").as("src"), col("k")))
+        .orderBy("src", "k")
+    },
+
     // Join-key skew profile: the report that decides whether a join on
     // this key needs salting or AQE skew handling BEFORE the job runs.
     // One map-side-combined count per key, tiny global stats, and the
