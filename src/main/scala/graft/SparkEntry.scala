@@ -60,6 +60,7 @@ object SparkEntry {
     graft.queries.SimilarityQueries3.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
+    graft.queries.TextQueries3.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++

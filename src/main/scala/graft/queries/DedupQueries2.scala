@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.Portable.duckH
 import org.apache.spark.sql.functions._
 
 /** Sub-document deduplication: the chunk-level (line-level) exact-dedup
@@ -155,6 +156,74 @@ object DedupQueries2 {
         .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("tokens_removed"),
                 (col("n_tokens") - col("tokens_removed")).as("tokens_kept"))
         .orderBy("doc_id")
+    },
+
+    // Content-defined chunking (CDC) dedup: the shift-RESISTANT
+    // counterpart of dd_chunk_dedup's fixed 20-token alignment. A chunk
+    // boundary falls AFTER any token whose 32-bit hash ≡ 0 (mod 8), so
+    // boundaries are a property of the CONTENT — inserting one token
+    // near the top of a doc perturbs only the chunk containing it, and
+    // every later chunk still dedups against its copies elsewhere
+    // (the rsync/FastCDC cut-point rule; fixed-width chunking loses all
+    // downstream chunks to the alignment shift). Expected chunk length
+    // is the gear-mask reciprocal (8 tokens). Emitted: every chunk text
+    // duplicated across the corpus (≥2 copies) with copy/doc counts.
+    // Scale shape: cut flags are per-token map work; the chunk-id
+    // window partitions per DOC (bounded by doc length, never corpus);
+    // chunks shuffle as 60-bit hashes for the dedup aggregate with the
+    // two-level (hash, doc) pre-combine — the same bounds as
+    // dd_chunk_dedup, plus the boundary-stability property that makes
+    // CDC the right granularity for evolving corpora.
+    "dd_cdc_chunks" -> Q(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, toks[p] AS token, p
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(p)),
+         |cut AS (
+         |  SELECT doc_id, token, p,
+         |         CASE WHEN ${duckH("token", 8)} % 8 = 0 THEN 1 ELSE 0 END AS f
+         |  FROM tok),
+         |cid AS (
+         |  SELECT doc_id, token, p,
+         |         COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY p
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) AS chunk_id
+         |  FROM cut),
+         |ck AS (
+         |  SELECT doc_id, chunk_id,
+         |         ${duckH("string_agg(token, ' ' ORDER BY p)", 15)} AS ch,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |  FROM cid GROUP BY doc_id, chunk_id),
+         |pre AS (
+         |  SELECT ch, doc_id, MIN(n_tokens) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ck GROUP BY ch, doc_id)
+         |SELECT ch AS chunk_hash, CAST(SUM(c) AS BIGINT) AS n_copies,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       MIN(n_tokens) AS n_tokens, MIN(doc_id) AS first_doc
+         |FROM pre GROUP BY ch HAVING SUM(c) >= 2
+         |ORDER BY n_copies DESC, chunk_hash""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.{h32, h60}
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+        .select(col("doc_id"), col("token"), (col("p0") + 1).as("p"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cid = tok
+        .withColumn("f", when(h32(col("token")) % 8 === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum(col("f")).over(wPrev), lit(0L)))
+      val ck = cid.groupBy("doc_id", "chunk_id")
+        .agg(h60(array_join(transform(
+               array_sort(collect_list(struct(col("p"), col("token")))),
+               st => st.getField("token")), " ")).as("ch"),
+             count(lit(1)).as("n_tokens"))
+      ck.groupBy("ch", "doc_id")
+        .agg(min(col("n_tokens")).as("n_tokens"), count(lit(1)).as("c"))
+        .groupBy(col("ch").as("chunk_hash"))
+        .agg(sum(col("c")).as("n_copies"), count(lit(1)).as("n_docs"),
+             min(col("n_tokens")).as("n_tokens"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("n_copies").desc, col("chunk_hash"))
     }
   )
 

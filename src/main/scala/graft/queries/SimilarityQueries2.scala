@@ -271,6 +271,49 @@ object SimilarityQueries2 {
         .orderBy("cluster")
     },
 
+    // Coreset / diversity sample off the trained quantizer: per IVF
+    // cell, the MEDOID (member most cosine-aligned with its centroid —
+    // the cell's representative for kNN-classify-by-prototype or
+    // dataset distillation) and the OUTLIER (least aligned — the
+    // hard-example half of a diversity-sampling mix). Ties break on
+    // vec_id, so the sample is fully deterministic. This is the
+    // selection step of coreset curation (herding/k-center style):
+    // keep prototypes + boundary points, drop the redundant middle.
+    // Scale shape: reuses the persisted centroid artifact (no retrain),
+    // one corpus pass of k codegen'd dots, and the two rank windows
+    // partition per CELL — k partitions total, each bounded by cell
+    // membership; output is exactly 1 row per cell.
+    "ss_coreset_sample" -> Q(
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, cluster, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cos DESC, vec_id) AS mrn,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cos ASC,  vec_id) AS orn
+         |  FROM refined WHERE rn = 1)
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       MAX(CASE WHEN mrn = 1 THEN vec_id END) AS medoid_id,
+         |       MAX(CASE WHEN mrn = 1 THEN cos END) AS medoid_cos,
+         |       MAX(CASE WHEN orn = 1 THEN vec_id END) AS outlier_id,
+         |       MAX(CASE WHEN orn = 1 THEN cos END) AS outlier_cos
+         |FROM members GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val wM = Window.partitionBy("ccluster").orderBy(col("cos").desc, col("vec_id"))
+      val wO = Window.partitionBy("ccluster").orderBy(col("cos").asc, col("vec_id"))
+      refined(e, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccluster"), col("cos"))
+        .withColumn("mrn", row_number().over(wM))
+        .withColumn("orn", row_number().over(wO))
+        .groupBy(col("ccluster").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+             max(when(col("mrn") === 1, col("vec_id"))).as("medoid_id"),
+             max(when(col("mrn") === 1, col("cos"))).as("medoid_cos"),
+             max(when(col("orn") === 1, col("vec_id"))).as("outlier_id"),
+             max(when(col("orn") === 1, col("cos"))).as("outlier_cos"))
+        .orderBy("cluster")
+    },
+
     // SemDeDup (semantic dedup): prune near-duplicate MEANING, not
     // near-duplicate text — the step after MinHash in a training
     // pipeline (arXiv:2303.09540's recipe). Blocking is the IVF cell

@@ -3,12 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Dev aid: dump ONE declared query (result parquet + its oracle SQL)
-  * so `tools/check.py` can compare it without the full Verify sweep.
-  * `runMain graft.tools.VerifyOne <name> [sfDir] [outDir]`. */
+/** Dev aid: dump one or more declared queries (result parquet + oracle
+  * SQL) so `tools/check.py` can compare them without the full Verify
+  * sweep. `runMain graft.tools.VerifyOne <name>[,<name>…] [sfDir] [outDir]`. */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val name   = args(0)
+    val names  = args(0).split(',').toSeq
     val sfDir  = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 2) args(2) else "/tmp/verify_one"
     val spark = SparkSession.builder().master("local[8]")
@@ -17,8 +17,10 @@ object VerifyOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -28,8 +30,8 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val sql = graft.SparkEntry.oracleSql.get(name)
-      .map(v => s"${q(name)}: ${q(v)}").mkString("{", ",", "}")
+    val sql = names.flatMap(name => graft.SparkEntry.oracleSql.get(name)
+      .map(v => s"${q(name)}: ${q(v)}")).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), sql)
     spark.stop()
   }
