@@ -115,6 +115,31 @@ object DedupQueries {
   /** Band-bucket membership: (doc_id, bid, bkey) — one row per document
     * per band. The bucket surface shared by candidate generation and the
     * `dd_band_stats` report. */
+  /** Per-ROW band keys — the stateless twin of [[sigDf]]: the same
+    * shingles, the same K affine permutations, the same band md5s, but
+    * the min runs as an array HOF inside the row instead of an
+    * explode+groupBy, so the expression needs no shuffle and no state.
+    * Values are identical to sigDf's (min over the same multiset).
+    * This is what lets a STREAMING frame compute its band keys at
+    * ingest (streaming/NearDupGateStream) — batch keeps sigDf, whose
+    * exploded aggregate is faster when the corpus is scanned anyway. */
+  private[graft] def rowBands(docs: DataFrame): DataFrame = {
+    val sh = when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3), i =>
+          concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+    val sigs = (0 until K).map { j =>
+      array_min(transform(col("hs"), h => (lit(A(j)) * h + lit(B(j))) % P)).as(s"s$j")
+    }
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), transform(sh, s => h32(s)).as("hs"))
+      .select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"),
+        md5(concat_ws(",", (0 until K / 2).map(j => col(s"s$j")): _*)).as("band0"),
+        md5(concat_ws(",", (K / 2 until K).map(j => col(s"s$j")): _*)).as("band1"))
+  }
+
   private[queries] def bandedDf(docs: DataFrame): DataFrame =
     sigDf(docs).select(col("doc_id"),
         explode(array(

@@ -168,12 +168,19 @@ object DedupQueries2 {
     // downstream chunks to the alignment shift). Expected chunk length
     // is the gear-mask reciprocal (8 tokens). Emitted: every chunk text
     // duplicated across the corpus (≥2 copies) with copy/doc counts.
-    // Scale shape: cut flags are per-token map work; the chunk-id
-    // window partitions per DOC (bounded by doc length, never corpus);
-    // chunks shuffle as 60-bit hashes for the dedup aggregate with the
-    // two-level (hash, doc) pre-combine — the same bounds as
-    // dd_chunk_dedup, plus the boundary-stability property that makes
-    // CDC the right granularity for evolving corpora.
+    // Scale shape: chunking is ARRAY-NATIVE per row — cut positions by
+    // a HOF filter, boundary (start,end) pairs by zip_with, chunk text
+    // by slice+concat_ws — so the corpus never explodes to token rows
+    // and there is NO per-doc window (the token-stream + running-sum
+    // shape shuffles every token; measured 1.25×/1.1× slower at
+    // sf1/sf10 — the md5 work dominates either way, the array form
+    // just removes the per-token shuffle that hurts first on a real
+    // cluster); the only explode is at CHUNK granularity feeding the
+    // dedup aggregate, which shuffles 60-bit hashes with the two-level
+    // (hash, doc) pre-combine — the same bounds as dd_chunk_dedup, plus
+    // the boundary-stability property that makes CDC the right
+    // granularity for evolving corpora. The oracle keeps the windowed
+    // token-stream formulation — same chunks, different plan.
     "dd_cdc_chunks" -> Q(
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |tok AS (
@@ -203,20 +210,22 @@ object DedupQueries2 {
          |FROM pre GROUP BY ch HAVING SUM(c) >= 2
          |ORDER BY n_copies DESC, chunk_hash""".stripMargin) { (s, d) =>
       import graft.functions.Portable.{h32, h60}
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
-        .select(col("doc_id"), col("token"), (col("p0") + 1).as("p"))
-      val wPrev = Window.partitionBy("doc_id").orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cid = tok
-        .withColumn("f", when(h32(col("token")) % 8 === 0, 1L).otherwise(0L))
-        .withColumn("chunk_id", coalesce(sum(col("f")).over(wPrev), lit(0L)))
-      val ck = cid.groupBy("doc_id", "chunk_id")
-        .agg(h60(array_join(transform(
-               array_sort(collect_list(struct(col("p"), col("token")))),
-               st => st.getField("token")), " ")).as("ch"),
-             count(lit(1)).as("n_tokens"))
+      // cut AFTER position p when h32(toks[p]) ≡ 0 (mod 8); a trailing
+      // cut at p = n produces a (n+1, n) boundary pair → filtered (the
+      // same "no empty trailing chunk" rule as the running-sum oracle)
+      val cuts   = filter(sequence(lit(1), size(col("toks"))),
+                          p => h32(element_at(col("toks"), p)) % 8 === 0)
+      val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
+      val ends   = concat(cuts, array(size(col("toks"))))
+      val chunks = filter(
+        zip_with(starts, ends, (st, en) =>
+          struct(concat_ws(" ", slice(col("toks"), st, en - st + 1)).as("ctext"),
+                 (en - st + 1).cast("long").as("n_tokens"))),
+        c => c.getField("n_tokens") > 0)
+      val ck = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), h60(col("c.ctext")).as("ch"), col("c.n_tokens").as("n_tokens"))
       ck.groupBy("ch", "doc_id")
         .agg(min(col("n_tokens")).as("n_tokens"), count(lit(1)).as("c"))
         .groupBy(col("ch").as("chunk_hash"))

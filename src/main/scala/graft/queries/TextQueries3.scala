@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Retrieval and corpus-curation surface over `documents`: BM25 ranked
@@ -34,12 +35,16 @@ object TextQueries3 {
     // idf_s ≤ N·10⁴, tf ≤ |d|, ×2200 → ~N·|d|·2·10⁷ ≪ 2⁶³ for any corpus
     // this engine targets (at 10⁹ docs × 10³ tokens the product is
     // ~2·10¹⁹ — a real deployment would descale idf_s by 10; documented,
-    // not silently wrong). Scale shape: one corpus tokenize, the
-    // query-term filter drops everything but |Q| tokens per doc BEFORE
-    // any shuffle, doc lengths come map-side-combined from the same
-    // scan, and the N/avgdl scalars broadcast as a 1-row cross join —
-    // the classic term-at-a-time scorer, never a corpus-wide sort until
-    // the final top-10 (TakeOrderedAndProject).
+    // not silently wrong). Scale shape: DOCUMENT-at-a-time, zero
+    // explode — per-doc tf for each query term is size(filter(toks)),
+    // so the corpus never shuffles as tokens; corpus totals (N, avgdl,
+    // per-term df) are ONE map-side-combined aggregate collapsed to a
+    // 1-row localCheckpoint and broadcast back, so the scorer pass is
+    // the only other corpus scan (2 scans total, vs 3 + an explode
+    // shuffle for the naive term-table shape); per-doc term scores are
+    // column arithmetic, and the only corpus-wide movement is the
+    // final top-10 (TakeOrderedAndProject). The oracle keeps the
+    // classic term-table formulation — same values, different plan.
     "ta_bm25_search" -> Q(
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -68,27 +73,32 @@ object TextQueries3 {
          |       CAST(SUM(term_s) AS BIGINT) AS score_s
          |FROM scored GROUP BY doc_id
          |ORDER BY score_s DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val stats = dl.agg(
-        count(lit(1)).as("n_docs"),
-        expr("(sum(len) * 1000) div count(*)").as("avgdl_s"))
-      val tf = tok.filter(col("token").isin(QTERMS: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token").as("i_token"))
-        .agg(count(lit(1)).as("df"))
-      val idf = df.crossJoin(broadcast(stats.select("n_docs")))
-        .select(col("i_token"), expr("((n_docs - df) * 10000) div (df + 1)").as("idf_s"))
-      tf.join(broadcast(idf), col("token") === col("i_token"))
-        .join(dl.withColumnRenamed("doc_id", "l_doc"), col("doc_id") === col("l_doc"))
-        .crossJoin(broadcast(stats.select("avgdl_s")))
+      val tfCols = QTERMS.indices.map { i =>
+        size(filter(col("toks"), t => t === QTERMS(i))).cast("long").as(s"tf$i")
+      }
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("len") +: tfCols: _*)
+      // corpus totals: one map-side-combined aggregate → 1 row, eager
+      // (the scorer pass below must not re-run this lineage)
+      val totalCols =
+        expr("(sum(len) * 1000) div count(*)").as("avgdl_s") +:
+        QTERMS.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val totals = perDoc.agg(count(lit(1)).as("n_docs"), totalCols: _*)
+        .localCheckpoint(true)
+      val termS = QTERMS.indices.map { i =>
+        when(col(s"tf$i") > 0,
+          expr(s"""(((n_docs - df$i) * 10000) div (df$i + 1)) * tf$i * 2200 div
+                  |(tf$i * 1000 + (1200 * (250 + (750 * len * 1000) div avgdl_s)) div 1000)"""
+            .stripMargin.replace("\n", " ")))
+      }
+      perDoc.crossJoin(broadcast(totals))
         .select(col("doc_id"),
-          expr("""(idf_s * tf * 2200) div
-                 |(tf * 1000 + (1200 * (250 + (750 * len * 1000) div avgdl_s)) div 1000)"""
-            .stripMargin.replace("\n", " ")).as("term_s"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("term_s")).as("score_s"))
+          QTERMS.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+            .reduce(_ + _).as("n_terms"),
+          termS.map(c => coalesce(c, lit(0L))).reduce(_ + _).as("score_s"))
+        .filter(col("n_terms") > 0)
         .orderBy(col("score_s").desc, col("doc_id"))
         .limit(10)
     },
@@ -142,6 +152,65 @@ object TextQueries3 {
                expr("(short_docs * 1000) div n_docs") < 300, 1)
             .otherwise(0).as("keep"))
         .orderBy("source")
+    },
+
+    // Deterministic output sharding — the LAST stage of every training
+    // pipeline: hash-assign each doc to one of 16 output shards with a
+    // salted key (salt "shuf1" = the epoch-1 shuffle; a new salt is a
+    // fresh epoch-order without moving data twice). The report is the
+    // shard balance table a dataloader depends on: docs, tokens, and
+    // token skew per shard. Scale shape: pure per-row hash + one
+    // map-side-combined aggregate — embarrassingly parallel; at 100 TB
+    // the same expression IS the partitionBy key of the final write.
+    "ta_shuffle_shards" -> Q(
+      s"""WITH s AS (
+         |  SELECT ${duckH("'shuf1|' || CAST(doc_id AS VARCHAR)", 15)} % 16 AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |         doc_id
+         |  FROM documents)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |       MIN(doc_id) AS first_doc
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(pmod(h60(concat(lit("shuf1|"), col("doc_id").cast("string"))), lit(16L))
+                  .as("shard"),
+                size(split(col("text"), " ")).cast("long").as("ntok"),
+                col("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+             min(col("doc_id")).as("first_doc"))
+        .orderBy("shard")
+    },
+
+    // Power-of-2 length bucketing — the batching-efficiency report: a
+    // dataloader that pads every sequence in a batch to the bucket
+    // width wastes (bucket − len) tokens per doc, and this table prices
+    // that waste per bucket (the argument for length-grouped batching).
+    // Buckets are the fixed 8..4096 power chain (everything larger
+    // falls in 8192), identical CASE in both twins. Scale shape: one
+    // per-row bucket expression + one map-side-combined aggregate.
+    "ta_length_buckets" -> Q({
+      val cases = (3 to 12).map(p => math.pow(2, p).toLong)
+        .map(b => s"WHEN ntok <= $b THEN $b").mkString(" ")
+      s"""WITH s AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+         |b AS (SELECT ntok, CAST(CASE $cases ELSE 8192 END AS BIGINT) AS bucket FROM s)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(bucket - ntok) AS BIGINT) AS padding_waste
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val ntok = size(split(col("text"), " ")).cast("long")
+      val bucket = (3 to 12).map(p => math.pow(2, p).toLong)
+        .foldRight(lit(8192L): Column) { (b, els) => when(col("ntok") <= b, b).otherwise(els) }
+      Tables.documents(s, d)
+        .select(ntok.as("ntok"))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+             sum(col("bucket") - col("ntok")).as("padding_waste"))
+        .orderBy("bucket")
     }
   )
 }

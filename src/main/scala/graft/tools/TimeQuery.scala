@@ -2,20 +2,20 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev aid: time ONE declared query end-to-end (count action), warm
+/** Dev aid: time declared queries end-to-end (count action), warm
   * JVM, without paying for the whole Bench sweep.
-  * `runMain graft.tools.TimeQuery <name> [sfDir] [reps]`. */
+  * `runMain graft.tools.TimeQuery <name>[,<name>…] [sfDir] [reps]`. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val d    = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val names = args(0).split(',').toSeq
+    val d     = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps  = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (i <- 1 to reps) {
+    for (name <- names; i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n  = graft.SparkEntry.queries(name)(spark, d).count()
       println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")

@@ -124,6 +124,79 @@ class CurationSpec extends SparkSpec {
       "fixed-width chunking should break on the same insertion (the motivation)")
   }
 
+  private def splitOf(id: Long): String = {
+    val b = h60(id.toString) % 100
+    if (b < 90) "train" else if (b < 95) "val" else "test"
+  }
+
+  test("dd_split_leakage: exactly the cross-split subset of the candidate pairs") {
+    val cand = SparkEntry.queries("dd_minhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("da")), r.getLong(r.fieldIndex("db")))).toSet
+    val expected = cand.filter { case (a, b) => splitOf(a) != splitOf(b) }
+    val got = SparkEntry.queries("dd_split_leakage")(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    for (r <- got) {
+      assert(r.getString(r.fieldIndex("split_a")) == splitOf(r.getLong(0)))
+      assert(r.getString(r.fieldIndex("split_b")) == splitOf(r.getLong(1)))
+      val ti = if (Seq(r.getString(2), r.getString(3)).contains("train")) 1 else 0
+      assert(r.getInt(r.fieldIndex("train_involved")) == ti)
+    }
+  }
+
+  test("dd_incremental: verdicts match a brute-force replay of the candidate pairs") {
+    val cand = SparkEntry.queries("dd_minhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("da")), r.getLong(r.fieldIndex("db"))))
+    val isNew = (id: Long) => id % 10 >= 8
+    val partners = cand.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val newIds = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(isNew).sorted
+    val expected = newIds.map { id =>
+      val ps = partners.getOrElse(id, Array.empty[Long])
+      val v =
+        if (ps.exists(p => !isNew(p))) "dup_of_snapshot"
+        else if (ps.exists(p => isNew(p) && p < id)) "dup_in_batch"
+        else "fresh"
+      id -> v
+    }.toSeq
+    val got = SparkEntry.queries("dd_incremental")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == expected)
+  }
+
+  test("ta_shuffle_shards: shards partition the corpus; assignment matches the salted hash") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val byShard = docs.groupBy { case (id, _) => h60(s"shuf1|$id") % 16 }
+    val got = SparkEntry.queries("ta_shuffle_shards")(spark, dir).collect()
+    assert(got.map(_.getLong(got.head.fieldIndex("n_docs"))).sum == docs.length)
+    for (r <- got) {
+      val sh = r.getLong(r.fieldIndex("shard"))
+      val g  = byShard(sh)
+      assert(r.getLong(r.fieldIndex("n_docs")) == g.length)
+      assert(r.getLong(r.fieldIndex("total_tokens")) == g.map(_._2).sum)
+      assert(r.getLong(r.fieldIndex("first_doc")) == g.map(_._1).min)
+    }
+  }
+
+  test("ta_length_buckets: buckets partition the corpus and price the padding") {
+    val lens = Tables.documents(spark, dir).select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong)
+    def bucketOf(n: Long): Long =
+      (3 to 12).map(p => 1L << p).find(n <= _).getOrElse(8192L)
+    val expected = lens.groupBy(bucketOf).view
+      .mapValues(g => (g.length.toLong, g.sum)).toMap
+    val got = SparkEntry.queries("ta_length_buckets")(spark, dir).collect()
+    assert(got.map(_.getLong(1)).sum == lens.length)
+    for (r <- got) {
+      val b = r.getLong(r.fieldIndex("bucket"))
+      val (n, tot) = expected(b)
+      assert(r.getLong(r.fieldIndex("n_docs")) == n)
+      assert(r.getLong(r.fieldIndex("total_tokens")) == tot)
+      assert(r.getLong(r.fieldIndex("padding_waste")) == b * n - tot)
+    }
+  }
+
   test("ss_coreset_sample agrees with ss_centroid_profile and its members") {
     val profile = SparkEntry.queries("ss_centroid_profile")(spark, dir).collect()
       .map(r => r.getInt(r.fieldIndex("cluster")) ->
