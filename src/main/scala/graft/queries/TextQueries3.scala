@@ -211,6 +211,109 @@ object TextQueries3 {
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
              sum(col("bucket") - col("ntok")).as("padding_waste"))
         .orderBy("bucket")
+    },
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"), linearized for
+    // integer portability: hashed-bigram bag models for a TARGET domain
+    // (sources src0/src1 — the "quality" proxy) and the RAW corpus,
+    // bucket probabilities in parts-per-million, and per-doc weight =
+    // Σ over bigram instances of (target_ppm − raw_ppm), length-
+    // normalized ×1000 per bigram. The true DSIR log-ratio is replaced
+    // by the ppm DIFFERENCE — monotone in the same direction, exact in
+    // BIGINTs, so the ranking an importance resampler consumes is
+    // deterministic and oracle-checkable. Emitted: top-20 docs by
+    // normalized weight (the resampling head). Scale shape: the bucket
+    // dimension is 1024 rows built by ONE map-side-combined conditional
+    // aggregate, then COLLECTED into a literal lookup array (the same
+    // constant-size-artifact move as the Bloom filter's 128 words) so
+    // the scoring pass is a pure per-row HOF fold — bigram hash →
+    // element_at(dppm_lit) → running sum — with NO row-scale shuffle at
+    // all and TakeOrdered for the top-20. The join formulation ((doc,
+    // bucket) pre-agg × 1024-row dim) shuffled ~1 bucket row per bigram
+    // (almost no map-side combining — doc×bucket pairs are near-unique)
+    // and measured 26→46 s degrading across reps at sf10; the literal
+    // fold runs the same corpus in ~5 s flat.
+    "ta_dsir_weights" -> Q(
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |inst AS (
+         |  SELECT doc_id, source,
+         |         ${duckH("toks[s] || ' ' || toks[s+1]", 8)} % 1024 AS bucket
+         |  FROM t, unnest(range(1, len(toks))) u(s)),
+         |dim AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |         CAST(SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_tgt
+         |  FROM inst GROUP BY bucket),
+         |tot AS (
+         |  SELECT CAST(SUM(n_raw) AS BIGINT) AS raw_total,
+         |         CAST(SUM(n_tgt) AS BIGINT) AS tgt_total
+         |  FROM dim),
+         |ppm AS (
+         |  SELECT bucket,
+         |         (n_tgt * 1000000) // t.tgt_total - (n_raw * 1000000) // t.raw_total
+         |           AS dppm
+         |  FROM dim, tot t),
+         |dc AS (
+         |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM inst GROUP BY doc_id, bucket),
+         |w AS (
+         |  SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(dc.c * p.dppm) AS BIGINT) AS weight_ppm
+         |  FROM dc JOIN ppm p ON dc.bucket = p.bucket GROUP BY dc.doc_id)
+         |SELECT doc_id, n_bigrams, weight_ppm,
+         |       CASE WHEN weight_ppm < 0
+         |            THEN -(((-weight_ppm) * 1000) // n_bigrams)
+         |            ELSE (weight_ppm * 1000) // n_bigrams END AS norm_weight
+         |FROM w
+         |ORDER BY norm_weight DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      // FLAT bigram stream: explode POSITIONS, then hash in a plain
+      // codegen'd projection. Three shapes were measured before this
+      // one (Micro's dsir anatomy, sf1, local[4]): building the bucket
+      // array with a transform LAMBDA and exploding it costs ~10 s per
+      // pass regardless of what follows — each exploded row re-enters
+      // the interpreted lambda context — vs 1.0 s for this flat
+      // position-explode (and element_at×2 inside the lambda doubles
+      // the damage vs slice+concat_ws, the BASELINE shingle note).
+      // Single-token docs: the two-arg sequence(1, 0) DESCENDS in
+      // Spark (vs the oracle's empty range) — the size guard empties
+      // it. The oracle-side CASE on norm_weight mirrors Spark `div`'s
+      // truncation toward zero (DuckDB `//` floors, and weight_ppm is
+      // legitimately negative for off-target docs).
+      val flat = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(when(size(col("toks")) >= 2, sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"), col("source"),
+          pmod(h32(concat_ws(" ", slice(col("toks"), col("i"), lit(2)))), lit(1024L))
+            .as("bucket"))
+      // pass 1: the 1024-row bucket dimension (map-side combined), then
+      // collected — a constant-size trained artifact, never row-scale
+      val dim = flat
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_raw"),
+             sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("n_tgt"))
+        .collect()
+      val rawTotal = dim.map(_.getLong(1)).sum
+      val tgtTotal = dim.map(_.getLong(2)).sum
+      val dppm = Array.fill(1024)(0L)
+      dim.foreach { r =>
+        dppm(r.getLong(0).toInt) =
+          r.getLong(2) * 1000000L / tgtTotal - r.getLong(1) * 1000000L / rawTotal
+      }
+      val dlit = typedlit(dppm.toSeq)
+      // pass 2: the same flat stream → codegen element_at lookup →
+      // per-doc sum (doc keys combine perfectly within scan partitions)
+      flat
+        .select(col("doc_id"),
+                element_at(dlit, col("bucket").cast("int") + 1).as("dp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("dp")).as("weight_ppm"))
+        .select(col("doc_id"), col("n_bigrams"), col("weight_ppm"),
+          expr("(weight_ppm * 1000) div n_bigrams").as("norm_weight"))
+        .orderBy(col("norm_weight").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

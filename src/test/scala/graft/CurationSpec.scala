@@ -197,6 +197,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ta_dsir_weights: top-20 matches a driver-side importance-weight recompute") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    def buckets(toks: Seq[String]): Seq[Long] =
+      if (toks.size < 2) Seq.empty
+      else toks.sliding(2).map(p => h32(p.mkString(" ")) % 1024).toSeq
+    val inst = docs.flatMap { case (id, src, toks) =>
+      buckets(toks).map(b => (id, src, b)) }
+    val rawTotal = inst.size.toLong
+    val tgtTotal = inst.count { case (_, s, _) => s == "src0" || s == "src1" }.toLong
+    val dppm = inst.groupBy(_._3).view.mapValues { g =>
+      val nt = g.count { case (_, s, _) => s == "src0" || s == "src1" }.toLong
+      nt * 1000000L / tgtTotal - g.size.toLong * 1000000L / rawTotal
+    }.toMap
+    val expected = docs.filter(_._3.size >= 2).map { case (id, _, toks) =>
+      val bs = buckets(toks)
+      val w  = bs.map(dppm).sum
+      (id, bs.size.toLong, w, w * 1000 / bs.size)  // JVM / truncates like div
+    }.sortBy { case (id, _, _, nw) => (-nw, id) }.take(20)
+    val got = SparkEntry.queries("ta_dsir_weights")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("ss_coreset_sample agrees with ss_centroid_profile and its members") {
     val profile = SparkEntry.queries("ss_centroid_profile")(spark, dir).collect()
       .map(r => r.getInt(r.fieldIndex("cluster")) ->

@@ -45,6 +45,46 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(hasPartial, sp.toString)
   }
 
+  test("ta_bm25_search: zero shuffle exchanges — broadcast totals + TakeOrdered only") {
+    // the document-at-a-time scorer's whole point: one corpus scan into
+    // a broadcast cross join and a top-k, never a row-scale shuffle
+    val p = plan("ta_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      "BM25 scorer must not shuffle rows:\n" + p)
+  }
+
+  test("ta_dsir_weights: no joins — literal lookup + doc-keyed partial agg") {
+    // the 1024-bucket dimension is collected to a literal, so the
+    // scoring pass must contain NO join operator of any kind, and the
+    // per-doc sum must map-side combine
+    val sp = SparkEntry.queries("ta_dsir_weights")(spark, sf).queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }
+    assert(joins.isEmpty, s"unexpected joins: ${joins.map(_.nodeName)}")
+    val hasPartial = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(
+          _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }.nonEmpty
+    assert(hasPartial, sp.toString)
+  }
+
+  test("dd_cdc_chunks: array-native chunking — no window, no token-level generate") {
+    // chunk construction is per-row array work; the only Generate is
+    // the CHUNK-granularity explode feeding the dedup aggregate
+    val sp = SparkEntry.queries("dd_cdc_chunks")(spark, sf).queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "CDC must not window the token stream")
+    val generates = sp.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.size == 1, s"expected exactly the chunk explode, got ${generates.size}")
+  }
+
   test("el_consume_offset: TakeOrderedAndProject, no global sort") {
     val p = plan("el_consume_offset")
     assert(p.contains("TakeOrderedAndProject"), p)
