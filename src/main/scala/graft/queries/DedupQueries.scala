@@ -140,7 +140,7 @@ object DedupQueries {
         md5(concat_ws(",", (K / 2 until K).map(j => col(s"s$j")): _*)).as("band1"))
   }
 
-  private[queries] def bandedDf(docs: DataFrame): DataFrame =
+  private[graft] def bandedDf(docs: DataFrame): DataFrame =
     sigDf(docs).select(col("doc_id"),
         explode(array(
           struct(lit(0).as("bid"), col("band0").as("bkey")),

@@ -44,6 +44,61 @@ object FunnelQueries {
           .otherwise(0)).cast("long").as("n_full_funnel"))
     },
 
+    // A/B experiment lift report — the experiment-analysis workload an
+    // event log feeds: users hash-assign to control/treatment (salted
+    // 60-bit hash, the ta_shuffle_shards recipe — deterministic, no
+    // assignment table to join), exposure is the first 'view', and a
+    // conversion counts only when the first 'purchase' follows that
+    // exposure (the same first-occurrence temporal gating as
+    // el_funnel). Per variant: exposed users, converters, conversion
+    // ppm, exposed-purchase revenue in integer cents, and cents per
+    // exposed user. All integers, so the two rows hash-match the
+    // oracle exactly; a z-statistic is deliberately left to the
+    // consumer (sqrt breaks integer portability; the ppm rates and
+    // counts are sufficient statistics). Scale shape: one conditional
+    // per-user aggregate (map-side combined) + a 2-group rollup.
+    "el_ab_lift" -> Q(
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         ${graft.functions.Portable.duckH("'exp1|' || CAST(user_id AS VARCHAR)", 15)} % 2
+         |           AS variant,
+         |         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         |         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase'
+         |                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |           AS purchase_cents
+         |  FROM events GROUP BY 1, 2)
+         |SELECT CASE WHEN variant = 0 THEN 'control' ELSE 'treatment' END AS variant,
+         |       CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_exposed,
+         |       CAST(SUM(CASE WHEN t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+         |       (CAST(SUM(CASE WHEN t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |         // COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS conv_ppm,
+         |       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN purchase_cents ELSE 0 END) AS BIGINT)
+         |         AS revenue_cents,
+         |       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN purchase_cents ELSE 0 END) AS BIGINT)
+         |         // COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS cents_per_exposed
+         |FROM pu GROUP BY variant ORDER BY variant""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.{cents, h60}
+      val pu = Tables.events(s, d)
+        .withColumn("variant",
+          pmod(h60(concat(lit("exp1|"), col("user_id").cast("string"))), lit(2L)))
+        .groupBy("user_id", "variant")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+             min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"),
+             sum(when(col("event_type") === "purchase", cents(col("value")))
+               .otherwise(0L)).as("purchase_cents"))
+      pu.groupBy(when(col("variant") === 0, "control").otherwise("treatment").as("variant"))
+        .agg(count(when(col("t_view").isNotNull, 1)).as("n_exposed"),
+             sum(when(col("t_purchase") > col("t_view"), 1L).otherwise(0L)).as("n_converted"),
+             sum(when(col("t_view").isNotNull, col("purchase_cents")).otherwise(0L))
+               .as("revenue_cents"))
+        .select(col("variant"), col("n_exposed"), col("n_converted"),
+          expr("(n_converted * 1000000) div n_exposed").as("conv_ppm"),
+          col("revenue_cents"),
+          expr("revenue_cents div n_exposed").as("cents_per_exposed"))
+        .orderBy("variant")
+    },
+
     // Inter-event gap distribution per user (lag over the per-user
     // time order), bucketed by whole minutes capped at 10+ — the
     // activity-cadence profile. The window is user-partitioned; the

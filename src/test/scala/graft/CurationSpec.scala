@@ -222,6 +222,41 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("el_ab_lift: variant partition is exhaustive and rates match brute force") {
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val events = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.getTimestamp(2)), r.getDouble(3)))
+    val byUser = events.groupBy(_._1)
+    def variantOf(u: Long): String =
+      if (h60(s"exp1|$u") % 2 == 0) "control" else "treatment"
+    val per = byUser.map { case (u, es) =>
+      val tView = es.filter(_._2 == "view").map(_._3).minOption
+      val tPur  = es.filter(_._2 == "purchase").map(_._3).minOption
+      val cents = es.filter(_._2 == "purchase").map(e => math.round(e._4 * 100)).sum
+      (variantOf(u), tView, tPur, cents)
+    }.toSeq
+    val got = SparkEntry.queries("el_ab_lift")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("control", "treatment"))
+    for ((v, r) <- got) {
+      val g = per.filter(_._1 == v)
+      val exposed   = g.count(_._2.isDefined).toLong
+      val converted = g.count(x => x._2.isDefined && x._3.isDefined &&
+        x._3.get > x._2.get).toLong
+      val revenue   = g.filter(_._2.isDefined).map(_._4).sum
+      assert(r.getLong(r.fieldIndex("n_exposed")) == exposed, s"$v exposed")
+      assert(r.getLong(r.fieldIndex("n_converted")) == converted, s"$v converted")
+      assert(r.getLong(r.fieldIndex("conv_ppm")) == converted * 1000000L / exposed)
+      assert(r.getLong(r.fieldIndex("revenue_cents")) == revenue, s"$v revenue")
+      assert(r.getLong(r.fieldIndex("cents_per_exposed")) == revenue / exposed)
+    }
+    // the two variants partition the exposed population
+    val totalExposed = per.count(_._2.isDefined).toLong
+    assert(got.values.map(_.getLong(1)).sum == totalExposed)
+  }
+
   test("ss_coreset_sample agrees with ss_centroid_profile and its members") {
     val profile = SparkEntry.queries("ss_centroid_profile")(spark, dir).collect()
       .map(r => r.getInt(r.fieldIndex("cluster")) ->

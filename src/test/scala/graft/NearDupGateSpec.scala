@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 class NearDupGateSpec extends SparkSpec {
 
+  test("rowBands == the batch signature pipeline's band keys, doc for doc") {
+    // the stateless HOF twin must be BIT-identical to sigDf's bands, or
+    // the ingest gate and the batch candidate generator silently block
+    // on different keys
+    val docs = Tables.documents(spark, sf)
+    val hof = graft.queries.DedupQueries.rowBands(docs).collect()
+      .flatMap(r => Seq((r.getLong(0), 0, r.getString(1)), (r.getLong(0), 1, r.getString(2))))
+      .toSet
+    val batch = graft.queries.DedupQueries.bandedDf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(hof == batch)
+  }
+
   test("stream == batch; gate is a superset of dd_incremental's snapshot half") {
     val idx = NearDupGateStream.snapshotIndex(spark, sf)
     val newDocs = Tables.documents(spark, sf).filter(col("doc_id") % 10 >= 8)
