@@ -46,8 +46,16 @@ object NearDupGateStream {
   }
 
   /** The streaming gate over a parquet document directory/glob,
-    * indexed against `corpusDir`'s snapshot split. */
+    * indexed against `corpusDir`'s snapshot split. Verdict counts are
+    * published per micro-batch as OBSERVED METRICS (`observe` →
+    * `StreamingQueryProgress.observedMetrics("neardup_gate")`), so an
+    * operator watches drop rates from query progress without a second
+    * aggregation pass — the ingest-monitoring hook a production gate
+    * needs (alert when dup share spikes: the crawler is re-fetching). */
   def stream(spark: SparkSession, corpusDir: String, streamPath: String): DataFrame =
     gate(spark.readStream.schema(DecontamStream.docSchema).parquet(streamPath),
          snapshotIndex(spark, corpusDir))
+      .observe("neardup_gate",
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "dup_of_snapshot", 1L).otherwise(0L)).as("n_dups"))
 }

@@ -47,6 +47,14 @@ class NearDupGateSpec extends SparkSpec {
       val streamed = spark.table("neardup_gate")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(streamed == batch, "stream verdicts differ from batch gate")
+      // the observed metrics must account for every gated doc without a
+      // second aggregation pass
+      val obs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("neardup_gate")))
+      val nDocs = obs.map(_.getAs[Long]("n_docs")).sum
+      val nDups = obs.map(_.getAs[Long]("n_dups")).sum
+      assert(nDocs == batch.size.toLong, s"observed n_docs $nDocs != ${batch.size}")
+      assert(nDups == batch.values.count(_ == "dup_of_snapshot").toLong)
     } finally q.stop()
 
     // recall superset: everything the capped batch operator drops as a
