@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes raw to stdout — sbt's default logger prefixes
+// every line with "[info] ", which breaks any consumer that json-parses
+// the bench/verify summary lines (BENCH parsed=null rounds 1-4).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

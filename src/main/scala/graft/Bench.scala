@@ -15,7 +15,7 @@ object Bench {
     // join → agg) for the parquet reader and codegen caches
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -29,15 +29,20 @@ object Bench {
     // repr made the round-1 JSON line long enough that the driver's
     // output capture truncated it to 64 of 80 query entries
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // failed queries carry no timing (an abort time is not a query time)
+    val timed = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     // The per-query line above grew past the driver's tail-capture window
     // (BENCH_r01..r03 all parsed as null). The LAST line printed must be a
     // complete, short JSON record so any tail capture can parse the result.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
+    // a bench with failures must not read as a clean round (round-4 r04
+    // recorded rc=0 with 43 failed queries)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -25,16 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) in the file, which Spark 4 refuses to
-    * read as a timestamp. Read nanos as a long (runtime-settable legacy
-    * conf, so this works under any driver-created session) and truncate to
-    * a µs TimestampType column — the same floor-division DuckDB applies
-    * when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity.
+  /** events.ts has shipped as either TIMESTAMP(NANOS) or TIMESTAMP(MICROS,
+    * NTZ) across fixture generations. Spark 4 refuses to read nanos as a
+    * timestamp, so when the file carries nanos we read them as a long
+    * (runtime-settable legacy conf) and truncate to µs — the same
+    * floor-division DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. A µs
+    * NTZ column is cast to TimestampType: every session here runs in UTC,
+    * so the wall-clock mapping is identity and matches DuckDB's naive
+    * TIMESTAMP. Either way downstream queries always see a µs
+    * TimestampType `ts`, same as every prior round.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
