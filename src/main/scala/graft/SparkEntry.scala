@@ -40,6 +40,7 @@ object SparkEntry {
   private def all: Map[String, Q] =
     graft.queries.EventLogQueries.defs ++
     graft.queries.EventLogQueries2.defs ++
+    graft.queries.EventLogQueries3.defs ++
     graft.queries.FunnelQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.RelationalQueries2.defs ++
@@ -59,9 +60,11 @@ object SparkEntry {
     graft.queries.SimilarityQueries.defs ++
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.SimilarityQueries3.defs ++
+    graft.queries.SimilarityQueries4.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++
+    graft.queries.TextQueries4.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++
