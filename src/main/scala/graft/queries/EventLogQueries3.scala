@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Native session-window aggregation over the event log.
@@ -56,6 +57,61 @@ object EventLogQueries3 {
                 (unix_micros(col("session_window.end"))
                   - unix_micros(col("session_window.start"))).as("dur_us"))
         .orderBy("user_id", "start_us")
+    },
+
+    // Watermark-lateness audit — the table that SIZES a watermark before
+    // any streaming job runs. The log itself is in-order (the append
+    // path stamps monotonically), but a consumer of the reference's
+    // 4-shard round-robin topic that drains 256-event batches shard by
+    // shard (the consumeBatch pattern, no merge-sort across shards) sees
+    // event time REGRESS at every shard boundary — that interleave is
+    // the arrival order modeled here, a pure function of the log ordinal:
+    //   arrival = (id div 1024)·1024 + (id mod 4)·256 + (id div 4) mod 256.
+    // Per user (the stateful-agg key), lateness = running event-time
+    // high-water-mark at arrival − event time; bucketed counts + max
+    // answer "what `withWatermark` bound loses <x% of events" for every
+    // EventStream job consuming this topic. Scale shape: arrival is a
+    // per-row expression (no sort to build it), ONE window partitioned
+    // by user_id (bounded per key, the el_sessionize pattern — never a
+    // global arrival sort) + one map-side-combined 5-row aggregate.
+    "el_lateness_audit" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        |         (event_id // 1024) * 1024 + (event_id % 4) * 256
+        |           + (event_id // 4) % 256 AS arrival
+        |  FROM events),
+        |hwm AS (
+        |  SELECT user_id, tus,
+        |         MAX(tus) OVER (PARTITION BY user_id ORDER BY arrival
+        |                        ROWS UNBOUNDED PRECEDING) AS hwm_us
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN hwm_us - tus = 0 THEN 0
+        |              WHEN hwm_us - tus <= 60000000 THEN 1
+        |              WHEN hwm_us - tus <= 600000000 THEN 2
+        |              WHEN hwm_us - tus <= 1800000000 THEN 3
+        |              ELSE 4 END AS bucket,
+        |         hwm_us - tus AS late_us
+        |  FROM hwm)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(late_us) AS max_late_us
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arrival"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          expr("(event_id div 1024) * 1024 + (event_id % 4) * 256 + (event_id div 4) % 256")
+            .as("arrival"))
+        .withColumn("late_us", max(col("tus")).over(w) - col("tus"))
+        .withColumn("bucket",
+          when(col("late_us") === 0, 0)
+            .when(col("late_us") <= 60000000L, 1)
+            .when(col("late_us") <= 600000000L, 2)
+            .when(col("late_us") <= 1800000000L, 3)
+            .otherwise(4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+        .orderBy("bucket")
     }
   )
 }

@@ -55,6 +55,17 @@ class StreamingSpec extends SparkSpec {
     val want = SparkEntry.queries("el_sessionize")(spark, sf)
       .select(col("user_id"), col("n_events"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // exact-semantics twin: el_session_window is the SAME operator
+    // (session_window) in batch, so the full session INTERVALS must
+    // match row for row, not just the count multiset
+    val gotFull = spark.table("sessions")
+      .select(col("user_id"), col("n_events"),
+              unix_micros(col("session_start")).as("start_us"),
+              unix_micros(col("session_end")).as("end_us"))
+    val wantFull = SparkEntry.queries("el_session_window")(spark, sf)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    assert(gotFull.exceptAll(wantFull).isEmpty && wantFull.exceptAll(gotFull).isEmpty)
   }
 
   test("streaming dedup drops replayed events") {
