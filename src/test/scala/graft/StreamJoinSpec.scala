@@ -130,6 +130,38 @@ class StreamJoinSpec extends SparkSpec {
       "stream emitted a right-null row for a right that HAS a batch match")
   }
 
+  test("left-semi stream-stream join: each matched left row exactly once") {
+    val dirA = Files.createTempDirectory("ssjs-a").toString + "/t"
+    val dirB = Files.createTempDirectory("ssjs-b").toString + "/t"
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks    = ev.filter(col("event_type") === "click")
+    purchases.repartition(2).write.parquet(dirA)
+    clicks.repartition(2).write.parquet(dirB)
+    val joined = EventStream.streamStreamJoin(
+      EventStream.ingest(spark, dirA, 1), EventStream.ingest(spark, dirB, 1),
+      band = "24 hours", joinType = "left_semi")
+    val q = joined.writeStream.format("memory").queryName("ssjs")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssjs-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssjs").select("l_event")
+    val l = purchases.select(col("user_id").as("lu"), col("event_id").as("l_event"),
+                             col("ts").as("lt"))
+    val r = clicks.select(col("user_id").as("ru"), col("event_id").as("r_event"),
+                          col("ts").as("rt"))
+    val want = l.join(r,
+        col("lu") === col("ru") && col("rt") >= col("lt") &&
+        col("rt") <= col("lt") + expr("INTERVAL 24 HOURS") &&
+        col("l_event") =!= col("r_event"), "left_semi")
+      .select("l_event")
+    assert(got.count() > 0, "semi join produced no rows — fixture too sparse")
+    // exactly the batch semi-join multiset: matched lefts once, no dups
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() === got.distinct().count(), "semi join duplicated a left row")
+  }
+
   test("ingestValue acks 0 (false) when the topic backlog is at capacity") {
     val root = Files.createTempDirectory("ack").toString
     val c    = new Cascade(spark, root)
