@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * preferred over the islands form when per-session (not per-event)
   * output is all that's needed.
   *
-  * Semantics note the oracle mirrors exactly: session_window treats an
-  * event at t as the interval [t, t+gap) and merges OVERLAPPING
-  * intervals, so a successor exactly gap after its predecessor starts a
-  * NEW session (strict <), while the lag-based el_sessionize splits only
-  * on gap STRICTLY GREATER — the island twin here uses `>=` to match.
-  * Session end is last-event + gap by definition of the merged interval.
+  * Semantics note the oracle mirrors exactly: session_window merges a
+  * successor that lands WITHIN gap of the latest event INCLUSIVE — an
+  * event exactly gap after its predecessor still merges (pinned
+  * empirically by SessionWindowSpec on a crafted exact-gap fixture; the
+  * first draft of this oracle split at equality and only passed because
+  * µs-resolution data never hits the boundary). That is the same
+  * strictly-greater split rule as el_sessionize's islands; what the
+  * native operator adds is the session INTERVAL (end = last event +
+  * gap) and the one-exchange MergingSessions plan.
   */
 object EventLogQueries3 {
 
@@ -34,7 +37,7 @@ object EventLogQueries3 {
          |  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
          |g AS (
          |  SELECT user_id, tus,
-         |         CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w >= $GapUs
+         |         CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > $GapUs
          |              THEN 1 ELSE 0 END AS is_new
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
          |s AS (
