@@ -242,6 +242,46 @@ object RelationalQueries9 {
                   .as("top10_share"),
                 (col("n_rows").cast("double") / col("distinct_keys").cast("double"))
                   .as("avg_rows_per_key"))
+    },
+
+    // Degree-capped co-occurrence mining over the cust→supp bipartite
+    // graph (the graph q50 ranks): top-20 supplier pairs by shared
+    // customers — the wedge/co-purchase count behind recommendation and
+    // collocation features. The 100 TB discipline is the DEGREE CAP: a
+    // customer of degree d generates d·(d−1)/2 wedge rows, so one hub
+    // key is quadratic — customers over dc ≤ 40 are excluded BY
+    // SEMANTICS (both twins apply the rule; the same move as
+    // dd_minhash's band cap, where the hot block is bounded rather than
+    // hoped small). Wedges are generated bucket-locally by the cust
+    // equi-self-join (shuffle on cust only), collapsed by a map-side-
+    // combined (s_a, s_b) count, and the output is TakeOrdered-20.
+    "q56_cooccur_topk" -> Q(
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |d AS (SELECT cust, COUNT(*) AS dc FROM e GROUP BY cust),
+        |ic AS (SELECT cust FROM d WHERE dc <= 40),
+        |w AS (
+        |  SELECT a.supp AS s_a, b.supp AS s_b
+        |  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+        |  JOIN ic ON a.cust = ic.cust)
+        |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM w GROUP BY s_a, s_b
+        |ORDER BY n_shared DESC, s_a, s_b LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("cust"), col("supp")).distinct()
+      val incap = e.groupBy(col("cust").as("ic_cust")).agg(count(lit(1)).as("dc"))
+        .filter(col("dc") <= 40).select(col("ic_cust"))
+      val eIn = e.join(incap, col("cust") === col("ic_cust"), "left_semi")
+      val b = eIn.select(col("cust").as("b_cust"), col("supp").as("s_b"))
+      eIn.select(col("cust"), col("supp").as("s_a"))
+        .join(b, col("cust") === col("b_cust") && col("s_a") < col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
+        .limit(20)
     }
   )
 }
