@@ -1,38 +1,102 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.TopK
 
-/** ScalaCheck-generated inputs driven through Spark in bulk (one job per
-  * property, not one per case — a Spark action per ScalaCheck case would
-  * be minutes per property).
-  *
-  * Property 1 cross-implements the Portable hash family: the Catalyst
-  * expression (md5 → substring → conv) must agree with a plain JVM
-  * MessageDigest + BigInt parse on arbitrary strings — the DuckDB oracle
-  * side is this same definition in SQL, so JVM≡Spark here is the leg of
-  * the triangle the oracle gate can't see.
-  *
-  * Property 2 generalizes SessionWindowSpec: for arbitrary per-user gap
-  * sequences — with exact-gap boundaries generated OFTEN (the case µs
-  * corpus data never produces, which hid the round-5 oracle boundary
-  * bug) — the native session_window session set must equal the
-  * lag-islands session set per user.
+/** Property tests over the core invariants SURVEY.md §5 calls out:
+  * offset density/ordering, top-k aggregator equivalence, portable-hash
+  * ranges and cross-implementation agreement, session-boundary
+  * equivalence. Uses raw ScalaCheck generators with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline cache), driven
+  * through Spark in bulk — one job per property, not one per case.
   */
 class PropertySpec extends SparkSpec {
 
-  private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
-    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed))
-      .getOrElse(sys.error("gen failed"))
+  private val rows: Gen[List[(Long, Long, Double)]] = Gen.listOfN(60,
+    for {
+      id <- Gen.choose(0L, 10000L)
+      ts <- Gen.choose(0L, 1000000L)
+      v  <- Gen.choose(-1000, 1000)
+    } yield (id, ts, v.toDouble))
 
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("Topic.publish assigns dense offsets in (ts, event_id) order for arbitrary batches") {
+    import spark.implicits._
+    samples(rows, 4).foreach { data =>
+      val distinct = data.distinctBy(r => (r._2, r._1))
+      val dir = java.nio.file.Files.createTempDirectory("prop").toString + "/t"
+      val df = distinct.toDF("event_id", "tsl", "value")
+        .withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+      Topic.publish(df, dir)
+      val log = spark.read.parquet(dir)
+        .select("offset", "ts", "event_id").orderBy("offset").collect()
+      // dense 0..n-1
+      assert(log.map(_.getLong(0)).toSeq === (0L until distinct.size.toLong))
+      // offset order == (ts, event_id) order
+      val expected = distinct.map(r => (r._2, r._1)).sorted.map(_._2)
+      assert(log.map(_.getLong(2)).toSeq === expected)
+    }
+  }
+
+  test("TopK aggregator equals sort-and-take for arbitrary groups") {
+    import spark.implicits._
+    samples(rows, 4).foreach { data =>
+      val ds = data.map { case (id, ts, v) => (id % 5, v, id) }
+        .distinctBy(t => (t._1, t._3)).toDS()
+      val got = ds.groupByKey(_._1).agg(new TopK(3).toColumn.name("top"))
+        .collect().toMap
+      val want = ds.collect().toSeq.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(t => (t._2, t._3))
+          .sortBy { case (score, id) => (-score, id) }.take(3)
+      }
+      assert(got.view.mapValues(_.toSeq).toMap === want)
+    }
+  }
+
+  test("graft_window_min equals a reference sliding-min for arbitrary arrays") {
+    import spark.implicits._
+    graft.functions.WindowMin.register(spark)
+    val arrays: Gen[List[List[Long]]] = Gen.listOfN(40,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))))
+    for (w <- Seq(1, 2, 4, 7); data <- samples(arrays, 2)) {
+      val got = data.toDF("hs")
+        .select(call_function("graft_window_min", col("hs"), lit(w)).as("m"))
+        .collect().map(_.getSeq[Long](0).toList).toList
+      val want = data.map(a => if (a.size < w) Nil else a.sliding(w).map(_.min).toList)
+      assert(got === want, s"w=$w")
+    }
+  }
+
+  test("portable hashes stay in range") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, Gen.alphaNumStr), 4).foreach { words =>
+      val df = words.toDF("w").select(
+        graft.functions.Portable.h16(col("w")).as("h16"),
+        graft.functions.Portable.h32(col("w")).as("h32"),
+        graft.functions.Portable.h60(col("w")).as("h60"))
+      val r = df.agg(min("h16"), max("h16"), min("h32"), max("h32"),
+                     min("h60"), max("h60")).head()
+      assert(r.getInt(0) >= 0 && r.getInt(1) < (1 << 16))
+      assert(r.getLong(2) >= 0L && r.getLong(3) < (1L << 32))
+      assert(r.getLong(4) >= 0L && r.getLong(5) < (1L << 60))
+    }
+  }
+
+  /** The Catalyst expression (md5 → substring → conv) must agree with a
+    * plain JVM MessageDigest + parse on arbitrary strings — the DuckDB
+    * oracle side is this same definition in SQL, so JVM≡Spark here is
+    * the leg of the triangle the oracle gate can't see. */
   test("Portable h60/h32/h16 match a JVM reference implementation on arbitrary strings") {
     import graft.functions.Portable._
     val gen = Gen.oneOf(
       Gen.alphaNumStr,
       Gen.asciiPrintableStr,
       Gen.listOf(Gen.oneOf('a', 'b', ' ', '|', '\t', 'µ', '中')).map(_.mkString))
-    val strs = sample(gen, 300, 42L).distinct.filter(_.nonEmpty)
+    val strs = samples(gen, 300).distinct.filter(_.nonEmpty)
 
     def ref(s: String, hexChars: Int): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -54,10 +118,12 @@ class PropertySpec extends SparkSpec {
     assert(got.length >= 100) // the generator actually produced coverage
   }
 
+  /** Generalizes SessionWindowSpec: for arbitrary per-user gap sequences
+    * — with exact-gap boundaries generated OFTEN (the case µs corpus data
+    * never produces, which hid the round-5 oracle boundary bug) — the
+    * native session_window session set must equal the lag-islands set. */
   test("session_window ≡ lag-islands on generated gap sequences incl. exact boundaries") {
     val GapUs = 1800000000L
-    // per-event gap generator: exact boundary with high probability, plus
-    // under-gap, over-gap, zero, and off-by-one-µs cases
     val gapGen = Gen.frequency(
       3 -> Gen.const(GapUs),              // exactly the gap (merges)
       1 -> Gen.const(GapUs + 1L),         // one µs over (splits)
@@ -65,7 +131,7 @@ class PropertySpec extends SparkSpec {
       1 -> Gen.const(0L),                 // simultaneous
       3 -> Gen.chooseNum(1L, 4L * GapUs)) // arbitrary
     val userGen = Gen.chooseNum(2, 15).flatMap(n => Gen.listOfN(n, gapGen))
-    val users = sample(userGen, 60, 7L)
+    val users = samples(Gen.listOfN(60, userGen), 1).flatten
 
     val t0 = 1700000000000000L // µs
     val rows = users.zipWithIndex.flatMap { case (gaps, u) =>
@@ -85,8 +151,7 @@ class PropertySpec extends SparkSpec {
       .select(col("user_id"), col("n_events"), col("start_us"))
     assert(native.exceptAll(islands).isEmpty && islands.exceptAll(native).isEmpty,
       "session_window and lag-islands disagree on a generated fixture")
-    // the generator actually hit the boundary: some user merged an
-    // exact-gap successor (session longer than one event with gap == Gap)
+    // the generator actually hit the boundary
     assert(users.exists(_.contains(GapUs)))
   }
 }
