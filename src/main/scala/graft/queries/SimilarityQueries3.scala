@@ -61,7 +61,7 @@ object SimilarityQueries3 {
       d * d
     }.reduce(_ + _)
 
-  private def trainPq(e: DataFrame, dir: String): Seq[(Int, Long, Array[Double])] =
+  private[queries] def trainPq(e: DataFrame, dir: String): Seq[(Int, Long, Array[Double])] =
     pqCache.computeIfAbsent(dir, _ => {
       val sv = subVecs(e)
       val seeds = sv.filter(col("vec_id") < KC)

@@ -114,4 +114,35 @@ class CrashRecoverySpec extends SparkSpec {
     assert(offsets.toSeq === (0L until 200L),
       s"ordinals not dense after recovery: ${offsets.take(10).mkString(",")}...")
   }
+
+  test("stale publish lock (crashed writer) is taken over after the lease TTL") {
+    val dir = tmp("crash-lock") + "/t"
+    val ev  = Tables.events(spark, sf).limit(20)
+    Topic.publish(ev, dir)
+    // a crashed writer's leftover: the lock exists but its heartbeat
+    // (mtime) is long past the TTL — no process is refreshing it
+    val lock = java.nio.file.Paths.get(dir, "_publish.lock")
+    java.nio.file.Files.write(lock, "deadbeef crashed\n".getBytes)
+    val staleMs = System.currentTimeMillis() - 10 * 60 * 1000L
+    assert(lock.toFile.setLastModified(staleMs))
+    spark.conf.set("spark.graft.publishLockTtlMs", "1000")
+    try {
+      // publish succeeds via takeover instead of demanding manual deletion
+      Topic.publish(ev, dir)
+      val offsets = spark.read.parquet(dir).select("offset")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(offsets === (0L until 40L), "post-takeover offsets not dense")
+      // ... and the takeover released its own lock on completion
+      assert(!java.nio.file.Files.exists(lock))
+      // a LIVE lock (fresh heartbeat) still errors loudly — the lease
+      // only relaxes the crashed case, not single-writer enforcement
+      java.nio.file.Files.createFile(lock)
+      val e = intercept[IllegalStateException] { Topic.publish(ev, dir) }
+      assert(e.getMessage.contains("active publisher"))
+      assert(spark.read.parquet(dir).count() === 40)
+    } finally {
+      spark.conf.unset("spark.graft.publishLockTtlMs")
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
 }
