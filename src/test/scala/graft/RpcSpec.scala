@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import graft.rpc.Wire._
-import graft.rpc.CascadeRpc
+import graft.rpc.{CascadeRpc, RpcClient, RpcServer}
 
 /** Drives publish / metadata / consume / express through the in-process
   * RPC facade — the E1/E2/E3 wire-shape parity check next to the HTTP
@@ -60,5 +60,44 @@ class RpcSpec extends SparkSpec {
     // reference-faithful rejection: the ring's slots are never freed, so
     // a full ring acks 0 (producer main.rs:68-82)
     assert(rpc.expressToProducer(ExpressDataToProducer(43)) === ProducerToExpressAck(0))
+  }
+
+  test("all five rpcs over a real TCP socket: client ≡ in-process facade") {
+    // the process boundary the reference's services have (its producer/
+    // coordinator/broker each bind a socket): E1/E2/E3 driven through an
+    // actual listener + HTTP client, same Wire traits on both ends
+    val rpc    = facade(s"t_tcp_${System.nanoTime()}", ringCapacity = 2)
+    val server = RpcServer.start(rpc)
+    try {
+      val c = new RpcClient("127.0.0.1", server.port)
+
+      // coordinator surface (E3): register, duplicate branch, lookup, miss
+      val b1 = Broker(1, "10.0.0.1", 50030)
+      assert(c.send(BrokerInitializationRequest(b1, 0, "orders")) ===
+        BrokerInitializationResponse(Ok, "Broker successfully registered"))
+      assert(c.send(BrokerInitializationRequest(b1, 0, "orders")) ===
+        BrokerInitializationResponse(Error, "Broker already registered"))
+      assert(c.getMetadata(MetadataRequest("orders")).brokers === Seq(b1))
+      intercept[NoSuchElementException] { c.getMetadata(MetadataRequest("nope")) }
+
+      // publish → consume round-trip (E1): reference ack format verbatim,
+      // µs event time surviving the wire both ways
+      val t = {
+        val x = new java.sql.Timestamp(1700000000000L); x.setNanos(123456000); x
+      }
+      val ack = c.send(PublishDataToBroker("alpha", t, 7))
+      assert(ack.responseToProducer.startsWith(
+        "successfully rx event with name alpha and timestamp 2023-11-14T22:13:20"))
+      assert(c.send(ConsumeDataFromBroker("req_from_consumer", 0)) ===
+        BrokerToConsumerAck(Seq(Event("alpha", t))))
+      intercept[NoSuchElementException] {
+        c.send(ConsumeDataFromBroker("req_from_consumer", 99))
+      }
+
+      // express admission (E2): ack 1 until the ring fills, then 0
+      assert(c.expressToProducer(ExpressDataToProducer(41)) === ProducerToExpressAck(1))
+      assert(c.expressToProducer(ExpressDataToProducer(42)) === ProducerToExpressAck(1))
+      assert(c.expressToProducer(ExpressDataToProducer(43)) === ProducerToExpressAck(0))
+    } finally server.stop()
   }
 }
