@@ -309,6 +309,132 @@ object Topic {
     hfs.delete(old, true)
   }
 
+  /** What a retention pass did: how many whole segment files were dropped
+    * (the cheap path), how many boundary files were rewritten, and the
+    * row accounting. */
+  final case class RetentionReport(
+      filesDeleted: Int, filesRewritten: Int,
+      rowsDropped: Long, rowsSurviving: Long)
+
+  /** Time/size-based retention with SEGMENT ROTATION — the log-management
+    * half of Kafka next to [[compact]], and the reference broker's own
+    * TODO ("eventually, will be multiple files, but just one for now",
+    * /root/reference/src/broker/main.rs:53). A topic is already many
+    * parquet files (publish appends new segments); retention expires
+    *
+    *   - rows with event time before `minEventTime` (time policy), and/or
+    *   - rows below the offset floor implied by `maxEvents` (size
+    *     policy: keep the newest `maxEvents` per ordinal sequence —
+    *     per SHARD on a `publishPartitioned` topic, where offsets are
+    *     dense per shard; that is Kafka's per-partition retention).
+    *
+    * The 100 TB posture is FILE-granular: one column-pruned stats scan
+    * (per-file min/max of ts and offset — the collect is bounded by the
+    * segment count, control-plane not row-scale) classifies every
+    * segment, then
+    *
+    *   - fully-expired segments are DELETED whole (no read, no rewrite —
+    *     retention cost is O(expired bytes deleted), not O(live log));
+    *   - fully-live segments are untouched (surviving offsets keep their
+    *     files, so point reads and row-group pruning are unchanged);
+    *   - only boundary-straddling segments are rewritten, each to a
+    *     deterministic replacement file (`r-<md5(original)>.parquet`)
+    *     next to the original.
+    *
+    * Crash contract (the standard maintenance-job one, same spirit as
+    * [[compact]]'s swap): whole-file deletes are idempotent; a straddler
+    * is rewritten FIRST (skipped on rerun if its replacement already
+    * exists) and its original deleted AFTER, so no surviving row is ever
+    * lost — a crash between the two steps can duplicate the boundary
+    * rows until `retain` is re-run to completion, which the
+    * deterministic replacement name makes convergent.
+    *
+    * Runs under the publish lock: retention is a writer.
+    */
+  def retain(spark: SparkSession, topicDir: String,
+             minEventTime: Option[java.sql.Timestamp] = None,
+             maxEvents: Option[Long] = None): RetentionReport = {
+    require(minEventTime.nonEmpty || maxEvents.nonEmpty,
+      "retain needs a policy: minEventTime (time) and/or maxEvents (size)")
+    withPublishLock(spark, topicDir) {
+      val src     = spark.read.parquet(topicDir)
+      val sharded = src.columns.contains("shard")
+      // offset floor from the size policy: hwm - maxEvents + 1, per
+      // ordinal sequence (global, or per shard when sharded)
+      val floors: Map[Option[Int], Long] = maxEvents match {
+        case None => Map.empty
+        case Some(n) =>
+          if (sharded)
+            src.groupBy("shard").agg(max(col("offset")).as("hwm")).collect()
+              .map(r => Option(r.getInt(0)) -> (r.getLong(1) - n + 1L)).toMap
+          else {
+            val hwm = src.agg(max(col("offset"))).head().getLong(0)
+            Map((None: Option[Int]) -> (hwm - n + 1L))
+          }
+      }
+      def floorOf(shard: Option[Int]): Long =
+        floors.getOrElse(shard, Long.MinValue)
+      // per-segment stats: ONE column-pruned scan, collect bounded by
+      // the number of files (control plane, never row scale)
+      val stats = src
+        .groupBy(input_file_name().as("file"),
+                 (if (sharded) col("shard") else lit(null).cast("int")).as("sh"))
+        .agg(count(lit(1)).as("n"),
+             min(col("offset")).as("minOff"), max(col("offset")).as("maxOff"),
+             min(col("ts")).as("minTs"), max(col("ts")).as("maxTs"))
+        .collect()
+      val (hfs, _) = fs(spark, topicDir)
+      var deleted = 0; var rewritten = 0; var dropped = 0L; var surviving = 0L
+      stats.foreach { r =>
+        val file  = r.getString(0)
+        val shard = if (r.isNullAt(1)) None else Some(r.getInt(1))
+        val n     = r.getLong(2)
+        val path  = new org.apache.hadoop.fs.Path(new java.net.URI(file))
+        val oMin  = floorOf(shard)
+        def expiredTs(t: java.sql.Timestamp): Boolean =
+          minEventTime.exists(cut => t.before(cut))
+        val allExpired = // sufficient (not necessary) → misses become straddlers
+          expiredTs(r.getTimestamp(6)) || r.getLong(4) < oMin
+        val noneExpired =
+          !expiredTs(r.getTimestamp(5)) && r.getLong(3) >= oMin
+        if (allExpired) {
+          hfs.delete(path, false); deleted += 1; dropped += n
+        } else if (noneExpired) {
+          surviving += n
+        } else {
+          // boundary segment: rewrite survivors next to the original
+          // (same dir — preserves shard-directory pruning), then drop it
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(path.getName.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val repl = new org.apache.hadoop.fs.Path(path.getParent, s"r-$md5.parquet")
+          var kept = 0L
+          val keep = (minEventTime match {
+            case Some(cut) => col("ts") >= lit(cut)
+            case None      => lit(true)
+          }) && col("offset") >= oMin
+          if (!hfs.exists(repl)) {
+            val tmp = new org.apache.hadoop.fs.Path(
+              path.getParent, s"_retain-tmp-$md5")
+            val surv = spark.read.parquet(file).filter(keep)
+              .sortWithinPartitions("offset")
+            surv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            val part = hfs.listStatus(tmp)
+              .map(_.getPath).find(_.getName.startsWith("part-"))
+              .getOrElse(throw new java.io.IOException(
+                s"retain: no part file produced under $tmp"))
+            if (!hfs.rename(part, repl)) throw new java.io.IOException(
+              s"retain: failed to move $part to $repl; original segment untouched")
+            hfs.delete(tmp, true)
+          }
+          kept = spark.read.parquet(repl.toString).count()
+          hfs.delete(path, false)
+          rewritten += 1; surviving += kept; dropped += n - kept
+        }
+      }
+      RetentionReport(deleted, rewritten, dropped, surviving)
+    }
+  }
+
   /** Coordinator-metadata analogue: topics are directories; register them
     * as temp views so SQL can address them by name
     * (/root/reference/src/coordinator/brokermap.rs:5 — topic → brokers map).

@@ -62,6 +62,49 @@ object EventLogQueries3 {
         .orderBy("user_id", "start_us")
     },
 
+    // Retention-policy preview — the QUERY form of Topic.retain (which
+    // rewrites segments; this answers "what would survive" without
+    // touching the log): dual policy, keep events within 7 days of the
+    // log head AND within the newest 1500 by (ts, event_id). Both
+    // cutoffs are SCALARS (one map-side-combined max; one
+    // TakeOrdered-1500 reduced to its oldest element — never a global
+    // row_number over the log, which would single-partition the sort),
+    // broadcast into one filtered pass. At 100 TB the same shape holds:
+    // two tiny aggregates + one scan; Topic.retain then enforces the
+    // policy at segment granularity (whole-file deletes).
+    "el_retention_survivors" -> Q(
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |tcut AS (SELECT MAX(ts) - INTERVAL 7 DAY AS tmin FROM e),
+        |newest AS (
+        |  SELECT ts AS cts, event_id AS cid FROM e
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1500),
+        |scut AS (SELECT cts, cid FROM newest ORDER BY cts ASC, cid ASC LIMIT 1),
+        |surv AS (
+        |  SELECT e.* FROM e, tcut, scut
+        |  WHERE e.ts >= tcut.tmin AND (e.ts, e.event_id) >= (scut.cts, scut.cid))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+        |       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |FROM surv GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "ts", "event_type")
+      val tcut = e.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("tmin"))
+      // oldest element of the newest-1500: TakeOrderedAndProject (never
+      // the whole log on one partition), then a 1500-row min — when the
+      // log is shorter than 1500, the min is the log's oldest row and
+      // the size policy keeps everything, same as the oracle's LIMIT
+      val scut = e.orderBy(col("ts").desc, col("event_id").desc).limit(1500)
+        .agg(min(struct(col("ts").as("cts"), col("event_id").as("cid"))).as("c"))
+      e.crossJoin(broadcast(tcut)).crossJoin(broadcast(scut))
+        .filter(col("ts") >= col("tmin") &&
+                struct(col("ts").as("cts"), col("event_id").as("cid")) >= col("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             min("event_id").as("min_event_id"), max("event_id").as("max_event_id"),
+             min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .orderBy("event_type")
+    },
+
     // Watermark-lateness audit — the table that SIZES a watermark before
     // any streaming job runs. The log itself is in-order (the append
     // path stamps monotonically), but a consumer of the reference's

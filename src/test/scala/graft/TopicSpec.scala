@@ -243,4 +243,57 @@ class TopicSpec extends SparkSpec {
     Topic.publish(ev, dir)
     assert(spark.read.parquet(dir).count() > 0)
   }
+
+  test("retain (size): expired segments dropped whole, surviving point reads unchanged") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).orderBy("ts", "event_id").limit(100)
+      .localCheckpoint(true)
+    // three publishes → three segment generations: offsets 0..39, 40..79, 80..99
+    Topic.publish(ev.limit(40), dir)
+    Topic.publish(ev.orderBy("ts", "event_id").limit(80)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(40), dir)
+    Topic.publish(ev.orderBy(col("ts").desc, col("event_id").desc).limit(20), dir)
+    val before85 = Topic.consume(spark, dir, 85).collect()
+    // files currently holding the fully-live tail (offsets >= 80)
+    val liveFiles = spark.read.parquet(dir).filter(col("offset") >= 80)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+
+    val rep = Topic.retain(spark, dir, maxEvents = Some(30L))
+    val log = spark.read.parquet(dir)
+    assert(log.count() === 30)
+    assert(log.select("offset").collect().map(_.getLong(0)).sorted.toSeq ===
+      (70L until 100L), "size retention must keep the newest 30 offsets")
+    // accounting: 70 rows expired, 30 survive; the first generation's
+    // segments (maxOffset 39 < 70) were deleted whole, never rewritten
+    assert(rep.rowsDropped === 70 && rep.rowsSurviving === 30)
+    assert(rep.filesDeleted > 0, "fully-expired segments should be deleted whole")
+    // fully-live segments are untouched: same files serve offsets >= 80
+    val liveAfter = spark.read.parquet(dir).filter(col("offset") >= 80)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(liveAfter === liveFiles, "retention must not rewrite fully-live segments")
+    // the point-read contract survives: same rows at the same offset
+    assert(Topic.consume(spark, dir, 85).collect() === before85)
+    // rerun with the same policy is a no-op (idempotent maintenance job)
+    val rep2 = Topic.retain(spark, dir, maxEvents = Some(30L))
+    assert(rep2 === Topic.RetentionReport(0, 0, 0L, 30L))
+    assert(spark.read.parquet(dir).count() === 30)
+  }
+
+  test("retain (time): events before the cutoff expire; topic stays publishable") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).orderBy("ts", "event_id").limit(60)
+      .localCheckpoint(true)
+    Topic.publish(ev.limit(30), dir)
+    Topic.publish(ev.orderBy(col("ts").desc, col("event_id").desc).limit(30), dir)
+    // cutoff = event time at offset 20: offsets 0..19 expire
+    val cut = Topic.consume(spark, dir, 20).collect()(0).getAs[java.sql.Timestamp]("ts")
+    val rep = Topic.retain(spark, dir, minEventTime = Some(cut))
+    val log = spark.read.parquet(dir)
+    assert(log.count() === 40 && rep.rowsDropped === 20)
+    assert(log.agg(min(col("offset"))).head().getLong(0) === 20L)
+    assert(log.filter(col("ts") < lit(cut)).count() === 0)
+    // the lock was released and publish continues the ordinal sequence
+    Topic.publish(ev.limit(5), dir)
+    assert(spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) === 64L)
+  }
 }
