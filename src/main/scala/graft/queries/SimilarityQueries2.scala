@@ -126,6 +126,23 @@ object SimilarityQueries2 {
       }
     })
 
+  /** The trained coarse quantizer as a LITERAL array-of-structs column
+    * (ccluster, cvec, cnrm) — the broadcast form ingest-time assignment
+    * needs: a per-row expression over this literal is STATELESS, so the
+    * same quantizer serves batch queries and a streaming ingest edge
+    * (graft.streaming.VectorIngestStream) without retraining. Trains or
+    * loads the (corpus, k) artifact via [[centroids]]. */
+  private[graft] def centroidArrayFor(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, k: Int): org.apache.spark.sql.Column = {
+    graft.functions.FloatDot.register(spark)
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", nativeNorm(col("embedding")))
+    array(centroids(e, dir, k).map { case (c, v, cn) =>
+      struct(lit(c).as("ccluster"),
+             array(v.map(lit(_)): _*).as("cvec"),
+             lit(cn).as("cnrm"))
+    }: _*)
+  }
+
   /** Re-assignment against the materialized quantizer: every vector
     * ranked against every refined centroid (rn = 1 → its cell; rn ≤ 2 →
     * its probe set). The centroids enter the plan as LITERALS (explode
