@@ -59,11 +59,14 @@ final class Cascade(spark: SparkSession, root: String) {
   }
 
   /** Coordinator metadata: registered topics (directories). Hadoop-FS so
-    * remote roots (hdfs:/, s3a:/) behave like local ones. */
+    * remote roots (hdfs:/, s3a:/) behave like local ones. `_`-prefixed
+    * entries are control-plane state (consumer-group offsets), not
+    * topics. */
   def topics(): Seq[String] = {
     val (hfs, p) = Topic.fs(spark, root)
     if (!hfs.exists(p)) Seq.empty
-    else hfs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    else hfs.listStatus(p).filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted.toSeq
   }
 
   /** Topic removal — the coordinator's `remove`
@@ -92,6 +95,111 @@ final class Cascade(spark: SparkSession, root: String) {
            max(col("offset")).as("high_water_mark"),
            min(col("ts")).as("earliest"),
            max(col("ts")).as("latest"))
+  }
+
+  // ---- consumer groups --------------------------------------------------
+  //
+  // The committed-offset state Kafka keeps in __consumer_offsets and the
+  // reference lacks entirely (its consumer hardcodes offset 4,
+  // /root/reference/src/consumer/main.rs:22). Positions are PERSISTED per
+  // (group, topic, shard) under `$root/_groups/` — a new Cascade instance
+  // on the same root (a restarted consumer) resumes where the group left
+  // off. Semantics are Kafka's: the committed value is the NEXT offset to
+  // read; `lag` = high-water-mark + 1 − committed. Commit files are tiny
+  // JSON maps written via temp+rename (atomic on a rename-capable FS);
+  // one writer per (group, topic) is the consumer-group contract — as in
+  // Kafka, concurrent committers for the same group are last-writer-wins.
+
+  private def groupPath(group: String, topic: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_groups/$group/$topic.json")
+
+  /** Committed next-offset per shard (-1 = the unsharded sequence);
+    * empty when the group has never committed for this topic. */
+  def committedOffsets(group: String, topic: String): Map[Int, Long] = {
+    val (hfs, p) = Topic.fs(spark, groupPath(group, topic).toString)
+    if (!hfs.exists(p)) Map.empty
+    else {
+      val in  = hfs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      org.json4s.jackson.JsonMethods.parse(txt) match {
+        case org.json4s.JObject(fields) => fields.map {
+          case (k, org.json4s.JInt(v))  => k.toInt -> v.toLong
+          case (k, org.json4s.JLong(v)) => k.toInt -> v
+          case (k, other) => throw new IllegalStateException(
+            s"corrupt group state for $group/$topic at key $k: $other")
+        }.toMap
+        case other => throw new IllegalStateException(
+          s"corrupt group state for $group/$topic: $other")
+      }
+    }
+  }
+
+  private def writeOffsets(group: String, topic: String, m: Map[Int, Long]): Unit = {
+    val p = groupPath(group, topic)
+    val (hfs, _) = Topic.fs(spark, p.toString)
+    if (!hfs.exists(p.getParent)) hfs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = hfs.create(tmp, true)
+    try out.writeBytes(
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    finally out.close()
+    hfs.delete(p, false)
+    if (!hfs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to persist group offsets for $group/$topic")
+  }
+
+  /** Record consumption progress: the group's next offset to read
+    * becomes `nextOffset` (Kafka's commit semantics — commit AFTER
+    * processing, passing last-processed + 1). Validated against the
+    * log so a typo can't strand the group beyond the head. */
+  def commitOffset(group: String, topic: String, nextOffset: Long,
+                   shard: Option[Int] = None): Unit = {
+    requireTopic(topic)
+    require(nextOffset >= 0 && nextOffset <= highWaterMark(topic) + 1,
+      s"commit $nextOffset out of range for $topic (hwm=${highWaterMark(topic)})")
+    writeOffsets(group, topic,
+      committedOffsets(group, topic).updated(shard.getOrElse(-1), nextOffset))
+  }
+
+  /** Reposition the group arbitrarily (rewind for reprocessing,
+    * skip-ahead past poison) — `commitOffset` without the range check,
+    * Kafka's `seek` made durable. */
+  def seek(group: String, topic: String, offset: Long,
+           shard: Option[Int] = None): Unit =
+    writeOffsets(group, topic,
+      committedOffsets(group, topic).updated(shard.getOrElse(-1), offset))
+
+  /** Read up to `count` events from the group's committed position (0
+    * when the group is new). Does NOT auto-commit: call `commitOffset`
+    * after processing — the at-least-once consumer loop. */
+  def poll(group: String, topic: String, count: Int,
+           shard: Option[Int] = None): DataFrame = {
+    val from = committedOffsets(group, topic).getOrElse(shard.getOrElse(-1), 0L)
+    shard match {
+      case Some(sh) => Topic.consumeShard(spark, dir(topic), sh, from, count)
+      case None     => Topic.consume(spark, dir(topic), from, count)
+    }
+  }
+
+  /** Per-shard consumer lag: committed position vs the log head —
+    * (shard, committed_next, high_water_mark, lag). Uncommitted
+    * sequences report position 0 (lag = entire log). One footer-pruned
+    * stats aggregate; rows bounded by shard count. */
+  def lag(group: String, topic: String): DataFrame = {
+    requireTopic(topic)
+    import spark.implicits._
+    val log = spark.read.parquet(dir(topic))
+    val hwms: Map[Int, Long] =
+      if (log.columns.contains("shard"))
+        log.groupBy("shard").agg(max(col("offset")).as("hwm"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map(-1 -> log.agg(max(col("offset"))).head().getLong(0))
+    val committed = committedOffsets(group, topic)
+    hwms.toSeq.sortBy(_._1).map { case (sh, hwm) =>
+      val next = committed.getOrElse(sh, 0L)
+      (sh, next, hwm, hwm + 1L - next)
+    }.toDF("shard", "committed_next", "high_water_mark", "lag")
   }
 
   /** HTTP-ingress datum (the Express bridge carried one int32): a

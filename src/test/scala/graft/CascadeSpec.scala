@@ -35,6 +35,60 @@ class CascadeSpec extends SparkSpec {
     assert(c.consume("ingress", 0).head().getAs[Double]("value") === 42.0)
   }
 
+  test("consumer group: commit, restart, resume from committed, lag reported") {
+    val root = Files.createTempDirectory("cascade-group").toString
+    val c    = new Cascade(spark, root)
+    c.publish("t", Tables.events(spark, sf).limit(20))
+
+    // new group starts at 0; poll does NOT advance the position
+    assert(c.poll("g1", "t", 5).collect().map(_.getAs[Long]("offset")).toSeq ===
+      (0L until 5L))
+    assert(c.poll("g1", "t", 5).collect().map(_.getAs[Long]("offset")).toSeq ===
+      (0L until 5L), "poll must not auto-commit")
+
+    // commit after processing (Kafka semantics: next offset to read)
+    c.commitOffset("g1", "t", 5)
+    val lag1 = c.lag("g1", "t").head()
+    assert(lag1.getAs[Long]("committed_next") === 5L)
+    assert(lag1.getAs[Long]("high_water_mark") === 19L)
+    assert(lag1.getAs[Long]("lag") === 15L)
+
+    // RESTART: a fresh client on the same root resumes from the commit
+    val c2 = new Cascade(spark, root)
+    assert(c2.poll("g1", "t", 5).collect().map(_.getAs[Long]("offset")).toSeq ===
+      (5L until 10L), "restarted consumer must resume from the committed position")
+    // groups are independent; seek rewinds durably
+    assert(c2.poll("g2", "t", 3).collect().map(_.getAs[Long]("offset")).toSeq ===
+      (0L until 3L))
+    c2.seek("g1", "t", 2)
+    assert(c2.poll("g1", "t", 2).collect().map(_.getAs[Long]("offset")).toSeq ===
+      (2L until 4L))
+    // a commit beyond the head fails loudly
+    intercept[IllegalArgumentException] { c2.commitOffset("g1", "t", 99) }
+    // group state is control plane, not a topic
+    assert(c2.topics() === Seq("t"))
+  }
+
+  test("consumer group on a sharded topic: per-shard positions and lag") {
+    val root = Files.createTempDirectory("cascade-group-sh").toString
+    val c    = new Cascade(spark, root)
+    Topic.publishPartitioned(Tables.events(spark, sf).limit(40), s"$root/t", shards = 2)
+
+    val hwms = spark.read.parquet(s"$root/t").groupBy("shard")
+      .agg(max(col("offset")).as("hwm")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    c.commitOffset("g", "t", 4, shard = Some(0))
+    c.commitOffset("g", "t", 7, shard = Some(1))
+    // poll addresses (shard, offset) like a Kafka partition read
+    assert(c.poll("g", "t", 2, shard = Some(0)).collect()
+      .map(_.getAs[Long]("offset")).toSeq === Seq(4L, 5L))
+    val lags = c.lag("g", "t").collect()
+      .map(r => r.getAs[Int]("shard") ->
+        ((r.getAs[Long]("committed_next"), r.getAs[Long]("lag")))).toMap
+    assert(lags(0) === ((4L, hwms(0) + 1L - 4L)))
+    assert(lags(1) === ((7L, hwms(1) + 1L - 7L)))
+  }
+
   test("sliding windows double-count each event across two panes") {
     val dir = Files.createTempDirectory("slide").toString + "/t"
     Tables.events(spark, sf).limit(400).repartition(2).write.parquet(dir)
