@@ -182,6 +182,74 @@ object RelationalQueries8 {
         .orderBy("event_type")
     },
 
+    // Convergence observability for the iterative rank: per-round
+    // |delta| profile over THREE supplier rounds — the table that tells
+    // a user whether q50's two rounds suffice (deltas shrinking by
+    // ~damping per round) or the iteration must continue. Rounds stay a
+    // parameter ([[supplierRankRounds]], like IVF's k/nprobe); each
+    // round frame is eagerly materialized here because every round is
+    // consumed twice (as a delta's before AND after) — without the
+    // barrier the whole prefix chain re-executes per delta. Exact by
+    // the same integer quantization as q50, so max/mean deltas are
+    // oracle-checkable to the bit.
+    "q50_rank_convergence" -> Q(
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |degc AS (SELECT cust, COUNT(*) AS dc FROM e GROUP BY cust),
+        |degs AS (SELECT supp, COUNT(*) AS ds FROM e GROUP BY supp),
+        |s1 AS (
+        |  SELECT e.supp,
+        |         150000000 + CAST(SUM(85000000000 // (100 * d.dc)) AS BIGINT) AS r
+        |  FROM e JOIN degc d ON e.cust = d.cust GROUP BY e.supp),
+        |r1 AS (
+        |  SELECT e.cust,
+        |         150000000 + CAST(SUM((s.r * 85) // (100 * g.ds)) AS BIGINT) AS r
+        |  FROM e JOIN s1 s ON e.supp = s.supp JOIN degs g ON e.supp = g.supp
+        |  GROUP BY e.cust),
+        |s2 AS (
+        |  SELECT e.supp,
+        |         150000000 + CAST(SUM((c.r * 85) // (100 * d.dc)) AS BIGINT) AS r
+        |  FROM e JOIN r1 c ON e.cust = c.cust JOIN degc d ON e.cust = d.cust
+        |  GROUP BY e.supp),
+        |r2 AS (
+        |  SELECT e.cust,
+        |         150000000 + CAST(SUM((s.r * 85) // (100 * g.ds)) AS BIGINT) AS r
+        |  FROM e JOIN s2 s ON e.supp = s.supp JOIN degs g ON e.supp = g.supp
+        |  GROUP BY e.cust),
+        |s3 AS (
+        |  SELECT e.supp,
+        |         150000000 + CAST(SUM((c.r * 85) // (100 * d.dc)) AS BIGINT) AS r
+        |  FROM e JOIN r2 c ON e.cust = c.cust JOIN degc d ON e.cust = d.cust
+        |  GROUP BY e.supp),
+        |deltas AS (
+        |  SELECT 2 AS rnd, ABS(b.r - a.r) AS ad FROM s2 b JOIN s1 a ON b.supp = a.supp
+        |  UNION ALL
+        |  SELECT 3 AS rnd, ABS(b.r - a.r) AS ad FROM s3 b JOIN s2 a ON b.supp = a.supp)
+        |SELECT CAST(rnd AS INTEGER) AS round, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       MAX(ad) AS max_abs_delta_e9,
+        |       CAST(MAX(ad) AS DOUBLE) / 1000000000 AS max_abs_delta,
+        |       CAST(SUM(ad) AS DOUBLE) / COUNT(*) / 1000000000 AS mean_abs_delta,
+        |       CAST(SUM(CASE WHEN ad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |FROM deltas GROUP BY rnd ORDER BY round""".stripMargin) { (s, d) =>
+      val (_, rounds) = supplierRankRounds(s, d, 3, _.localCheckpoint(true))
+      def delta(rnd: Int, before: org.apache.spark.sql.DataFrame,
+                after: org.apache.spark.sql.DataFrame) =
+        after.select(col("supp").as("b_supp"), col("r").as("b_r"))
+          .join(before.select(col("supp").as("a_supp"), col("r").as("a_r")),
+                col("b_supp") === col("a_supp"))
+          .select(lit(rnd).as("round"), abs(col("b_r") - col("a_r")).as("ad"))
+      delta(2, rounds(0), rounds(1))
+        .unionByName(delta(3, rounds(1), rounds(2)))
+        .groupBy("round")
+        .agg(count(lit(1)).as("n_suppliers"),
+             max(col("ad")).as("max_abs_delta_e9"),
+             (max(col("ad")).cast("double") / lit(1e9)).as("max_abs_delta"),
+             (sum(col("ad")).cast("double") / count(lit(1)) / lit(1e9)).as("mean_abs_delta"),
+             sum(when(col("ad") > 0, 1L).otherwise(0L)).as("n_changed"))
+        .orderBy("round")
+    },
+
     // PageRank-style rank propagation over the customer↔supplier
     // bipartite graph (distinct (cust, supp) trade edges from
     // orders⋈lineitem) — iterative distributed graph analytics in the
@@ -218,40 +286,64 @@ object RelationalQueries8 {
         |       CAST(s2.r AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank_score
         |FROM s2 JOIN degs g ON s2.supp = g.supp
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      // materialize the edge list ONCE (eager localCheckpoint, the
-      // ClusterQueries iteration pattern): e feeds both degree dims and
-      // all three propagation rounds — without the barrier the
-      // orders⋈lineitem join + distinct re-executes five times. The
-      // per-round degree joins stay: the degree-EMBEDDED edge layout
-      // (checkpoint (cust, supp, dc, ds), no degree join per round) was
-      // A/B-measured and LOST at the decade-up SF (median 6.48 s vs
-      // 5.36 s at sf1; ~even at sf0.1) — the 2×-wider materialization
-      // costs more than the joins it saves while the degree dims remain
-      // broadcast-sized, which they are until customer-dim scale stops
-      // fitting broadcast. Revisit only past that point.
-      val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
-              col("o_orderkey") === col("l_orderkey"))
-        .select(col("cust"), col("supp")).distinct()
-        .localCheckpoint(true)
-      val degc = e.groupBy(col("cust").as("dc_cust")).agg(count(lit(1)).as("dc"))
-      val degs = e.groupBy(col("supp").as("ds_supp")).agg(count(lit(1)).as("ds"))
-      val s1 = e.join(degc, col("cust") === col("dc_cust"))
-        .groupBy(col("supp").as("s1_supp"))
-        .agg((lit(150000000L) +
-              sum(expr("CAST(85000000000 AS BIGINT) div (100 * dc)"))).as("s1_r"))
-      val r1 = e.join(s1, col("supp") === col("s1_supp"))
-        .join(degs, col("supp") === col("ds_supp"))
-        .groupBy(col("cust").as("r1_cust"))
-        .agg((lit(150000000L) + sum(expr("(s1_r * 85) div (100 * ds)"))).as("r1_r"))
-      val s2 = e.join(r1, col("cust") === col("r1_cust"))
-        .join(degc, col("cust") === col("dc_cust"))
-        .groupBy(col("supp").as("s2_supp"))
-        .agg((lit(150000000L) + sum(expr("(r1_r * 85) div (100 * dc)"))).as("s2_r"))
-      s2.join(degs, col("s2_supp") === col("ds_supp"))
+      val (degs, rounds) = supplierRankRounds(s, d, 2)
+      rounds.last.select(col("supp").as("s2_supp"), col("r").as("s2_r"))
+        .join(degs, col("s2_supp") === col("ds_supp"))
         .select(col("s2_supp").as("s_suppkey"), col("ds").as("n_customers"),
                 (col("s2_r").cast("double") / lit(1e9)).as("rank_score"))
         .orderBy("s_suppkey")
     }
   )
+
+  /** The damped power iteration of q50_graph_rank with ROUNDS AS A
+    * PARAMETER (the IVF k/nprobe pattern): returns the supplier-degree
+    * dim (ds_supp, ds) and each round's supplier rank frame, columns
+    * (supp, r) at the 1e9 integer scale.
+    *
+    * The edge list is materialized ONCE (eager localCheckpoint, the
+    * ClusterQueries iteration pattern): it feeds both degree dims and
+    * every propagation round — without the barrier the orders⋈lineitem
+    * join + distinct re-executes per round and per dim. The per-round
+    * degree joins stay: the degree-EMBEDDED edge layout (checkpoint
+    * (cust, supp, dc, ds), no degree join per round) was A/B-measured
+    * and LOST at the decade-up SF (median 6.48 s vs 5.36 s at sf1;
+    * ~even at sf0.1) — the 2×-wider materialization costs more than the
+    * joins it saves while the degree dims remain broadcast-sized, which
+    * they are until customer-dim scale stops fitting broadcast.
+    * Revisit only past that point.
+    *
+    * @param materialize applied to each round's supplier frame — pass
+    *   `_.localCheckpoint(true)` when rounds are consumed more than
+    *   once (the convergence profile), `identity` for a linear chain.
+    */
+  private def supplierRankRounds(
+      s: org.apache.spark.sql.SparkSession, d: String, n: Int,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust"), col("supp")).distinct()
+      .localCheckpoint(true)
+    val degc = e.groupBy(col("cust").as("dc_cust")).agg(count(lit(1)).as("dc"))
+    val degs = e.groupBy(col("supp").as("ds_supp")).agg(count(lit(1)).as("ds"))
+    var cur = materialize(e.join(degc, col("cust") === col("dc_cust"))
+      .groupBy(col("supp"))
+      .agg((lit(150000000L) +
+            sum(expr("CAST(85000000000 AS BIGINT) div (100 * dc)"))).as("r")))
+    val out = scala.collection.mutable.ArrayBuffer(cur)
+    for (_ <- 2 to n) {
+      val rI = e.join(cur.select(col("supp").as("s_supp"), col("r").as("s_r")),
+                      col("supp") === col("s_supp"))
+        .join(degs, col("supp") === col("ds_supp"))
+        .groupBy(col("cust").as("r_cust"))
+        .agg((lit(150000000L) + sum(expr("(s_r * 85) div (100 * ds)"))).as("r_r"))
+      cur = materialize(e.join(rI, col("cust") === col("r_cust"))
+        .join(degc, col("cust") === col("dc_cust"))
+        .groupBy(col("supp"))
+        .agg((lit(150000000L) + sum(expr("(r_r * 85) div (100 * dc)"))).as("r")))
+      out += cur
+    }
+    (degs, out.toSeq)
+  }
 }
