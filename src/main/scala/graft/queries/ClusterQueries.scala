@@ -132,6 +132,80 @@ object ClusterQueries {
         .orderBy("doc_id")
     },
 
+    // Convergence observability for the label-propagation loop — the
+    // dd_dup_clusters twin of q50_rank_convergence: per-round changed-
+    // label counts and the label-sum witness (the same scalar the
+    // production loop's fixpoint test watches), over THREE unrolled
+    // rounds. n_changed hitting 0 is convergence; a user reads this
+    // table to size MaxRounds the way the bench reads the band-tune
+    // S-curve. All-integer (labels are doc ids), so the oracle matches
+    // to the bit; rounds are materialized because round r is consumed
+    // by both round r+1 and its own delta row.
+    "dd_cluster_convergence" -> Q(
+      s"""WITH ${DedupQueries.duckCandCte},
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM cand
+         |  UNION
+         |  SELECT db AS src, da AS dst FROM cand),
+         |l1 AS (
+         |  SELECT src AS doc, LEAST(src, MIN(dst)) AS lab
+         |  FROM edges GROUP BY src),
+         |p1 AS (
+         |  SELECT e.dst AS doc, l.lab FROM edges e JOIN l1 l ON e.src = l.doc
+         |  UNION ALL SELECT doc, lab FROM l1),
+         |l2 AS (SELECT doc, MIN(lab) AS lab FROM p1 GROUP BY doc),
+         |p2 AS (
+         |  SELECT e.dst AS doc, l.lab FROM edges e JOIN l2 l ON e.src = l.doc
+         |  UNION ALL SELECT doc, lab FROM l2),
+         |l3 AS (SELECT doc, MIN(lab) AS lab FROM p2 GROUP BY doc),
+         |rounds AS (
+         |  SELECT 1 AS round, COUNT(*) AS n_nodes,
+         |         SUM(CASE WHEN lab <> doc THEN 1 ELSE 0 END) AS n_changed,
+         |         SUM(lab) AS lab_sum
+         |  FROM l1
+         |  UNION ALL
+         |  SELECT 2, COUNT(*),
+         |         SUM(CASE WHEN b.lab <> a.lab THEN 1 ELSE 0 END), SUM(b.lab)
+         |  FROM l2 b JOIN l1 a ON b.doc = a.doc
+         |  UNION ALL
+         |  SELECT 3, COUNT(*),
+         |         SUM(CASE WHEN b.lab <> a.lab THEN 1 ELSE 0 END), SUM(b.lab)
+         |  FROM l3 b JOIN l2 a ON b.doc = a.doc)
+         |SELECT CAST(round AS INTEGER) AS round,
+         |       CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_changed AS BIGINT) AS n_changed,
+         |       CAST(lab_sum AS BIGINT) AS lab_sum
+         |FROM rounds ORDER BY round""".stripMargin) { (s, d) =>
+      val cand = DedupQueries.bandCandidatesCached(Tables.documents(s, d), d)
+      val edges = materialize(
+        cand.select(col("da").as("src"), col("db").as("dst"))
+          .unionByName(cand.select(col("db").as("src"), col("da").as("dst"))))
+      var labels = materialize(
+        edges.groupBy("src").agg(min(col("dst")).as("nmin"))
+          .select(col("src").as("doc"), least(col("src"), col("nmin")).as("lab")))
+      val r1 = labels
+        .agg(count(lit(1)).as("n_nodes"),
+             sum(when(col("lab") =!= col("doc"), 1L).otherwise(0L)).as("n_changed"),
+             sum(col("lab")).as("lab_sum"))
+        .select(lit(1).as("round"), col("n_nodes"), col("n_changed"), col("lab_sum"))
+      val stats = scala.collection.mutable.ArrayBuffer(r1)
+      for (r <- 2 to 3) {
+        val via = edges.join(labels, col("src") === col("doc"))
+          .select(col("dst").as("doc"), col("lab"))
+        val next = materialize(
+          labels.unionByName(via).groupBy("doc").agg(min(col("lab")).as("lab")))
+        stats += next.select(col("doc").as("n_doc"), col("lab").as("n_lab"))
+          .join(labels.select(col("doc").as("p_doc"), col("lab").as("p_lab")),
+                col("n_doc") === col("p_doc"))
+          .agg(count(lit(1)).as("n_nodes"),
+               sum(when(col("n_lab") =!= col("p_lab"), 1L).otherwise(0L)).as("n_changed"),
+               sum(col("n_lab")).as("lab_sum"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_changed"), col("lab_sum"))
+        labels = next
+      }
+      stats.reduce(_ unionByName _).orderBy("round")
+    },
+
     // Canonical-survivor selection: one row per duplicate cluster — the
     // representative (min doc_id), the dropped count, and the longest
     // member text's length (the usual "keep the longest variant" policy

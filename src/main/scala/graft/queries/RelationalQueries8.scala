@@ -316,15 +316,31 @@ object RelationalQueries8 {
     *   `_.localCheckpoint(true)` when rounds are consumed more than
     *   once (the convergence profile), `identity` for a linear chain.
     */
+  /** The distinct (cust, supp) trade-edge list, checkpointed ONCE per
+    * corpus and shared by q50_graph_rank and q50_rank_convergence (the
+    * bandCandidatesCached pattern): the orders⋈lineitem join + distinct
+    * is the dominant cost of both queries, and each consumer would
+    * otherwise rebuild it per construction. Session-lifetime; evicted by
+    * ArtifactStore.invalidate. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(edgeCache.remove(_))
+
+  private[queries] def tradeEdges(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame =
+    edgeCache.computeIfAbsent(d, _ =>
+      Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("cust"), col("supp")).distinct()
+        .localCheckpoint(true))
+
   private def supplierRankRounds(
       s: org.apache.spark.sql.SparkSession, d: String, n: Int,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val e = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
-            col("o_orderkey") === col("l_orderkey"))
-      .select(col("cust"), col("supp")).distinct()
-      .localCheckpoint(true)
+    val e = tradeEdges(s, d)
     val degc = e.groupBy(col("cust").as("dc_cust")).agg(count(lit(1)).as("dc"))
     val degs = e.groupBy(col("supp").as("ds_supp")).agg(count(lit(1)).as("ds"))
     var cur = materialize(e.join(degc, col("cust") === col("dc_cust"))

@@ -39,5 +39,6 @@ object Warm {
     SimilarityQueries2.quantStats(Tables.embeddings(spark, dir), dir) // int8 dims
     SimilarityQueries3.trainPq(e, dir)           // PQ codebook
     PipelineQueries.trainedBloom(spark, dir)     // decontamination Bloom
+    RelationalQueries8.tradeEdges(spark, dir)    // q50-pair edge list
   }
 }
