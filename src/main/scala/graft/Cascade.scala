@@ -172,10 +172,30 @@ final class Cascade(spark: SparkSession, root: String) {
 
   /** Read up to `count` events from the group's committed position (0
     * when the group is new). Does NOT auto-commit: call `commitOffset`
-    * after processing — the at-least-once consumer loop. */
+    * after processing — the at-least-once consumer loop.
+    *
+    * Retention interplay (Kafka's `auto.offset.reset=earliest`): when
+    * the committed position points below the log's earliest retained
+    * offset — `Topic.retain` expired it while the group was away — the
+    * poll resumes from the earliest survivor instead of returning an
+    * empty frame forever. The earliest-offset probe is one min-stats
+    * scan on the (shard-pruned) log, control-plane cost like the
+    * commit itself. */
   def poll(group: String, topic: String, count: Int,
            shard: Option[Int] = None): DataFrame = {
-    val from = committedOffsets(group, topic).getOrElse(shard.getOrElse(-1), 0L)
+    requireTopic(topic)
+    val committed = committedOffsets(group, topic).getOrElse(shard.getOrElse(-1), 0L)
+    val base = shard match {
+      case Some(sh) => spark.read.parquet(dir(topic)).filter(col("shard") === sh)
+      case None     => spark.read.parquet(dir(topic))
+    }
+    val head = base.agg(min(col("offset"))).head()
+    val earliest = if (head.isNullAt(0)) 0L else head.getLong(0)
+    val from = math.max(committed, earliest)
+    if (from > committed) System.err.println(
+      s"[graft] group $group on $topic${shard.fold("")(s => s" shard $s")}: " +
+        s"committed $committed is below the earliest retained offset " +
+        s"$earliest (expired by retention); resuming from $earliest")
     shard match {
       case Some(sh) => Topic.consumeShard(spark, dir(topic), sh, from, count)
       case None     => Topic.consume(spark, dir(topic), from, count)

@@ -213,6 +213,84 @@ object QualityQueries {
              (sum(col("q")).cast("double") / count(lit(1)).cast("double")
                / lit(1000000.0)).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // HELD-OUT LM scoring — the form a production quality filter
+    // actually runs (CCNet trains its LM on a reference corpus and
+    // scores CANDIDATE documents): the bigram LM is trained on the
+    // doc_id%10<8 split and scores only the held-out 20%, with add-one
+    // smoothing over the train vocabulary so unseen transitions get a
+    // defined probability instead of dropping out (ta_bigram_lm scores
+    // in-corpus, where every gram is seen by construction — the
+    // memorization bias this split removes). Entirely BIGINT floor
+    // arithmetic — q = (n2+1)·1e6 div (n1+V), backoff 1e6 div (n1+V)
+    // for unseen grams, 1e6 div V for unseen prefixes — so there is no
+    // float before the final display division and the oracle matches to
+    // the bit. n_oov per doc is the OOV-rate signal filters threshold
+    // alongside the score. Scale shape: the train dim is gram-vocab-
+    // bounded, V is one broadcast scalar, eval instances equi-join the
+    // dim — one corpus pass each side, all aggregates map-side combined.
+    "ta_lm_holdout" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |inst AS (
+        |  SELECT doc_id, toks[s] || ' ' || toks[s+1] AS gram
+        |  FROM t, unnest(range(1, len(toks))) u(s)),
+        |tr AS (SELECT gram, COUNT(*) AS n2 FROM inst WHERE doc_id % 10 < 8 GROUP BY gram),
+        |pf AS (
+        |  SELECT split_part(gram, ' ', 1) AS prefix, CAST(SUM(n2) AS BIGINT) AS n1
+        |  FROM tr GROUP BY prefix),
+        |v AS (
+        |  SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS vs
+        |  FROM (SELECT unnest(toks) AS tk FROM t WHERE doc_id % 10 < 8)),
+        |ev AS (
+        |  SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1
+        |  FROM inst WHERE doc_id % 10 >= 8),
+        |j AS (
+        |  SELECT e.doc_id,
+        |         CASE WHEN tr.n2 IS NOT NULL THEN (tr.n2 + 1) * 1000000 // (pf.n1 + v.vs)
+        |              WHEN pf.n1 IS NOT NULL THEN 1000000 // (pf.n1 + v.vs)
+        |              ELSE 1000000 // v.vs END AS q,
+        |         CASE WHEN tr.n2 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM ev e
+        |  LEFT JOIN tr ON e.gram = tr.gram
+        |  LEFT JOIN pf ON e.w1 = pf.prefix
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+        |       CAST(SUM(oov) AS INTEGER) AS n_oov,
+        |       CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         / CAST(1000000 AS DOUBLE) AS lm_score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val inst = t
+        .withColumn("i", explode(
+          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+      val tr = inst.filter(col("doc_id") % 10 < 8)
+        .groupBy("gram").agg(count(lit(1)).as("n2"))
+      val pf = tr.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))
+        .agg(sum(col("n2")).as("n1"))
+      val v = t.filter(col("doc_id") % 10 < 8)
+        .select(explode(col("toks")).as("tk"))
+        .agg(count_distinct(col("tk")).as("vs"))
+      inst.filter(col("doc_id") % 10 >= 8)
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+        .join(tr.select(col("gram").as("t_gram"), col("n2")),
+              col("gram") === col("t_gram"), "left")
+        .join(pf, col("w1") === col("prefix"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          when(col("n2").isNotNull, expr("(n2 + 1) * 1000000L div (n1 + vs)"))
+            .when(col("n1").isNotNull, expr("1000000L div (n1 + vs)"))
+            .otherwise(expr("1000000L div vs")).as("q"),
+          when(col("n2").isNull, 1).otherwise(0).as("oov"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+             sum(col("oov")).cast("int").as("n_oov"),
+             (sum(col("q")).cast("double") / count(lit(1)).cast("double")
+               / lit(1000000.0)).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -89,6 +89,26 @@ class CascadeSpec extends SparkSpec {
     assert(lags(1) === ((7L, hwms(1) + 1L - 7L)))
   }
 
+  test("retention past a group's commit: poll resets to earliest, Kafka-style") {
+    val root = Files.createTempDirectory("cascade-reset").toString
+    val c    = new Cascade(spark, root)
+    c.publish("t", Tables.events(spark, sf).limit(30))
+    c.commitOffset("g", "t", 5)
+    // retention expires offsets 0..19 while the group is away
+    Topic.retain(spark, s"$root/t", maxEvents = Some(10L))
+    // committed 5 now points below the earliest retained offset (20):
+    // poll must resume from the earliest survivor, not return empty
+    val got = c.poll("g", "t", 4).collect().map(_.getAs[Long]("offset")).toSeq
+    assert(got === (20L until 24L),
+      s"poll after retention should reset to the earliest retained offset, got $got")
+    // lag still reports against the live head
+    assert(c.lag("g", "t").head().getAs[Long]("high_water_mark") === 29L)
+    // an in-range commit is unaffected by the reset rule
+    c.commitOffset("g", "t", 25)
+    assert(c.poll("g", "t", 2).collect().map(_.getAs[Long]("offset")).toSeq ===
+      Seq(25L, 26L))
+  }
+
   test("sliding windows double-count each event across two panes") {
     val dir = Files.createTempDirectory("slide").toString + "/t"
     Tables.events(spark, sf).limit(400).repartition(2).write.parquet(dir)

@@ -279,6 +279,34 @@ class TopicSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 30)
   }
 
+  test("retain (sharded): size floors are per shard, layout and shard reads survive") {
+    val dir = tmpDir()
+    val ev  = Tables.events(spark, sf).limit(60)
+    Topic.publishPartitioned(ev, dir, shards = 3)
+    val hwms = spark.read.parquet(dir).groupBy("shard")
+      .agg(max(col("offset")).as("hwm")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val rep = Topic.retain(spark, dir, maxEvents = Some(10L))
+    val log = spark.read.parquet(dir)
+    // each shard independently keeps its newest 10 ordinals — the Kafka
+    // per-partition retention model
+    val perShard = log.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("mn"), max(col("offset")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    perShard.foreach { case (sh, (n, mn, mx)) =>
+      assert(mx === hwms(sh), s"shard $sh head moved")
+      assert(n === math.min(10L, hwms(sh) + 1) && mn === math.max(0L, hwms(sh) - 9L),
+        s"shard $sh did not keep its newest 10: n=$n range=[$mn,$mx]")
+    }
+    assert(rep.rowsSurviving === perShard.values.map(_._1).sum)
+    // shard-addressed point reads still work on survivors (partition
+    // pruning intact — the rewrite kept the shard directory layout)
+    val sh0 = perShard(0)
+    val got = Topic.consumeShard(spark, dir, 0, sh0._2, 1).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("offset") === sh0._2)
+  }
+
   test("retain (time): events before the cutoff expire; topic stays publishable") {
     val dir = tmpDir()
     val ev  = Tables.events(spark, sf).orderBy("ts", "event_id").limit(60)
