@@ -28,6 +28,39 @@ object TextQueries {
   private def duckMarkerScore(ws: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
+  /** Per-row langid + quality signals, STATELESS — the exact expressions
+    * of ta_langid (marker vote, en>es>de>fr>zh tie order) and ta_quality
+    * (ttr/stopword/length fold), factored so the streaming ingest gate
+    * (graft.streaming.QualityGateStream) applies the same scoring per
+    * row with no state store; QualityGateSpec pins gate == ta_quality
+    * bit-for-bit. Input needs (doc_id, text); all input columns pass
+    * through, plus (predicted, quality). */
+  private[graft] def gateSignals(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val langs = markers.map(_._1)
+    val scored = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_types", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(filter(col("toks"), t => t.isin("the", "a"))))
+    val withScores = markers.foldLeft(scored) { case (df, (l, ws)) =>
+      df.withColumn(s"sc_$l",
+        size(filter(col("toks"), t => t.isin(ws.map(x => x: Any): _*))))
+    }
+    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val geAll = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+    val ttr   = col("n_types").cast("double") / col("n_tokens")
+    val stopR = col("n_stop").cast("double") / col("n_tokens")
+    withScores
+      .withColumn("predicted", predicted)
+      .withColumn("quality",
+        lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopR) +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100))
+      .drop((Seq("toks", "n_tokens", "n_types", "n_stop") ++ langs.map(l => s"sc_$l")): _*)
+  }
+
   def defs: Map[String, Q] = Map(
 
     // Language ID: marker-token vote with fixed preference order on ties
