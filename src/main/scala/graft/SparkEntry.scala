@@ -61,10 +61,12 @@ object SparkEntry {
     graft.queries.SimilarityQueries2.defs ++
     graft.queries.SimilarityQueries3.defs ++
     graft.queries.SimilarityQueries4.defs ++
+    graft.queries.SimilarityQueries5.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++
     graft.queries.TextQueries4.defs ++
+    graft.queries.TextQueries5.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++

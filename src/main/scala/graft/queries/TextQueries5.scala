@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable.{h32, duckH}
+import org.apache.spark.sql.functions._
+
+/** Corpus memorization-risk and token-dispersion profiling over
+  * `documents` — two doc/token-level metrics from the training-data
+  * curation literature that the dedup surface (span detection, scrub
+  * accounting) does not yet report:
+  *
+  *  - `ta_ngram_coverage`: per-document fraction of its distinct 8-grams
+  *    that occur in at least one OTHER document (Lee et al. 2022,
+  *    "Deduplicating Training Data Makes Language Models Better" — the
+  *    doc-level memorization-risk score used to rank documents for
+  *    removal, complementary to `dd_dup_spans` which extracts the spans
+  *    themselves).
+  *  - `ta_burstiness`: variance-to-mean ratio of per-document counts for
+  *    the corpus head tokens (Church & Gale 1995) — burstiness separates
+  *    topical content words (bursty: absent from most docs, repeated
+  *    where present) from function words (Poisson-like), the signal
+  *    behind tf-idf's df term and stopword-list induction.
+  *
+  * Both are all-integer until a single final division of exact BIGINTs,
+  * so the DuckDB twins are hash-exact.
+  */
+object TextQueries5 {
+
+  def defs: Map[String, Q] = Map(
+
+    // Per-doc memorization risk. Scale shape: ONE gram pass — distinct
+    // (doc, gram8) pairs shuffle once on gram for the df dim, rejoin on
+    // gram (equi-join, map-side-combined per-doc agg), and the doc
+    // dimension left-joins back so gram-less docs (len < 8) report 0.
+    // The df dim is VOCABULARY-scale, never corpus-scale; no pair join
+    // anywhere (contrast dd_minhash_pairs), so 100 TB costs two
+    // gram-keyed shuffles of the gram table. Coverage is basis points
+    // by integer floor division — exact in both engines.
+    "ta_ngram_coverage" -> Q(
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, ${duckH("array_to_string(toks[i:i+7], ' ')", 8)} AS gh
+         |  FROM t, unnest(range(1, len(toks) - 6)) u(i)),
+         |df AS (SELECT gh, COUNT(*) AS df FROM g GROUP BY gh),
+         |per AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |         CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+         |  FROM g JOIN df ON g.gh = df.gh GROUP BY g.doc_id)
+         |SELECT t.doc_id, t.source,
+         |       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(per.shared_grams, 0) AS BIGINT) AS shared_grams,
+         |       CAST(CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0
+         |            ELSE (per.shared_grams * 10000) // per.n_grams END AS BIGINT)
+         |         AS coverage_bp
+         |FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      val ghArr = when(size(col("toks")) >= 8,
+        transform(sequence(lit(0), size(col("toks")) - 8), i =>
+          h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
+        .otherwise(array().cast("array<bigint>"))
+      val g = docs.select(col("doc_id"), explode(ghArr).as("gh")).distinct()
+      val df = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      val per = g.join(df, "gh").groupBy("doc_id")
+        .agg(count(lit(1)).as("pn"),
+             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("ps"))
+      docs.select("doc_id", "source")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+                coalesce(col("pn"), lit(0L)).as("n_grams"),
+                coalesce(col("ps"), lit(0L)).as("shared_grams"),
+                when(coalesce(col("pn"), lit(0L)) === 0, lit(0L))
+                  .otherwise((col("ps") * 10000L) / col("pn") cast "long")
+                  .as("coverage_bp"))
+        .orderBy("doc_id")
+    },
+
+    // Token burstiness over the corpus head. Scale shape: (token, doc)
+    // counts get map-side combine on within-doc repetition, the token
+    // rollup is vocabulary-scale, the head is a TakeOrdered-20 (never a
+    // global vocab sort), and the doc count joins as a broadcast scalar.
+    // VMR includes the zero-count docs analytically — (n·Σc² − (Σc)²)
+    // / (n·Σc) — so no dense doc×token grid is ever materialized. All
+    // terms are exact BIGINTs; the one division is IEEE-exact in both
+    // engines.
+    "ta_burstiness" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |pd AS (
+        |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY token, doc_id),
+        |st AS (
+        |  SELECT token, CAST(SUM(c) AS BIGINT) AS n_occ,
+        |         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+        |         CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(MAX(c) AS BIGINT) AS max_c
+        |  FROM pd GROUP BY token),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |top AS (SELECT * FROM st ORDER BY n_occ DESC, token LIMIT 20)
+        |SELECT t.token, t.n_occ, t.df, nd.n_docs, t.max_c,
+        |       CAST(nd.n_docs * t.sum_c2 - t.n_occ * t.n_occ AS DOUBLE)
+        |         / CAST(nd.n_docs * t.n_occ AS DOUBLE) AS vmr
+        |FROM top t CROSS JOIN nd
+        |ORDER BY t.n_occ DESC, t.token""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pd = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val st = pd.groupBy("token")
+        .agg(sum(col("c")).as("n_occ"), sum(col("c") * col("c")).as("sum_c2"),
+             count(lit(1)).as("df"), max(col("c")).as("max_c"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      st.orderBy(col("n_occ").desc, col("token")).limit(20)
+        .crossJoin(broadcast(nd))
+        .select(col("token"), col("n_occ"), col("df"), col("n_docs"), col("max_c"),
+                ((col("n_docs") * col("sum_c2") - col("n_occ") * col("n_occ"))
+                   .cast("double")
+                 / (col("n_docs") * col("n_occ")).cast("double")).as("vmr"))
+        .orderBy(col("n_occ").desc, col("token"))
+    }
+  )
+}
