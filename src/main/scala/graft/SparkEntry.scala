@@ -54,6 +54,7 @@ object SparkEntry {
     graft.queries.DedupQueries.defs ++
     graft.queries.DedupQueries2.defs ++
     graft.queries.DedupQueries3.defs ++
+    graft.queries.DedupQueries4.defs ++
     graft.queries.ClusterQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.WinnowQueries.defs ++

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable.{duckH, h60}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate PAIRS — the banded-Hamming search of Manku,
+  * Jarvelin & Sarlos (WWW 2007), the algorithm behind web-scale crawl
+  * dedup: fingerprint every document with a wide SimHash, split the
+  * fingerprint into 4 bands, and look for pairs only inside shared band
+  * buckets. By pigeonhole, any pair within Hamming distance 3 agrees
+  * exactly on at least one of the 4 bands, so the band join FINDS every
+  * ≤3 pair while never enumerating the n² space. `dd_simhash` computes
+  * the (16-bit, display-friendly) fingerprint; this query runs the
+  * search end-to-end at 60 bits — wide enough that band keys (15 bits)
+  * spread, and exactly representable in a BIGINT for both engines.
+  *
+  * Scale shape: one corpus pass for signatures (per-token md5 hashed
+  * ONCE into an array, then 60 codegen'd bit-vote folds over longs); 4
+  * band rows per doc; bucket sizes counted BEFORE pairing and buckets
+  * over [[SimhashBucketCap]] excluded — the identical hub-bucket
+  * defense as [[DedupQueries.BandCap]] (this synthetic corpus's tiny
+  * vocabulary makes fingerprints cluster, exactly the template-heavy
+  * pathology real crawls exhibit; the cap keeps per-bucket pair work ≤
+  * cap² regardless). Candidates dedup via DISTINCT, then one
+  * bit_count(XOR) per candidate — integer ops end-to-end, hash-exact.
+  * At 100 TB: 64-bit fingerprints, 4×16-bit bands, and the over-cap
+  * mass reported out-of-band (the dd_band_stats pattern) — same plan,
+  * wider keys.
+  */
+object DedupQueries4 {
+
+  /** Buckets larger than this are hubs (template mass), excluded from
+    * pairing: measured at sf0.1, 33 over-cap buckets carry 196k of the
+    * 277k raw candidate pairs while the ≤cap buckets retain 366 of the
+    * 512 Hamming-≤3 pairs. */
+  private val SimhashBucketCap = 50
+
+  def defs: Map[String, Q] = Map(
+
+    "dd_simhash_pairs" -> Q(
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum([CASE WHEN list_sum(
+         |           [CASE WHEN ((${duckH("t", 15)} >> b) & 1) = 1
+         |                 THEN 1 ELSE -1 END for t in string_split(text, ' ')]) > 0
+         |           THEN 1::BIGINT << b ELSE 0 END for b in range(0, 60)]) AS BIGINT) AS sh
+         |  FROM documents),
+         |bands AS (
+         |  SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS bkey
+         |  FROM sig, unnest(range(0, 4)) u(b)),
+         |bsz AS (SELECT b, bkey, COUNT(*) AS n FROM bands GROUP BY b, bkey),
+         |keep AS (
+         |  SELECT bands.* FROM bands JOIN bsz USING (b, bkey)
+         |  WHERE bsz.n <= $SimhashBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+         |  FROM keep a JOIN keep b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sa::BIT, sb::BIT)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa::BIT, sb::BIT)) <= 3
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      // per-token 60-bit hash materialized once; the 60 bit-vote folds
+      // then run over a long array (no re-hashing per bit)
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        transform(split(col("text"), " "), t => h60(t)).as("hs"))
+      val sh = (0 until 60).map { b =>
+        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = base.select(col("doc_id"), sh.as("sh"))
+      val bands = sig.select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bkey", expr("shiftright(sh, 15 * b) & 32767"))
+      val bsz = bands.groupBy("b", "bkey").agg(count(lit(1)).as("n"))
+      val keep = bands.join(bsz, Seq("b", "bkey"))
+        .filter(col("n") <= SimhashBucketCap)
+        .select("doc_id", "sh", "b", "bkey")
+      val a = keep.select(col("b"), col("bkey"),
+        col("doc_id").as("da"), col("sh").as("sa"))
+      val bb = keep.select(col("b"), col("bkey"),
+        col("doc_id").as("db"), col("sh").as("sb"))
+      a.join(bb, Seq("b", "bkey")).filter(col("da") < col("db"))
+        .select("da", "db", "sa", "sb").distinct()
+        .withColumn("hamming",
+          expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    }
+  )
+}
