@@ -206,6 +206,78 @@ object Topic {
     }
   }
 
+  /** IDEMPOTENT publish — Kafka's (producer id, sequence) retry dedup,
+    * which the reference cannot offer: its ack can be lost after the
+    * append (/root/reference/src/broker/main.rs:91-108), and a client
+    * that retries on a lost ack writes the batch twice. Kafka closes
+    * this by stamping each batch with (producerId, seq) and having the
+    * broker drop batches it has already sequenced; crucially the seq
+    * lives IN the log, so the dedup state survives broker restarts.
+    *
+    * Same design here: every appended row carries `producer_id` /
+    * `producer_seq` columns, so the ledger IS the log — no side file
+    * whose update could be torn off the append by a crash. Batch
+    * atomicity comes from Spark's file output committer (a failed
+    * append job commits no files), so the check-then-append under the
+    * publish lock is exact:
+    *
+    *   - `seq <= last committed` → duplicate retry, dropped (returns
+    *     false; Kafka's DUPLICATE_SEQUENCE_NUMBER ack);
+    *   - `seq == last + 1` → appended with offsets continuing after the
+    *     high-water mark (returns true);
+    *   - anything else → loud error (Kafka's OutOfOrderSequence): a gap
+    *     means a batch the producer believes committed never arrived.
+    *
+    * The dup check is one column-pruned scan filtered on producer_id
+    * (row-group pruned by parquet stats); at 100 TB the producer
+    * dimension would live in a compacted ledger topic maintained by
+    * [[compact]], same contract. Sequences start at 0 and are
+    * per-producer, so concurrent producers (serialized by the lock)
+    * interleave batches without seeing each other's sequence space.
+    * Topics published through this method should use it exclusively —
+    * files from plain [[publish]] lack the producer columns and weaken
+    * the dup check to the merged-schema read's nulls.
+    */
+  def publishIdempotent(events: DataFrame, topicDir: String,
+                        producerId: String, seq: Long): Boolean = {
+    require(seq >= 0, s"producer sequence must be >= 0, got $seq")
+    val spark = events.sparkSession
+    withPublishLock(spark, topicDir) {
+      val (hfs, p) = fs(spark, topicDir)
+      val last: Long =
+        if (!hfs.exists(p)) -1L
+        else try {
+          val log = spark.read.option("mergeSchema", "true").parquet(topicDir)
+          if (!log.columns.contains("producer_id")) -1L
+          else {
+            val r = log.filter(col("producer_id") === producerId)
+              .agg(max(col("producer_seq"))).head()
+            if (r.isNullAt(0)) -1L else r.getLong(0)
+          }
+        } catch { // existing-but-empty dir, same fallback as highWaterMark
+          case _: org.apache.spark.sql.AnalysisException => -1L
+        }
+      if (seq <= last) {
+        System.err.println(
+          s"[graft] idempotent publish: duplicate batch dropped " +
+            s"(producer=$producerId seq=$seq, committed through $last)")
+        false
+      } else if (seq != last + 1) {
+        throw new IllegalStateException(
+          s"out-of-order producer sequence for $producerId on $topicDir: " +
+            s"got $seq, committed through $last — a batch in between was " +
+            "never committed; re-send from seq " + (last + 1))
+      } else {
+        val base = highWaterMark(spark, topicDir) + 1L
+        assignOffsets(events, base)
+          .withColumn("producer_id", lit(producerId))
+          .withColumn("producer_seq", lit(seq))
+          .write.mode(SaveMode.Append).parquet(topicDir)
+        true
+      }
+    }
+  }
+
   /** Kafka-style relaxation: ordinals dense per shard (`pmod(hash, n)`),
     * no global sort — each shard's window is independent, so the publish
     * parallelizes across shards like the reference's round-robin over

@@ -60,17 +60,28 @@ object DedupQueries4 {
          |SELECT da, db, CAST(bit_count(xor(sa::BIT, sb::BIT)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa::BIT, sb::BIT)) <= 3
          |ORDER BY da, db""".stripMargin) { (s, d) =>
-      // per-token 60-bit hash materialized once; the 60 bit-vote folds
-      // then run over a long array (no re-hashing per bit)
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        transform(split(col("text"), " "), t => h60(t)).as("hs"))
+      // explode + ONE hash aggregate with 60 conditional sums: each token
+      // is md5-hashed once, the bit votes are codegen'd sums with
+      // map-side combine (the 60-fold HOF form measured 5-6 s at sf0.1 —
+      // higher-order aggregates don't participate in codegen), and at
+      // 100 TB this is the same one-pass, shuffle-on-doc_id shape as
+      // every other per-doc text aggregate here
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), h60(col("t")).as("h"))
+      val voteCols = (0 until 60).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)).as(s"v$b")
+      }
+      val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       val sh = (0 until 60).map { b =>
-        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val sig = base.select(col("doc_id"), sh.as("sh"))
+      // materialize once: the signature frame feeds the bucket-size dim
+      // AND both sides of the band self-join — without the barrier the
+      // whole md5+60-sum lineage executes three times (n rows × 16
+      // bytes, the grams()/tradeEdges checkpoint pattern)
+      val sig = votes.select(col("doc_id"), sh.as("sh")).localCheckpoint(true)
       val bands = sig.select(col("doc_id"), col("sh"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bkey", expr("shiftright(sh, 15 * b) & 32767"))
