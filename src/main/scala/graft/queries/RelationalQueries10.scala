@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Triangle census over the supplier co-supply graph — the third classic
+  * graph primitive next to the iterative rank (`q50_graph_rank`) and
+  * connected components (`dd_dup_clusters`): how CLOSED is the
+  * co-occurrence structure (global clustering coefficient), the signal
+  * behind community detection and link-prediction features.
+  *
+  * Two scale disciplines compose:
+  *
+  *  1. The graph itself is the TOP-K SUPPORT GRAPH (K = 5000 edges by
+  *     shared-customer count, deterministic tie-break) built from q56's
+  *     degree-capped wedge pipeline — co-occurrence graphs on skewed
+  *     data are near-complete (at sf0.01 every supplier pair co-supplies
+  *     ≥ 100 customers), and a fixed support threshold is SF-unstable,
+  *     so the edge budget is the parameter, like IVF's k/nprobe. The
+  *     TakeOrdered never materializes a sorted edge universe.
+  *  2. Triangles are counted on the DEGREE-ORDERED ORIENTATION (each
+  *     edge points low→high (degree, id)): out-degrees are bounded by
+  *     O(√m), so the wedge self-join generates Σ out-deg² = O(m^1.5)
+  *     candidates (Schank & Wagner's node-iterator++ bound) instead of
+  *     Σ deg² — hub nodes CANNOT explode the pair space, the same
+  *     defense as q56's dc cap but achieved by orientation rather than
+  *     exclusion. Closure is one more equi-join against the oriented
+  *     edge set.
+  *
+  * The ≤K edge list and its orientation are checkpointed once (they
+  * feed the degree dim and all three legs of the triangle join). Output
+  * is a single all-integer summary row; closure_ppm = 3·10⁶·triangles /
+  * wedges (the global clustering coefficient in parts-per-million,
+  * floor division — exact in both engines).
+  */
+object RelationalQueries10 {
+
+  private val EdgeBudget = 5000
+
+  /** Degree-capped co-supply pair counts (s_a < s_b, ns = shared
+    * customers), the relation q56 reports the top-20 of and the triangle
+    * census cuts its top-K support graph from. Built from the
+    * per-corpus [[RelationalQueries8.tradeEdges]] checkpoint (no second
+    * orders⋈lineitem join), one collect_set exchange (q56's measured
+    * A/B winner), checkpointed once per corpus; evicted with the
+    * artifact store. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(pairCache.remove(_))
+
+  private[queries] def coSupplyCounts(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame =
+    pairCache.computeIfAbsent(d, _ =>
+      RelationalQueries8.tradeEdges(s, d)
+        .groupBy("cust")
+        .agg(sort_array(collect_set(col("supp"))).as("supps"))
+        .filter(size(col("supps")) <= 40)
+        .select(explode(col("supps")).as("s_a"), col("supps"))
+        .select(col("s_a"), explode(col("supps")).as("s_b"))
+        .filter(col("s_a") < col("s_b"))
+        .groupBy("s_a", "s_b").agg(count(lit(1)).as("ns"))
+        .localCheckpoint(true))
+
+  def defs: Map[String, Q] = Map(
+
+    "q57_triangle_census" -> Q(
+      s"""WITH sets AS (
+         |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cust, COUNT(*) AS dc FROM sets GROUP BY cust),
+         |w AS (
+         |  SELECT a.supp AS s_a, b.supp AS s_b
+         |  FROM sets a JOIN sets b ON a.cust = b.cust AND a.supp < b.supp
+         |  JOIN d ON a.cust = d.cust AND d.dc <= 40),
+         |e AS (
+         |  SELECT s_a, s_b FROM (
+         |    SELECT s_a, s_b, COUNT(*) AS ns FROM w GROUP BY s_a, s_b
+         |    ORDER BY ns DESC, s_a, s_b LIMIT $EdgeBudget)),
+         |deg AS (
+         |  SELECT v, COUNT(*) AS dg FROM (
+         |    SELECT s_a AS v FROM e UNION ALL SELECT s_b FROM e) GROUP BY v),
+         |o AS (
+         |  SELECT CASE WHEN (da.dg, e.s_a) < (db.dg, e.s_b) THEN e.s_a ELSE e.s_b END AS src,
+         |         CASE WHEN (da.dg, e.s_a) < (db.dg, e.s_b) THEN e.s_b ELSE e.s_a END AS dst
+         |  FROM e JOIN deg da ON e.s_a = da.v JOIN deg db ON e.s_b = db.v),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_tri
+         |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+         |  JOIN o c ON c.src = a.dst AND c.dst = b.dst)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+         |       (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |       (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+         |       (SELECT CAST(CASE WHEN SUM(dg * (dg - 1) // 2) = 0 THEN 0
+         |                    ELSE (3000000 * (SELECT n_tri FROM tri))
+         |                           // SUM(dg * (dg - 1) // 2) END AS BIGINT)
+         |        FROM deg) AS closure_ppm""".stripMargin) { (s, d) =>
+      val e = coSupplyCounts(s, d)
+        .orderBy(col("ns").desc, col("s_a"), col("s_b")).limit(EdgeBudget)
+        .select("s_a", "s_b")
+        .localCheckpoint(true) // ≤K rows; feeds deg + orientation
+      val deg = e.select(col("s_a").as("v"))
+        .union(e.select(col("s_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val o = e
+        .join(broadcast(deg.select(col("v").as("s_a"), col("dg").as("da"))), "s_a")
+        .join(broadcast(deg.select(col("v").as("s_b"), col("dg").as("db"))), "s_b")
+        .select(
+          when(struct(col("da"), col("s_a")) < struct(col("db"), col("s_b")),
+               col("s_a")).otherwise(col("s_b")).as("src"),
+          when(struct(col("da"), col("s_a")) < struct(col("db"), col("s_b")),
+               col("s_b")).otherwise(col("s_a")).as("dst"))
+        .localCheckpoint(true) // ≤K rows; three legs of the triangle join
+      val wedgePairs = o.select(col("src"), col("dst").as("v1"))
+        .join(o.select(col("src"), col("dst").as("v2")), "src")
+        .filter(col("v1") < col("v2"))
+      val tri = wedgePairs
+        .join(o.select(col("src").as("v1"), col("dst").as("v2")), Seq("v1", "v2"))
+        .agg(count(lit(1)).as("n_tri"))
+      val nodes  = deg.agg(count(lit(1)).as("n_nodes"),
+                           sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val edges  = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+                col("n_tri").as("n_triangles"),
+                expr("cast(case when n_wedges = 0 then 0 " +
+                     "else (3000000 * n_tri) div n_wedges end as bigint)")
+                  .as("closure_ppm"))
+    }
+  )
+}

@@ -277,18 +277,11 @@ object RelationalQueries9 {
       // three more times; A/B warm: level at sf0.1 (2.2 s — the
       // orders⋈lineitem join dominates there) and 2× at sf1
       // (11.6 → 5.9 s), i.e. the win grows with the wedge mass.
-      val sets = Tables.orders(s, d).select(col("o_custkey").as("cust"), col("o_orderkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey").as("supp")),
-              col("o_orderkey") === col("l_orderkey"))
-        .groupBy("cust")
-        .agg(sort_array(collect_set(col("supp"))).as("supps"))
-        .filter(size(col("supps")) <= 40)
-      sets
-        .select(explode(col("supps")).as("s_a"), col("supps"))
-        .select(col("s_a"), explode(col("supps")).as("s_b"))
-        .filter(col("s_a") < col("s_b"))
-        .groupBy("s_a", "s_b")
-        .agg(count(lit(1)).as("n_shared"))
+      // Since the triangle census landed, the whole pair-count frame is
+      // the shared per-corpus coSupplyCounts checkpoint (built from
+      // tradeEdges, so even the orders⋈lineitem join is paid once).
+      RelationalQueries10.coSupplyCounts(s, d)
+        .select(col("s_a"), col("s_b"), col("ns").as("n_shared"))
         .orderBy(col("n_shared").desc, col("s_a"), col("s_b"))
         .limit(20)
     }

@@ -40,5 +40,6 @@ object Warm {
     SimilarityQueries3.trainPq(e, dir)           // PQ codebook
     PipelineQueries.trainedBloom(spark, dir)     // decontamination Bloom
     RelationalQueries8.tradeEdges(spark, dir)    // q50-pair edge list
+    RelationalQueries10.coSupplyCounts(spark, dir) // q56/q57 pair counts
   }
 }
