@@ -24,7 +24,7 @@ object SimilarityQueries2 {
   /** Default IVF config (fixture-scaled: 500-vector corpora). Both are
     * per-query parameters now — `ss_ivf_ann_k16` declares the larger
     * config over the same corpus. */
-  private val NSEEDS = 8
+  private[queries] val NSEEDS = 8
   private val DIM    = 64
 
   /** Every vector → nearest seed by cosine (tiebreak smaller seed id),
@@ -150,7 +150,7 @@ object SimilarityQueries2 {
     * dots + a per-vector window — the expensive training aggregate runs
     * exactly once even when callers branch this frame into a self-join.
     */
-  private def refined(e: org.apache.spark.sql.DataFrame, dir: String,
+  private[queries] def refined(e: org.apache.spark.sql.DataFrame, dir: String,
                       k: Int = NSEEDS): org.apache.spark.sql.DataFrame = {
     val centArr = array(centroids(e, dir, k).map { case (c, v, cn) =>
       struct(lit(c).as("ccluster"),
@@ -172,7 +172,7 @@ object SimilarityQueries2 {
   /** DuckDB twin of `refined` (CTE list; defines `refined(vec_id, label,
     * embedding, cluster, cos, rn)`), parameterized by k like the Spark
     * side. */
-  private def duckRefinedCte(k: Int): String =
+  private[queries] def duckRefinedCte(k: Int): String =
     s"""seeds AS (
        |  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < $k),
        |s0 AS (

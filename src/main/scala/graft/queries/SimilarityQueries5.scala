@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Vectors._
 import graft.functions.FloatDot
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus diversity profile over `embeddings` — the MEAN PAIRWISE cosine
@@ -40,7 +41,112 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries5 {
 
+  /** nprobe settings the recall curve sweeps — the tuning knob every IVF
+    * deployment chooses by exactly this measurement. */
+  private val Sweep = Seq(1, 2, 4)
+
   def defs: Map[String, Q] = Map(
+
+    // The IVF TUNING CURVE: recall@3 AND candidate cost per nprobe in
+    // one result — the measurement that picks nprobe in production
+    // (ss_ann_recall pins one config; dd_band_tune is the same move for
+    // MinHash banding). Scale shape: the candidate frame is built ONCE
+    // at the widest nprobe with the probe rank attached, checkpointed
+    // (10 queries × 4 cells × cell membership — probe-bounded, tiny),
+    // and every sweep point is a filter + rank over it; ground truth is
+    // one corpus pass against the 10-query broadcast, computed once.
+    // All output columns are integers (hits, basis-point recall, exact
+    // candidate counts), so the curve is oracle-exact.
+    "ss_recall_curve" -> Q({
+      import graft.queries.SimilarityQueries2.{NSEEDS, duckRefinedCte}
+      val sweepSql = Sweep.map { np =>
+        s"""pt$np AS (
+           |  SELECT $np AS nprobe,
+           |         (SELECT COUNT(*) FROM cand WHERE prn <= $np) AS n_cands,
+           |         COALESCE((
+           |           SELECT COUNT(*) FROM (
+           |             SELECT qid, vec_id,
+           |                    ROW_NUMBER() OVER (PARTITION BY qid
+           |                      ORDER BY cosine DESC, vec_id) AS rank
+           |             FROM cand WHERE prn <= $np) a
+           |           JOIN truth t ON a.qid = t.qid AND a.vec_id = t.vec_id
+           |           WHERE a.rank <= 3), 0) AS n_hits)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, embedding, cluster FROM refined WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cluster AS qcluster, rn AS prn
+         |  FROM refined
+         |  WHERE rn <= ${Sweep.max} AND vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |cand AS (
+         |  SELECT p.qid, m.vec_id, p.prn,
+         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+         |  FROM probes p JOIN members m
+         |    ON p.qcluster = m.cluster AND p.qid <> m.vec_id),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |tranked AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid
+         |           ORDER BY ${duckCosine("e.embedding", "q.qv")} DESC, e.vec_id) AS rank
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, vec_id FROM tranked WHERE rank <= 3),
+         |$sweepSql
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |       CAST(n_cands AS BIGINT) AS n_cands,
+         |       CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST((10000 * n_hits) // 30 AS BIGINT) AS recall_bp
+         |FROM (${Sweep.map(np => s"SELECT * FROM pt$np").mkString(" UNION ALL ")})
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
+      import graft.queries.SimilarityQueries2.{NSEEDS, refined}
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val r = refined(e, d, NSEEDS)
+      val members = r.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+                col("ccluster").as("cluster"))
+      val probes = r.filter(col("rn") <= Sweep.max &&
+                            col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qnrm"), col("ccluster").as("qcluster"),
+                col("rn").as("prn"))
+      val cand = probes
+        .join(members, col("qcluster") === col("cluster") &&
+                       col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("prn"),
+                (nativeDot(col("qv"), col("embedding"))
+                   / (col("qnrm") * col("nrm"))).as("cosine"))
+        .localCheckpoint(true) // probe-bounded; every sweep point reads it
+      val q = e.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qnrm"))
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                (nativeDot(col("embedding"), col("qv"))
+                   / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(true) // 30 rows, read once per sweep point
+      val wA = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val points = Sweep.map { np =>
+        val sub = cand.filter(col("prn") <= np)
+        val nc = sub.agg(count(lit(1)).as("n_cands"))
+        val hits = sub.withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= 3)
+          .join(truth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nc.crossJoin(broadcast(hits))
+          .select(lit(np).as("nprobe"), col("n_cands"), col("n_hits"),
+                  expr("cast((10000 * n_hits) div 30 as bigint)").as("recall_bp"))
+      }
+      points.reduce(_ union _).orderBy("nprobe")
+    },
 
     "ss_label_diversity" -> Q(
       s"""WITH e AS (
