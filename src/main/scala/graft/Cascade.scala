@@ -26,6 +26,9 @@ final class Cascade(spark: SparkSession, root: String) {
 
   private def dir(topic: String) = s"$root/$topic"
 
+  /** The storage root this client talks to (specs and tooling). */
+  private[graft] def rootDir: String = root
+
   /** Publish a batch of events to a topic (append + dense offsets). */
   def publish(topic: String, events: DataFrame): Unit =
     Topic.publish(events, dir(topic))
@@ -281,4 +284,221 @@ final class Cascade(spark: SparkSession, root: String) {
       .option("buffer", topic)
       .option("capacity", capacity.toString)
       .load()
+
+  // ---- transactions -----------------------------------------------------
+  //
+  // Kafka's transactional producer, the capstone above the idempotent
+  // one (Topic.publishIdempotent): ATOMIC publishes across topics plus
+  // consumer offsets committed IN the transaction — the exactly-once
+  // consume-transform-produce loop. The reference has nothing of the
+  // kind (its ack isn't even tied to a durable batch).
+  //
+  // Design: transactional rows carry a `txn_id` column (as Kafka writes
+  // the PID into the batch header), and the SINGLE COMMIT POINT is one
+  // atomic rename in the coordinator dir `$root/_txns/`:
+  //
+  //     <id>.open  --commitTxn-->  <id>.committed   (or .aborted)
+  //
+  // Data appended under an open txn is already in the logs (offsets
+  // assigned, interleaving freely with other writers — Kafka's LSO
+  // model) but INVISIBLE to `readCommitted`, which admits a txn row
+  // only when its txn state file says committed. Because visibility of
+  // every row in every topic flips on that one rename, multi-topic
+  // atomicity is exact — there is no window where topic A shows the
+  // txn and topic B doesn't. Offsets staged via `commitOffsetTxn`
+  // apply AFTER the rename (idempotently, with an .applied marker;
+  // `recoverTxns` re-drives a crash between rename and apply — the
+  // same convergent-recovery contract as Topic.retain).
+  //
+  // At 100 TB the committed-txn set is control-plane state (one
+  // filename per txn, compacted periodically like __transaction_state);
+  // `readCommitted` joins it as a broadcast, never shuffling the log.
+
+  private def txnPath(txnId: String, state: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_txns/$txnId.$state")
+
+  private def txnStates(txnId: String): Set[String] = {
+    val (hfs, _) = Topic.fs(spark, root)
+    Seq("open", "committed", "aborted")
+      .filter(s => hfs.exists(txnPath(txnId, s))).toSet
+  }
+
+  /** Open a transaction. Transaction ids are caller-chosen and single
+    * use — beginning one that ever existed errors (Kafka fences by
+    * epoch; single-use ids are the batch-job equivalent). */
+  def beginTxn(txnId: String): Unit = {
+    require(txnId.nonEmpty && !txnId.contains("/") && !txnId.contains("."),
+      s"transaction id must be non-empty without '/' or '.': $txnId")
+    val st = txnStates(txnId)
+    require(st.isEmpty, s"transaction $txnId already exists (state: ${st.mkString(",")})")
+    val (hfs, _) = Topic.fs(spark, root)
+    if (!hfs.exists(txnPath(txnId, "open").getParent))
+      hfs.mkdirs(txnPath(txnId, "open").getParent)
+    val out = hfs.create(txnPath(txnId, "open"), false) // atomic: loser errors
+    try out.writeBytes(s"${java.time.Instant.now()}\n") finally out.close()
+  }
+
+  /** Publish into an open transaction: rows are durably appended (dense
+    * offsets as always) but invisible to `readCommitted` until commit. */
+  def publishTxn(txnId: String, topic: String, events: DataFrame): Unit = {
+    require(txnStates(txnId) == Set("open"), s"transaction $txnId is not open")
+    Topic.publish(events.withColumn("txn_id", lit(txnId)), dir(topic))
+  }
+
+  /** Stage a consumer-group offset commit inside the transaction
+    * (Kafka's sendOffsetsToTransaction): durable only if the txn
+    * commits, applied atomically with the published data's visibility. */
+  def commitOffsetTxn(txnId: String, group: String, topic: String,
+                      nextOffset: Long, shard: Option[Int] = None): Unit = {
+    require(txnStates(txnId) == Set("open"), s"transaction $txnId is not open")
+    require(nextOffset >= 0, s"offset must be >= 0: $nextOffset")
+    val p = txnPath(txnId, "offsets.json")
+    val (hfs, _) = Topic.fs(spark, root)
+    val existing =
+      if (!hfs.exists(p)) ""
+      else { val in = hfs.open(p); try new String(in.readAllBytes(), "UTF-8") finally in.close() }
+    val line = s"""{"group":"$group","topic":"$topic","shard":${shard.getOrElse(-1)},"offset":$nextOffset}"""
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = hfs.create(tmp, true)
+    try out.writeBytes(existing + line + "\n") finally out.close()
+    hfs.delete(p, false)
+    if (!hfs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to stage txn offsets for $txnId")
+  }
+
+  /** Commit: ONE atomic rename makes every row of the transaction, in
+    * every topic, visible to `readCommitted` simultaneously; staged
+    * group offsets apply right after (re-driven by `recoverTxns` if the
+    * process dies in between). Idempotent on an already-committed id. */
+  def commitTxn(txnId: String): Unit = {
+    val (hfs, _) = Topic.fs(spark, root)
+    txnStates(txnId) match {
+      case s if s.contains("committed") => applyTxnOffsets(txnId) // redo-safe
+      case s if s.contains("aborted") =>
+        throw new IllegalStateException(s"transaction $txnId was aborted")
+      case s if s.contains("open") =>
+        if (!hfs.rename(txnPath(txnId, "open"), txnPath(txnId, "committed")))
+          throw new java.io.IOException(s"failed to commit transaction $txnId")
+        applyTxnOffsets(txnId)
+      case _ => throw new IllegalStateException(s"unknown transaction $txnId")
+    }
+  }
+
+  /** Abort: the transaction's rows stay in the logs but can never
+    * become visible; `purgeAborted` reclaims the space. */
+  def abortTxn(txnId: String): Unit = {
+    val (hfs, _) = Topic.fs(spark, root)
+    txnStates(txnId) match {
+      case s if s.contains("aborted") => () // idempotent
+      case s if s.contains("committed") =>
+        throw new IllegalStateException(s"transaction $txnId already committed")
+      case s if s.contains("open") =>
+        if (!hfs.rename(txnPath(txnId, "open"), txnPath(txnId, "aborted")))
+          throw new java.io.IOException(s"failed to abort transaction $txnId")
+      case _ => throw new IllegalStateException(s"unknown transaction $txnId")
+    }
+  }
+
+  private def listTxns(state: String): Seq[String] = {
+    val (hfs, _) = Topic.fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(s"$root/_txns")
+    if (!hfs.exists(d)) Seq.empty
+    else hfs.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(s".$state")).map(_.stripSuffix(s".$state")).toSeq.sorted
+  }
+
+  private def applyTxnOffsets(txnId: String): Unit = {
+    val (hfs, _) = Topic.fs(spark, root)
+    val p = txnPath(txnId, "offsets.json")
+    if (!hfs.exists(p)) return
+    val in = hfs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split("\n").filter(_.nonEmpty).foreach { line =>
+      org.json4s.jackson.JsonMethods.parse(line) match {
+        case org.json4s.JObject(f) =>
+          val m = f.toMap
+          def str(k: String) = m(k).asInstanceOf[org.json4s.JString].s
+          def num(k: String) = m(k) match {
+            case org.json4s.JInt(v)  => v.toLong
+            case org.json4s.JLong(v) => v
+            case o => throw new IllegalStateException(s"corrupt txn offsets: $o")
+          }
+          val sh = num("shard") match { case -1L => None; case v => Some(v.toInt) }
+          // seek, not commitOffset: the hwm was validated at staging
+          // time and retention may have moved since
+          seek(str("group"), str("topic"), num("offset"), sh)
+        case o => throw new IllegalStateException(s"corrupt txn offsets line: $o")
+      }
+    }
+    // applied marker: a later recoverTxns must not regress the group to
+    // these (possibly superseded) positions
+    if (!hfs.rename(p, txnPath(txnId, "offsets.applied")))
+      throw new java.io.IOException(s"failed to mark txn offsets applied for $txnId")
+  }
+
+  /** READ COMMITTED view of a topic: non-transactional rows plus rows
+    * of committed transactions; open and aborted rows are invisible.
+    * The committed-id set joins as a broadcast (control-plane size);
+    * the log itself never reshuffles. A topic with no transactional
+    * writes reads through unchanged. */
+  def readCommitted(topic: String): DataFrame = {
+    requireTopic(topic)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir(topic))
+    if (!df.columns.contains("txn_id")) df
+    else {
+      import spark.implicits._
+      val committed = listTxns("committed").toDF("txn_id")
+      df.filter(col("txn_id").isNull)
+        .unionByName(df.join(broadcast(committed), Seq("txn_id"), "left_semi"))
+    }
+  }
+
+  /** Recovery sweep (run at coordinator startup, like Kafka's txn
+    * coordinator replaying __transaction_state): open transactions
+    * whose state file is older than `ttlMs` are aborted (their writer
+    * is presumed dead — the publish-lock lease rule), and committed
+    * transactions with unapplied staged offsets are re-driven.
+    * @return (abortedIds, reappliedIds) */
+  def recoverTxns(ttlMs: Long = 60000L): (Seq[String], Seq[String]) = {
+    val (hfs, _) = Topic.fs(spark, root)
+    val now = System.currentTimeMillis()
+    val aborted = listTxns("open").filter { id =>
+      now - hfs.getFileStatus(txnPath(id, "open")).getModificationTime > ttlMs
+    }.map { id =>
+      System.err.println(s"[graft] aborting stale transaction $id (writer presumed dead)")
+      abortTxn(id); id
+    }
+    val reapplied = listTxns("committed").filter { id =>
+      hfs.exists(txnPath(id, "offsets.json"))
+    }.map { id => applyTxnOffsets(id); id }
+    (aborted, reapplied)
+  }
+
+  /** Reclaim aborted transactions' rows from a topic (the cleanup
+    * Kafka's log cleaner does with abort markers): rewrites the topic
+    * keeping committed/non-txn rows, under the publish lock. At scale
+    * this runs file-granularly like Topic.retain; aborted rows are
+    * already invisible, so the rewrite is reclamation, not correctness. */
+  def purgeAborted(topic: String): Long = {
+    val abortedIds = listTxns("aborted")
+    if (abortedIds.isEmpty) return 0L
+    val t = dir(topic)
+    Topic.withPublishLock(spark, t) {
+      val src = spark.read.option("mergeSchema", "true").parquet(t)
+      if (!src.columns.contains("txn_id")) 0L
+      else {
+        val before = src.count()
+        val keep = src.filter(col("txn_id").isNull ||
+                              !col("txn_id").isin(abortedIds: _*))
+        val tmp = s"$t-purge-tmp"
+        keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+        val (hfs, p) = Topic.fs(spark, t)
+        val after = spark.read.parquet(tmp).count()
+        hfs.delete(p, true)
+        if (!hfs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+          throw new java.io.IOException(s"failed to swap purged topic $topic")
+        before - after
+      }
+    }
+  }
 }

@@ -121,7 +121,7 @@ object Topic {
     * across brokers either; Kafka solves this with a single partition
     * leader).
     */
-  private def withPublishLock[T](spark: SparkSession, topicDir: String)(body: => T): T = {
+  private[graft] def withPublishLock[T](spark: SparkSession, topicDir: String)(body: => T): T = {
     val (hfs, p) = fs(spark, topicDir)
     if (!hfs.exists(p)) hfs.mkdirs(p)
     val lock = new org.apache.hadoop.fs.Path(p, "_publish.lock")

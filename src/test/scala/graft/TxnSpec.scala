@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Transactional publish semantics (the Kafka capstone the idempotent
+  * producer builds toward): multi-topic atomicity through one rename,
+  * read-committed invisibility of open/aborted rows, offsets committed
+  * in the transaction, crash recovery, and aborted-row reclamation.
+  */
+class TxnSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-txn").toString
+
+  private def ev(lo: Int, hi: Int) =
+    Tables.events(spark, sf).filter(col("event_id") >= lo && col("event_id") < hi)
+
+  test("multi-topic atomicity: both topics flip visible on the one commit") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("t1", ev(0, 10)) // pre-existing non-txn rows
+    c.publish("t2", ev(0, 5))
+    c.beginTxn("x1")
+    c.publishTxn("x1", "t1", ev(10, 25))
+    c.publishTxn("x1", "t2", ev(10, 30))
+    // uncommitted: read-committed sees only the pre-txn rows; the raw
+    // (read-uncommitted) log already has the data, offsets assigned
+    assert(c.readCommitted("t1").count() === 10)
+    assert(c.readCommitted("t2").count() === 5)
+    assert(spark.read.option("mergeSchema", "true").parquet(s"${c.rootDir}/t1").count() === 25)
+    c.commitTxn("x1")
+    assert(c.readCommitted("t1").count() === 25)
+    assert(c.readCommitted("t2").count() === 25)
+    // committed rows keep dense offsets continuing the log
+    val offs = c.readCommitted("t1").select("offset").orderBy("offset")
+      .collect().map(_.getLong(0)).toSeq
+    assert(offs === (0L until 25L))
+  }
+
+  test("abort hides rows forever; purgeAborted reclaims them") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("t", ev(0, 10))
+    c.beginTxn("bad")
+    c.publishTxn("bad", "t", ev(10, 30))
+    c.abortTxn("bad")
+    assert(c.readCommitted("t").count() === 10)
+    intercept[IllegalStateException] { c.commitTxn("bad") }
+    val purged = c.purgeAborted("t")
+    assert(purged === 20L)
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"${c.rootDir}/t").count() === 10)
+    assert(c.readCommitted("t").count() === 10)
+  }
+
+  test("offsets commit atomically with the data (consume-transform-produce)") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("in", ev(0, 20))
+    c.beginTxn("ctp")
+    // the loop: consumed in[0,10) -> transformed -> produced to out,
+    // with the group's progress staged IN the txn
+    c.publishTxn("ctp", "out", ev(0, 10))
+    c.commitOffsetTxn("ctp", "g", "in", 10L)
+    assert(c.committedOffsets("g", "in").isEmpty) // nothing durable yet
+    c.commitTxn("ctp")
+    assert(c.committedOffsets("g", "in") === Map(-1 -> 10L))
+    assert(c.readCommitted("out").count() === 10)
+  }
+
+  test("recovery: stale open txns abort; committed-but-unapplied offsets re-drive") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("t", ev(0, 5))
+    // crash case A: writer died mid-transaction
+    c.beginTxn("dead")
+    c.publishTxn("dead", "t", ev(5, 15))
+    Thread.sleep(30)
+    // crash case B: process died between the commit rename and the
+    // offsets apply — simulate by renaming the state file directly
+    c.beginTxn("half")
+    c.commitOffsetTxn("half", "g2", "t", 5L)
+    val (hfs, _) = Topic.fs(spark, c.rootDir)
+    assert(hfs.rename(
+      new org.apache.hadoop.fs.Path(s"${c.rootDir}/_txns/half.open"),
+      new org.apache.hadoop.fs.Path(s"${c.rootDir}/_txns/half.committed")))
+    assert(c.committedOffsets("g2", "t").isEmpty)
+    val (aborted, reapplied) = c.recoverTxns(ttlMs = 1L)
+    assert(aborted === Seq("dead"))
+    assert(reapplied === Seq("half"))
+    assert(c.readCommitted("t").count() === 5)  // dead's rows invisible
+    assert(c.committedOffsets("g2", "t") === Map(-1 -> 5L))
+    // recovery is idempotent: a second sweep finds nothing to do
+    assert(c.recoverTxns(ttlMs = 1L) === ((Seq.empty, Seq.empty)))
+  }
+
+  test("txn lifecycle contract: single-use ids, no publish after close") {
+    val c = new Cascade(spark, freshRoot())
+    c.beginTxn("a")
+    intercept[IllegalArgumentException] { c.beginTxn("a") }
+    c.abortTxn("a")
+    intercept[IllegalArgumentException] { c.beginTxn("a") } // ids are single-use
+    intercept[IllegalArgumentException] { c.publishTxn("a", "t", ev(0, 5)) }
+    c.abortTxn("a") // idempotent
+    // a topic with no transactional writes reads through unchanged
+    c.publish("plain", ev(0, 7))
+    assert(c.readCommitted("plain").count() === 7)
+  }
+}
