@@ -243,6 +243,34 @@ object EventStream {
       .start()
   }
 
+  /** Exactly-once stream→topic publish through the IDEMPOTENT PRODUCER:
+    * the checkpoint lineage is the producer id and the epoch id is the
+    * producer sequence, so a replayed micro-batch is dropped by the
+    * (pid, seq) ledger IN the log itself. This closes [[mergePublish]]'s
+    * one remaining window — its publish-then-marker pair can crash in
+    * between and duplicate the batch on replay, while here the dedup
+    * state is the appended batch (nothing to tear apart), exactly
+    * Kafka's argument for sequencing in the log rather than beside it.
+    * Epoch ids from one checkpoint are gapless (foreachBatch runs for
+    * every executed epoch, empty or not), matching the producer's
+    * gapless-sequence contract; a NEW checkpoint is a new producer id,
+    * so restarting fresh never collides with the old lineage's ledger.
+    */
+  def publishExactlyOnce(events: DataFrame, topicDir: String, checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val producerId = "stream-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.Topic.publishIdempotent(batch, topicDir, producerId, epochId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   // ---- consumer-group progress (typed stateful op) ------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -24,6 +24,41 @@ class ForeachBatchSpec extends SparkSpec {
     assert(log.agg(max(col("offset"))).head().getLong(0) === 199L)
   }
 
+  test("publishExactlyOnce: epoch ids drive the idempotent producer ledger") {
+    val src  = Files.createTempDirectory("eo-src").toString + "/t"
+    val out  = Files.createTempDirectory("eo-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("eo-ckpt").toString
+    val ev   = Tables.events(spark, sf)
+    ev.filter(col("event_id") < 100).repartition(2).write.parquet(src)
+    EventStream.publishExactlyOnce(
+      EventStream.ingest(spark, src, maxFilesPerTrigger = 1), out, ckpt)
+      .awaitTermination()
+    val log = spark.read.parquet(out)
+    val n = log.count()
+    assert(log.select("event_id").distinct().count() === 100)
+    assert(n === 100)
+    // the crash-replay contract, at the exact layer a retry hits: a
+    // redelivered LAST batch (same producer id, same epoch sequence) is
+    // dropped by the in-log ledger — no marker file involved
+    val pid = "stream-" + lineageTag(ckpt)
+    val lastSeq = log.agg(max(col("producer_seq"))).head().getLong(0)
+    assert(!Topic.publishIdempotent(
+      ev.filter(col("event_id") < 10), out, pid, lastSeq))
+    assert(spark.read.parquet(out).count() === n)
+    // restart from the same checkpoint with new source data: the stream
+    // continues the sequence, appends exactly the delta, offsets dense
+    ev.filter(col("event_id") >= 100 && col("event_id") < 150)
+      .write.mode("append").parquet(src)
+    EventStream.publishExactlyOnce(
+      EventStream.ingest(spark, src, maxFilesPerTrigger = 1), out, ckpt)
+      .awaitTermination()
+    val log2 = spark.read.parquet(out)
+    assert(log2.count() === 150)
+    assert(log2.select("event_id").distinct().count() === 150)
+    val offs = log2.select("offset").orderBy("offset").collect().map(_.getLong(0)).toSeq
+    assert(offs === (0L until 150L))
+  }
+
   private def lineageTag(ckpt: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(ckpt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
