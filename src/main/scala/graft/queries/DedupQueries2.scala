@@ -270,22 +270,31 @@ object DedupQueries2 {
     * feeds the df-dim, the join-side instances, both halves of the
     * self-join, and the scrub's token counts — materialized once (the
     * suffix-array analogue also builds its index once; at 100 TB this
-    * barrier becomes a checkpoint dir, same as the CC loop).
-    */
-  private def grams(s: org.apache.spark.sql.SparkSession,
-                    d: String): org.apache.spark.sql.DataFrame = {
-    import graft.functions.Portable.h32
-    val ghArr = when(size(col("toks")) >= 8,
-      transform(sequence(lit(0), size(col("toks")) - 8), i =>
-        h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
-      .otherwise(array().cast("array<bigint>"))
-    Tables.documents(s, d)
-      .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(ghArr).as(Seq("p", "gh")))
-      .select(col("doc_id"), col("p").cast("long").as("p"), col("gh"))
-      .localCheckpoint(true)
-  }
+    * barrier becomes a checkpoint dir, same as the CC loop). Cached per
+    * CORPUS, not per call (the coSupplyCounts/tradeEdges pattern):
+    * dd_dup_spans and dd_span_scrub each consumed their own build
+    * before — the second consumer now reads the first's checkpoint.
+    * Evicted with the artifact store. */
+  private val gramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(gramCache.remove(_))
+
+  private[queries] def grams(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame =
+    gramCache.computeIfAbsent(d, _ => {
+      import graft.functions.Portable.h32
+      val ghArr = when(size(col("toks")) >= 8,
+        transform(sequence(lit(0), size(col("toks")) - 8), i =>
+          h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
+        .otherwise(array().cast("array<bigint>"))
+      Tables.documents(s, d)
+        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(ghArr).as(Seq("p", "gh")))
+        .select(col("doc_id"), col("p").cast("long").as("p"), col("gh"))
+        .localCheckpoint(true)
+    })
 
   /** Maximal shared spans (≥10 tokens) between doc pairs: rare grams
     * (df 2–3) meet in an equi-join, same-diagonal consecutive positions

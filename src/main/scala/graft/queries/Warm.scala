@@ -41,5 +41,6 @@ object Warm {
     PipelineQueries.trainedBloom(spark, dir)     // decontamination Bloom
     RelationalQueries8.tradeEdges(spark, dir)    // q50-pair edge list
     RelationalQueries10.coSupplyCounts(spark, dir) // q56/q57 pair counts
+    DedupQueries2.grams(spark, dir)              // dup-span 8-gram table
   }
 }
