@@ -236,14 +236,7 @@ object TextQueries2 {
          |UNION ALL SELECT 3, wl, wr, cnt FROM w3
          |ORDER BY merge_round""".stripMargin
     }) { (s, d) =>
-      val v1 = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .withColumn("repr", rtrim(regexp_replace(col("w"), "(.)", "$1 ")))
-      val (w1, v2) = bpeRound(v1)
-      val (w2, v3) = bpeRound(v2)
-      val (w3, _)  = bpeRound(v3)
+      val (Seq(w1, w2, w3), _) = trainedBpe(s, d)
       def shaped(w: org.apache.spark.sql.DataFrame, r: Int) =
         w.select(lit(r).as("merge_round"), col("wl").as("left_sym"),
                  col("wr").as("right_sym"), col("cnt"))
@@ -279,14 +272,7 @@ object TextQueries2 {
          |WHERE length(d.w) > 0
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     }) { (s, d) =>
-      val v1 = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .withColumn("repr", rtrim(regexp_replace(col("w"), "(.)", "$1 ")))
-      val (_, v2) = bpeRound(v1)
-      val (_, v3) = bpeRound(v2)
-      val (_, v4) = bpeRound(v3)
+      val (_, v4) = trainedBpe(s, d)
       // the trained tokenizer is a vocab-sized dim: word → token count
       val enc = v4.select(col("w"), size(split(col("repr"), " ")).as("n_sym"))
       Tables.documents(s, d)
@@ -393,6 +379,31 @@ object TextQueries2 {
        |         string_agg(CASE WHEN mrg THEN sym || nxt ELSE sym END, ' ' ORDER BY p) AS repr
        |  FROM c$r WHERE NOT consumed GROUP BY w, wc)""".stripMargin
   }
+
+  /** The trained 3-round BPE chain per corpus — (winners w1..w3, final
+    * vocab v4) — cached like every other trained artifact (tradeEdges
+    * pattern): ta_bpe_merges and ta_bpe_encode each ran the identical
+    * training before; the tokenizer is TRAINED ONCE and both the
+    * merge-table report and the encoder read it. Evicted with the
+    * artifact store. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame)]()
+
+  graft.ArtifactStore.onInvalidate(bpeCache.remove(_))
+
+  private[queries] def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) =
+    bpeCache.computeIfAbsent(d, _ => {
+      val v1 = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("repr", rtrim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val (w1, v2) = bpeRound(v1)
+      val (w2, v3) = bpeRound(v2)
+      val (w3, v4) = bpeRound(v3)
+      (Seq(w1, w2, w3), v4.localCheckpoint(true))
+    })
 
   private def bpeRound(v: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

@@ -42,5 +42,6 @@ object Warm {
     RelationalQueries8.tradeEdges(spark, dir)    // q50-pair edge list
     RelationalQueries10.coSupplyCounts(spark, dir) // q56/q57 pair counts
     DedupQueries2.grams(spark, dir)              // dup-span 8-gram table
+    TextQueries2.trainedBpe(spark, dir)          // 3-round BPE tokenizer
   }
 }
