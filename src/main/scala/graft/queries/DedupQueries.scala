@@ -205,6 +205,18 @@ object DedupQueries {
     * collect_list + pair fan-out is ≤ cap² at any corpus scale; AQE
     * splits the skewed-but-under-cap reducers. `matches` is functionally
     * determined by the pair, so the dropDuplicates is deterministic. */
+  /** estPairs per CORPUS (the tradeEdges pattern): dd_minhash_pairs and
+    * dd_est_calibration each ran the signature+band+pair lineage before;
+    * the candidate-bounded pair frame is now checkpointed once and both
+    * read it. Evicted with the artifact store. */
+  private val estPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(estPairsCache.remove(_))
+
+  private[queries] def estPairsCached(docs: DataFrame, dir: String): DataFrame =
+    estPairsCache.computeIfAbsent(dir, _ => estPairs(docs).localCheckpoint(true))
+
   private[queries] def estPairs(docs: DataFrame): DataFrame = {
     val sig    = sigDf(docs)
     val member = struct(col("doc_id") +: (0 until K).map(j => col(s"s$j")): _*)
@@ -325,7 +337,7 @@ object DedupQueries {
          |  JOIN bsz s1 ON s1.bid = 1 AND s1.bkey = a.band1
          |  WHERE s1.bucket_size <= $BandCap)
          |SELECT da, db, est_jaccard FROM pairs ORDER BY da, db""".stripMargin) { (s, d) =>
-      estPairs(Tables.documents(s, d))
+      estPairsCached(Tables.documents(s, d), d)
         .select(col("da"), col("db"),
                 (col("matches").cast("double") / K).as("est_jaccard"))
         .orderBy("da", "db")
@@ -375,7 +387,7 @@ object DedupQueries {
          |       MAX(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS max_exact
          |FROM j GROUP BY matches ORDER BY matches""".stripMargin) { (s, d) =>
       val docs  = Tables.documents(s, d)
-      val pairs = estPairs(docs)
+      val pairs = estPairsCached(docs, d)
       val (ta, tb) = candidateShingleSides(docs, pairs.select(col("da"), col("db")))
       pairs
         .join(ta, col("da") === col("ta_id"))

@@ -43,5 +43,6 @@ object Warm {
     RelationalQueries10.coSupplyCounts(spark, dir) // q56/q57 pair counts
     DedupQueries2.grams(spark, dir)              // dup-span 8-gram table
     TextQueries2.trainedBpe(spark, dir)          // 3-round BPE tokenizer
+    DedupQueries.estPairsCached(docs, dir)       // minhash estimate pairs
   }
 }
