@@ -232,7 +232,7 @@ object RelationalQueries8 {
         |       CAST(SUM(ad) AS DOUBLE) / COUNT(*) / 1000000000 AS mean_abs_delta,
         |       CAST(SUM(CASE WHEN ad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
         |FROM deltas GROUP BY rnd ORDER BY round""".stripMargin) { (s, d) =>
-      val (_, rounds) = supplierRankRounds(s, d, 3, _.localCheckpoint(true))
+      val (_, rounds) = rankRoundsCached(s, d)
       def delta(rnd: Int, before: org.apache.spark.sql.DataFrame,
                 after: org.apache.spark.sql.DataFrame) =
         after.select(col("supp").as("b_supp"), col("r").as("b_r"))
@@ -286,8 +286,8 @@ object RelationalQueries8 {
         |       CAST(s2.r AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS rank_score
         |FROM s2 JOIN degs g ON s2.supp = g.supp
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      val (degs, rounds) = supplierRankRounds(s, d, 2)
-      rounds.last.select(col("supp").as("s2_supp"), col("r").as("s2_r"))
+      val (degs, rounds) = rankRoundsCached(s, d)
+      rounds(1).select(col("supp").as("s2_supp"), col("r").as("s2_r"))
         .join(degs, col("s2_supp") === col("ds_supp"))
         .select(col("s2_supp").as("s_suppkey"), col("ds").as("n_customers"),
                 (col("s2_r").cast("double") / lit(1e9)).as("rank_score"))
@@ -335,6 +335,24 @@ object RelationalQueries8 {
               col("o_orderkey") === col("l_orderkey"))
         .select(col("cust"), col("supp")).distinct()
         .localCheckpoint(true))
+
+  /** The 3-round materialized rank chain per CORPUS, shared by
+    * q50_graph_rank (reads round 2) and q50_rank_convergence (reads all
+    * three + deltas) — round r of an n-round chain is identical math to
+    * round r of any longer chain, so one checkpointed chain serves both.
+    * Evicted with the artifact store; Warm pre-builds it, so the
+    * three-round propagation cost sits on the artifact_build line. */
+  private val rankCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame])]()
+
+  graft.ArtifactStore.onInvalidate(rankCache.remove(_))
+
+  private[queries] def rankRoundsCached(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) =
+    rankCache.computeIfAbsent(d, _ => {
+      val (degs, rounds) = supplierRankRounds(s, d, 3, _.localCheckpoint(true))
+      (degs.localCheckpoint(true), rounds)
+    })
 
   private def supplierRankRounds(
       s: org.apache.spark.sql.SparkSession, d: String, n: Int,

@@ -44,5 +44,6 @@ object Warm {
     DedupQueries2.grams(spark, dir)              // dup-span 8-gram table
     TextQueries2.trainedBpe(spark, dir)          // 3-round BPE tokenizer
     DedupQueries.estPairsCached(docs, dir)       // minhash estimate pairs
+    RelationalQueries8.rankRoundsCached(spark, dir) // 3-round rank chain
   }
 }
