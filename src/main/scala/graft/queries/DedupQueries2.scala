@@ -91,7 +91,7 @@ object DedupQueries2 {
          |SELECT da, db, start_a, start_b, span_len
          |FROM spans
          |ORDER BY da, db, start_a, start_b""".stripMargin) { (s, d) =>
-      spansOf(grams(s, d)).orderBy("da", "db", "start_a", "start_b")
+      spansCached(s, d).orderBy("da", "db", "start_a", "start_b")
     },
 
     // The ACTION the span detector drives (Lee et al. 2022's "deduplicate
@@ -135,7 +135,7 @@ object DedupQueries2 {
          |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val g  = grams(s, d)
-      val iv = spansOf(g)
+      val iv = spansCached(s, d)
         .select(col("db").as("doc_id"), col("start_b").as("s"),
                 (col("start_b") + col("span_len")).as("e"))
       val wPrev = Window.partitionBy("doc_id").orderBy("s", "e")
@@ -301,6 +301,19 @@ object DedupQueries2 {
     * coalesce via the run-id window. See `dd_dup_spans`' scaladoc for
     * the rarity-cap tradeoff.
     */
+  /** The detected span frame per CORPUS (rare-gram join + diagonal-run
+    * windows), shared by dd_dup_spans (reports it) and dd_span_scrub
+    * (unions its intervals): span-family-bounded rows, checkpointed
+    * once. Evicted with the artifact store. */
+  private val spanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(spanCache.remove(_))
+
+  private[queries] def spansCached(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    spanCache.computeIfAbsent(d, _ => spansOf(grams(s, d)).localCheckpoint(true))
+
   private def spansOf(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rare = g.groupBy("gh")

@@ -45,5 +45,7 @@ object Warm {
     TextQueries2.trainedBpe(spark, dir)          // 3-round BPE tokenizer
     DedupQueries.estPairsCached(docs, dir)       // minhash estimate pairs
     RelationalQueries8.rankRoundsCached(spark, dir) // 3-round rank chain
+    DedupQueries2.spansCached(spark, dir)        // detected dup spans
+    DedupQueries4.simhashSigs(spark, dir)        // 60-bit simhash frame
   }
 }
