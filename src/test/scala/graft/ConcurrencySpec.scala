@@ -41,4 +41,34 @@ class ConcurrencySpec extends SparkSpec {
       assert(conc(n) == serial(n), s"$n diverged under concurrent execution")
     }
   }
+
+  // The round-6 shared-frame caches (rank chain, co-supply pairs, gram
+  // table + span frame, BPE tokenizer, minhash estimate pairs, simhash
+  // signatures): each pair of consumers below shares one corpus-keyed
+  // computeIfAbsent entry, so racing BOTH consumers right after an
+  // invalidate exercises simultaneous first-build on every cache.
+  private val sharedFrameConsumers = Seq(
+    "q50_graph_rank", "q50_rank_convergence", // rank-chain cache
+    "q56_cooccur_topk", "q57_triangle_census", // co-supply pair cache
+    "dd_dup_spans", "dd_span_scrub",           // gram + span caches
+    "ta_bpe_merges", "ta_bpe_encode",          // BPE tokenizer cache
+    "dd_minhash_pairs", "dd_est_calibration",  // estimate-pair cache
+    "dd_simhash_pairs")                        // signature cache
+
+  test("racing consumers of one shared cached frame stay serial-identical") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    ArtifactStore.invalidate(spark, sf)
+    val serial = sharedFrameConsumers
+      .map(n => n -> SparkEntry.queries(n)(spark, sf).collect().toSeq).toMap
+
+    ArtifactStore.invalidate(spark, sf) // both consumers must rebuild
+    val conc = Await.result(
+      Future.sequence(sharedFrameConsumers.map(n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf).collect().toSeq))),
+      10.minutes).toMap
+
+    sharedFrameConsumers.foreach { n =>
+      assert(conc(n) == serial(n), s"$n diverged under concurrent execution")
+    }
+  }
 }
