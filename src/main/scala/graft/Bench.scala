@@ -51,9 +51,16 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // escape hatch for time-budgeted harnesses: SPARK_GRAFT_BENCH_PASSES=1
+    // restores single-pass timing (value == cold_value)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val pass1 = pass()
-    val pass2 = pass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results =
+      if (nPasses <= 1) pass1
+      else {
+        val pass2 = pass()
+        pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+      }
     // millisecond precision: run-to-run noise is ±15%, and full-double
     // repr made the round-1 JSON line long enough that the driver's
     // output capture truncated it to 64 of 80 query entries
@@ -71,7 +78,7 @@ object Bench {
     // The per-query line above grew past the driver's tail-capture window
     // (BENCH_r01..r03 all parsed as null). The LAST line printed must be a
     // complete, short JSON record so any tail capture can parse the result.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"passes":2,"cold_value":${r3(cold)},"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${timed.size},"passes":$nPasses,"cold_value":${r3(cold)},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
     // a bench with failures must not read as a clean round (round-4 r04
     // recorded rc=0 with 43 failed queries)
