@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recursive-CTE queries — the iteration-in-SQL surface Spark gained in
+  * 4.x (`WITH RECURSIVE`, SPARK-24497). The reference has no recursion
+  * anywhere (its only loop is the broker accept loop,
+  * /root/reference/src/broker/main.rs:246-253), but a warehouse switching
+  * to this library expects the two classic recursive workloads: a
+  * hierarchy walk (BOM explosion / org chart) and a linear recurrence
+  * (exponential smoothing) that plain window functions cannot express.
+  *
+  * Scale stance: each recursion LEVEL is one plan execution — measured at
+  * ~150 ms of fixed scheduling/compile overhead per level on this box
+  * regardless of row volume (and AQE re-planning roughly doubles that, so
+  * both queries pin it off for the loop). The scaling discipline is
+  * therefore LEVEL BUDGETING: depth must be bounded by log(n) or by a
+  * corpus-independent axis (calendar blocks), never by row count. Both
+  * queries set `spark.sql.cteRecursionLevelLimit` explicitly so the
+  * intent survives a session-default change.
+  */
+object RecursiveQueries {
+
+  /** Run `body` with the given SQL confs, restoring previous values. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val old = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally old.foreach { case (k, ov) => ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  private def recConfs(levels: Int): Seq[(String, String)] = Seq(
+    "spark.sql.cteRecursionLevelLimit" -> levels.toString,
+    // AQE re-optimizes every recursion step; the per-level frames here are
+    // tiny (a frontier / a one-row carry), so re-planning is pure overhead
+    // — measured ~2x the level cost with it on.
+    "spark.sql.adaptive.enabled" -> "false")
+
+  /** Days folded into one recursion level by the blocked smoother. */
+  private val EwmaBlock = 8
+
+  /** One smoothing step: (x_p + l)/2, chained from the seed. Pure ANSI —
+    * the same string parses in Spark and DuckDB. NULL x values occur only
+    * at the tail of the LAST (partial) block; they poison that block's
+    * carry, which no consumer reads (no next block, and the per-day
+    * expansion dispatches on real positions only), so no NULL-skip is
+    * needed and the generated text stays linear in block width. */
+  private def chain(p: Int, seed: String): String =
+    if (p == 0) seed
+    else s"((CAST(b.x$p AS DOUBLE) + ${chain(p - 1, seed)}) / 2)"
+
+  /** Per-day expansion inside a block: ewma at pos p from the block-entry
+    * level, dispatched on d.pos. Same arithmetic order as the daily
+    * recurrence, so results are bit-identical. */
+  private def posCase(seed: String): String =
+    (1 to EwmaBlock).map(p => s"WHEN ${p} THEN ${chain(p, seed)}")
+      .mkString("CASE d.pos ", " ", " END")
+
+  /** Dialect-shared SQL from the densified daily series `g_daily_dense`
+    * (di starting at 1, day, n_events): pivot days 2.. into B-wide blocks,
+    * recurse one level per BLOCK carrying the block-end level, then expand
+    * per-day values with the in-block chain. */
+  private def ewmaCoreSql: String = {
+    val xs = (1 to EwmaBlock)
+      .map(p => s"MAX(CASE WHEN pos = $p THEN n_events END) AS x$p")
+      .mkString(", ")
+    s"""WITH RECURSIVE blk AS (
+       |  SELECT CAST(FLOOR((di - 2) / $EwmaBlock) AS INT) AS bi,
+       |         CAST((di - 2) % $EwmaBlock AS INT) + 1 AS pos,
+       |         day, n_events
+       |  FROM g_daily_dense WHERE di >= 2),
+       |blocks AS (
+       |  SELECT bi, $xs FROM blk GROUP BY bi),
+       |rec AS (
+       |  SELECT CAST(-1 AS INT) AS bi, CAST(n_events AS DOUBLE) AS lend
+       |  FROM g_daily_dense WHERE di = 1
+       |  UNION ALL
+       |  SELECT b.bi, ${chain(EwmaBlock, "r.lend")} AS lend
+       |  FROM rec r JOIN blocks b ON b.bi = r.bi + 1),
+       |perday AS (
+       |  SELECT day, n_events, CAST(n_events AS DOUBLE) AS ewma
+       |  FROM g_daily_dense WHERE di = 1
+       |  UNION ALL
+       |  SELECT d.day, d.n_events, ${posCase("r.lend")} AS ewma
+       |  FROM blk d
+       |  JOIN blocks b ON b.bi = d.bi
+       |  JOIN rec r ON r.bi = d.bi - 1)
+       |SELECT day, n_events, ewma,
+       |       CAST(n_events AS DOUBLE) - ewma AS resid
+       |FROM perday ORDER BY day""".stripMargin
+  }
+
+  def defs: Map[String, Q] = Map(
+
+    // Bill-of-materials explosion: walk the part hierarchy from a root
+    // and roll up per assembly level. The fixture has no explicit
+    // parent column, so the hierarchy is the IMPLICIT BINARY TREE over
+    // part keys (parent(k) = k div 2, root = 1) — deterministic, present
+    // at every SF, and depth log₂(n): 11 levels at sf0.01, ~28 at
+    // 100 TB, always far under the configured level limit. Each level
+    // is one equi-join frontier⋈part on the parent key (Catalyst plans
+    // it; the frontier is the previous level only, never the
+    // accumulated closure, and the dimension side broadcasts), so total
+    // work is one pass over part spread across log n joins. The rollup
+    // reports per-depth membership and the exact cents-summed retail
+    // price (Portable.dsum — no accumulation-order drift between
+    // engines).
+    "q58_bom_explode" -> Q(
+      s"""WITH RECURSIVE bom AS (
+         |  SELECT p_partkey, 0 AS depth, p_retailprice
+         |  FROM part WHERE p_partkey = 1
+         |  UNION ALL
+         |  SELECT c.p_partkey, b.depth + 1, c.p_retailprice
+         |  FROM bom b JOIN part c ON c.p_partkey // 2 = b.p_partkey
+         |  WHERE c.p_partkey >= 2)
+         |SELECT CAST(depth AS INTEGER) AS depth,
+         |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
+         |       ${graft.functions.Portable.duckDsum("p_retailprice")} AS level_price
+         |FROM bom GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("g_part")
+      withConfs(s, recConfs(64): _*) {
+        s.sql("""
+          WITH RECURSIVE bom AS (
+            SELECT p_partkey, 0 AS depth, p_retailprice
+            FROM g_part WHERE p_partkey = 1
+            UNION ALL
+            SELECT c.p_partkey, b.depth + 1, c.p_retailprice
+            FROM bom b JOIN g_part c ON c.p_partkey div 2 = b.p_partkey
+            WHERE c.p_partkey >= 2)
+          SELECT CAST(depth AS INT) AS depth,
+                 COUNT(*) AS n_parts,
+                 MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
+                 CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS level_price
+          FROM bom GROUP BY depth ORDER BY depth""")
+      }
+    },
+
+    // Exponential smoothing over the daily event series — the linear
+    // recurrence l_t = α·x_t + (1−α)·l_{t−1} that NO window frame can
+    // express (every output depends on every prior input with decaying
+    // weight). α = 1/2 keeps every step IEEE-exact for this fixture:
+    // counts are integers, (x + l)/2 is a power-of-two division, and
+    // both engines evaluate the identical expression tree in the
+    // identical order. The day axis is DENSIFIED first (generate the
+    // full min..max calendar, left-join the counts, zero-fill) so a
+    // silent empty day cannot break the recurrence chain.
+    //
+    // Execution splits at the right boundaries for 100 TB:
+    //  1. the daily aggregation runs DISTRIBUTED (one map-side combined
+    //     pass over events);
+    //  2. the calendar-scale series (365 rows/year regardless of event
+    //     volume) is collected to a LocalRelation;
+    //  3. the recursion is BLOCKED — each level folds 8 days through the
+    //     inlined step chain and carries only the block-end level, then
+    //     one post-join expands per-day values with the same chain. The
+    //     recursion's ~150 ms/level fixed cost is paid per BLOCK, not
+    //     per day (30-day fixture: 4 levels, not 29; a decade: 457).
+    //     Block width is the latency dial, and the expansion is
+    //     arithmetic-order-identical to the daily recurrence (the spec
+    //     pins bit-equality against a sequential recompute).
+    "el_ewma_forecast" -> Q({
+      s"""WITH RECURSIVE dy AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dy),
+         |cal AS (
+         |  SELECT CAST(u.n AS INTEGER) + 1 AS di,
+         |         d0 + CAST(u.n AS INTEGER) AS day
+         |  FROM bounds, unnest(range(0, CAST(d1 - d0 AS INTEGER) + 1)) u(n)),
+         |g_daily_dense AS (
+         |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
+         |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
+         |${ewmaCoreSql.replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
+    }) { (s, d) =>
+      // distributed half: one combined pass events -> daily counts,
+      // densified over the min..max calendar
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val dense = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
+        .select((col("n") + 1).as("di"), col("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
+      // local half: the calendar-scale series anchors the recursion
+      import s.implicits._
+      s.createDataset(
+        dense.orderBy("di")
+          .as[(Long, java.sql.Date, Long)]
+          .collect().toSeq)
+        .toDF("di", "day", "n_events")
+        .createOrReplaceTempView("g_daily_dense")
+      withConfs(s, recConfs(4000): _*) { // a decade of daily blocks
+        s.sql(ewmaCoreSql)
+      }
+    }
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Recursive-CTE queries: semantics pinned against independent
+  * non-recursive recomputation at sf0.001. */
+class RecursiveSpec extends SparkSpec {
+
+  test("q58_bom_explode: levels partition the part table and depths are exact") {
+    val rows = SparkEntry.queries("q58_bom_explode")(spark, sf)
+      .orderBy("depth").collect()
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey").as[Long](spark.implicits.newLongEncoder).collect()
+
+    // every partkey >= 1 is reachable (parent chain k -> k div 2 ends at 1)
+    val reachable = parts.count(_ >= 1L)
+    assert(rows.map(_.getLong(1)).sum === reachable)
+
+    // per-level membership matches floor(log2(k)) exactly
+    val byDepth = parts.filter(_ >= 1L)
+      .groupBy(k => 63 - java.lang.Long.numberOfLeadingZeros(k))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) === byDepth(d), s"depth $d membership")
+      // level key range is [2^d, 2^(d+1)) clipped to the table
+      assert(r.getLong(2) === (1L << d).max(parts.filter(k => k >= (1L << d) && k < (2L << d)).min))
+      assert(r.getLong(3) === parts.filter(k => k >= (1L << d) && k < (2L << d)).max)
+    }
+
+    // level price sums reconcile with the whole-table exact sum
+    val total = Tables.part(spark, sf).filter(col("p_partkey") >= 1)
+      .agg(graft.functions.Portable.dsum(col("p_retailprice"))).head.getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - total) < 1e-6)
+  }
+
+  test("el_ewma_forecast: recurrence matches a sequential recompute, bit-exact") {
+    val rows = SparkEntry.queries("el_ewma_forecast")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length === 30) // fixture spans 30 calendar days
+
+    // independent recompute: daily counts via a plain groupBy, then the
+    // recurrence in driver scala (same (x + l) / 2 arithmetic)
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    var level = 0.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val day = r.getDate(0).toString
+      val x = daily.getOrElse(day, 0L)
+      assert(r.getLong(1) === x, s"count on $day")
+      level = if (i == 0) x.toDouble else (x.toDouble + level) / 2
+      assert(r.getDouble(2) === level, s"ewma on $day") // exact: alpha = 1/2
+      assert(r.getDouble(3) === x.toDouble - level)
+    }
+  }
+}
