@@ -35,7 +35,7 @@ object DedupQueries {
         .otherwise(array(concat_ws(" ", toks))))
 
   /** Same shingle set in DuckDB. */
-  private val duckShingles: String =
+  private[queries] val duckShingles: String =
     """CASE WHEN len(string_split(text,' ')) >= 3
       |  THEN list_distinct([array_to_string((string_split(text,' '))[i:i+2],' ')
       |                      for i in range(1, len(string_split(text,' '))-1)])

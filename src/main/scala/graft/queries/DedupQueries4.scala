@@ -113,6 +113,63 @@ object DedupQueries4 {
         .filter(col("hamming") <= 3)
         .select("da", "db", "hamming")
         .orderBy("da", "db")
+    },
+
+    // Cross-source duplication matrix: where does near-duplication COME
+    // FROM? Verified near-dup pairs (the shared LSH band-candidate
+    // artifact, exact-Jaccard-confirmed at ≥ 0.5 — "LSH proposes, exact
+    // disposes") roll up to an ordered (source_a ≤ source_b) matrix with
+    // pair counts and the exact-decimal mean Jaccard. This is the
+    // between-snapshot / between-crawl dedup report (CommonCrawl dumps,
+    // dataset mixtures) that decides WHICH source pair pays for a dedup
+    // pass — off-diagonal mass means cross-source contamination,
+    // diagonal mass means within-source boilerplate. Scale shape: the
+    // candidate artifact bounds pair work (never all-pairs); sources
+    // join from a doc-keyed dim; the matrix is |sources|²-bounded
+    // output. Mean Jaccard goes through the DECIMAL unit-sum, so the
+    // doubles are bit-portable.
+    "dd_cross_source_dup" -> Q(
+      s"""WITH ${DedupQueries.duckCandCte},
+         |t AS (SELECT doc_id, ${DedupQueries.duckShingles} AS sh FROM documents),
+         |ver AS (
+         |  SELECT c.da, c.db,
+         |         CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |           / len(list_distinct(list_concat(ta.sh, tb.sh))) AS j
+         |  FROM cand c
+         |  JOIN t ta ON c.da = ta.doc_id
+         |  JOIN t tb ON c.db = tb.doc_id),
+         |src AS (SELECT doc_id, source FROM documents),
+         |px AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |         greatest(sa.source, sb.source) AS source_b, v.j
+         |  FROM ver v
+         |  JOIN src sa ON v.da = sa.doc_id
+         |  JOIN src sb ON v.db = sb.doc_id
+         |  WHERE v.j >= 0.5)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ${graft.functions.Portable.duckDavgUnit("j")} AS mean_jaccard
+         |FROM px GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = DedupQueries.bandCandidatesCached(docs, d)
+      val (ta, tb) = DedupQueries.candidateShingleSides(docs, cand)
+      val ver = cand
+        .join(ta, col("da") === col("ta_id"))
+        .join(tb, col("db") === col("tb_id"))
+        .select(col("da"), col("db"),
+          (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+           size(array_union(col("a_sh"), col("b_sh")))).as("j"))
+        .filter(col("j") >= 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      ver
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+                greatest(col("sa"), col("sb")).as("source_b"), col("j"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+             graft.functions.Portable.davgUnit(col("j")).as("mean_jaccard"))
+        .orderBy("source_a", "source_b")
     }
   )
 }

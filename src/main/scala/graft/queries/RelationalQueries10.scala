@@ -128,6 +128,85 @@ object RelationalQueries10 {
                 expr("cast(case when n_wedges = 0 then 0 " +
                      "else (3000000 * n_tri) div n_wedges end as bigint)")
                   .as("closure_ppm"))
+    },
+
+    // Blocked entity-resolution self-join — record linkage on RELATIONAL
+    // attributes, the structured-data sibling of the document LSH
+    // pipeline: find "interchangeable part" candidates (same noun, type,
+    // and size; different brand) without ever going near the n² pair
+    // space. The three disciplines every production ER join needs:
+    //  1. BLOCKING as an equi-join key (noun, type, size) — Catalyst
+    //     plans a hash join, never a theta join;
+    //  2. a BLOCK CAP counted BEFORE pairing (the dd_band / simhash
+    //     bucket defense): an over-cap block — a degenerate blocking key
+    //     — is excluded from pairing and surfaced in the per-group
+    //     report instead of silently going quadratic;
+    //  3. canonical pair order (brand_a < brand_b, key tie-break) so the
+    //     candidate set is a set.
+    // Output: per (noun, type) linkage report — blocks, capped blocks,
+    // candidate pairs, and the exact-cents mean price gap between
+    // matched brands (the attribute-conflict signal a merge step would
+    // resolve).
+    "q59_similar_parts" -> Q(
+      s"""WITH p AS (
+         |  SELECT p_partkey, p_brand, p_type, p_size,
+         |         string_split(p_name, ' ')[2] AS noun,
+         |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+         |  FROM part),
+         |bsz AS (
+         |  SELECT noun, p_type, p_size, CAST(COUNT(*) AS BIGINT) AS bn
+         |  FROM p GROUP BY 1, 2, 3),
+         |pairs AS (
+         |  SELECT a.noun, a.p_type,
+         |         abs(a.cents - b.cents) AS gap
+         |  FROM p a
+         |  JOIN p b ON a.noun = b.noun AND a.p_type = b.p_type
+         |          AND a.p_size = b.p_size
+         |          AND (a.p_brand < b.p_brand
+         |               OR (a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey))
+         |  JOIN bsz s ON a.noun = s.noun AND a.p_type = s.p_type
+         |            AND a.p_size = s.p_size
+         |  WHERE s.bn <= 100 AND a.p_brand <> b.p_brand),
+         |pc AS (
+         |  SELECT noun, p_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(gap) AS BIGINT) // COUNT(*) AS mean_gap_cents
+         |  FROM pairs GROUP BY noun, p_type),
+         |blocks AS (
+         |  SELECT noun, p_type,
+         |         CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_blocks,
+         |         CAST(COUNT(DISTINCT CASE WHEN bn > 100 THEN p_size END) AS BIGINT)
+         |           AS n_capped_blocks
+         |  FROM bsz GROUP BY noun, p_type)
+         |SELECT b.noun, b.p_type, b.n_blocks, b.n_capped_blocks,
+         |       COALESCE(pc.n_pairs, 0) AS n_pairs, pc.mean_gap_cents
+         |FROM blocks b
+         |LEFT JOIN pc ON b.noun = pc.noun AND b.p_type = pc.p_type
+         |ORDER BY b.noun, b.p_type""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+        split(col("p_name"), " ").getItem(1).as("noun"),
+        graft.functions.Portable.cents(col("p_retailprice")).as("cents"))
+      val bsz = p.groupBy("noun", "p_type", "p_size").agg(count(lit(1)).as("bn"))
+      val a = p.select(col("noun"), col("p_type"), col("p_size"),
+                       col("p_brand").as("ba"), col("p_partkey").as("ka"), col("cents").as("ca"))
+      val b = p.select(col("noun"), col("p_type"), col("p_size"),
+                       col("p_brand").as("bb"), col("p_partkey").as("kb"), col("cents").as("cb"))
+      val pairs = a.join(b, Seq("noun", "p_type", "p_size"))
+        .filter(col("ba") < col("bb") ||
+                (col("ba") === col("bb") && col("ka") < col("kb")))
+        .join(bsz, Seq("noun", "p_type", "p_size"))
+        .filter(col("bn") <= 100 && col("ba") =!= col("bb"))
+        .select(col("noun"), col("p_type"), abs(col("ca") - col("cb")).as("gap"))
+      val pc = pairs.groupBy("noun", "p_type")
+        .agg(count(lit(1)).as("n_pairs"),
+             expr("cast(sum(gap) as bigint) div count(*)").as("mean_gap_cents"))
+      val blocks = bsz.groupBy("noun", "p_type")
+        .agg(countDistinct(col("p_size")).as("n_blocks"),
+             countDistinct(when(col("bn") > 100, col("p_size"))).as("n_capped_blocks"))
+      blocks.join(pc, Seq("noun", "p_type"), "left")
+        .select(col("noun"), col("p_type"), col("n_blocks"), col("n_capped_blocks"),
+                coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("mean_gap_cents"))
+        .orderBy("noun", "p_type")
     }
   )
 }

@@ -148,6 +148,67 @@ object SimilarityQueries5 {
       points.reduce(_ union _).orderBy("nprobe")
     },
 
+    // Embedding outlier drop-list: for each label, the 3 members least
+    // aligned with the label's reference vector — the per-VECTOR verdict
+    // behind CLIP-score-style curation (rank by similarity to the class
+    // anchor; the bottom tail is mislabeled/noise and gets dropped or
+    // re-queued for review). Complements ss_label_profile (per-label
+    // aggregate) and ss_coreset_sample (per-CELL medoid/outlier off the
+    // trained quantizer): this is the label-conditioned drop list, with
+    // the margin to the label mean as the evidence column. Reference =
+    // smallest-vec_id member (the portable anchor ss_label_profile
+    // established — a float centroid mean is accumulation-order-unstable
+    // across engines; the per-label mean it reports goes through the
+    // exact DECIMAL route instead). Scale shape: one pass for the k
+    // codegen'd dots against a broadcast label-sized anchor dim, the
+    // rank window partitions per LABEL (bounded), and output is 3 rows
+    // per label.
+    "ss_outlier_docs" -> Q(
+      s"""WITH ref AS (
+         |  SELECT label, MIN(vec_id) AS ref_id FROM embeddings GROUP BY label),
+         |rv AS (
+         |  SELECT r.label, r.ref_id, e.embedding AS ref_v
+         |  FROM ref r JOIN embeddings e ON e.vec_id = r.ref_id),
+         |scored AS (
+         |  SELECT e.label, e.vec_id, ${duckCosine("e.embedding", "rv.ref_v")} AS c
+         |  FROM embeddings e JOIN rv ON e.label = rv.label
+         |  WHERE e.vec_id <> rv.ref_id),
+         |m AS (
+         |  SELECT label, ${graft.functions.Portable.duckDavgUnit("c")} AS mean_c
+         |  FROM scored GROUP BY label),
+         |rk AS (
+         |  SELECT label, vec_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY c, vec_id) AS rn
+         |  FROM scored)
+         |SELECT rk.label, CAST(rk.rn AS INTEGER) AS rank, rk.vec_id,
+         |       rk.c AS cosine, m.mean_c AS label_mean,
+         |       m.mean_c - rk.c AS margin
+         |FROM rk JOIN m ON rk.label = m.label
+         |WHERE rk.rn <= 3
+         |ORDER BY rk.label, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val ref = e.groupBy("label").agg(min(col("vec_id")).as("ref_id"))
+      val rv = ref.join(
+        e.select(col("vec_id"), col("embedding").as("ref_v"), col("nrm").as("ref_nrm")),
+        col("ref_id") === col("vec_id")).drop("vec_id")
+      val scored = e.join(broadcast(rv), Seq("label"))
+        .filter(col("vec_id") =!= col("ref_id"))
+        .select(col("label"), col("vec_id"),
+                (nativeDot(col("embedding"), col("ref_v")) / (col("nrm") * col("ref_nrm"))).as("c"))
+      val m = scored.groupBy("label")
+        .agg(graft.functions.Portable.davgUnit(col("c")).as("mean_c"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("c"), col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .join(m, "label")
+        .select(col("label"), col("rn").cast("int").as("rank"), col("vec_id"),
+                col("c").as("cosine"), col("mean_c").as("label_mean"),
+                (col("mean_c") - col("c")).as("margin"))
+        .orderBy("label", "rank")
+    },
+
     "ss_label_diversity" -> Q(
       s"""WITH e AS (
          |  SELECT label, vec_id, embedding, ${duckNorm("embedding")} AS nrm

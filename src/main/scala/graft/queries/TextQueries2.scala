@@ -350,7 +350,7 @@ object TextQueries2 {
     * the corpus. */
   /** One unrolled BPE merge round as DuckDB CTEs, v{r} → v{r+1} — the
     * oracle twin of `bpeRound`, shared by training and encoding. */
-  private def duckRound(r: Int): String = {
+  private[queries] def duckRound(r: Int): String = {
     val (vin, vout) = (s"v$r", s"v${r + 1}")
     s"""s$r AS (SELECT w, wc, string_split(repr, ' ') AS sy FROM $vin),
        |m$r AS (

@@ -28,6 +28,59 @@ object TextQueries5 {
 
   def defs: Map[String, Q] = Map(
 
+    // Tokenizer fertility per source — the tokenizer-evaluation metric
+    // (tokens per word, characters per token) that decides whether a
+    // trained vocabulary serves every slice of the mixture equally:
+    // a source whose fertility is high relative to the corpus pays more
+    // sequence length per unit of text, skewing both cost and the
+    // effective mixture weights (the multilingual-tokenizer-parity
+    // problem). Reads the SAME trained 3-round BPE artifact as
+    // ta_bpe_merges/ta_bpe_encode (trained once per corpus, cached);
+    // the encoder is a vocab-sized dim joined to the doc→word explode,
+    // rolled up per source — one corpus pass, map-side combined, and
+    // the two fertility ratios are single IEEE divisions of exact
+    // BIGINTs (bit-portable).
+    "ta_tokenizer_fertility" -> Q({
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |v1 AS (
+         |  SELECT w, COUNT(*) AS wc,
+         |         rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr
+         |  FROM tok WHERE length(w) > 0 GROUP BY w),
+         |${TextQueries2.duckRound(1)},
+         |${TextQueries2.duckRound(2)},
+         |${TextQueries2.duckRound(3)},
+         |enc AS (SELECT w, len(string_split(repr, ' ')) AS n_sym FROM v4),
+         |dw AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT d.source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(e.n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS tokens_per_word,
+         |       CAST(SUM(length(d.w)) AS DOUBLE) / CAST(SUM(e.n_sym) AS DOUBLE)
+         |         AS chars_per_token
+         |FROM dw d JOIN enc e ON d.w = e.w
+         |WHERE length(d.w) > 0
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }) { (s, d) =>
+      val (_, v4) = TextQueries2.trainedBpe(s, d)
+      val enc = v4.select(col("w"), size(split(col("repr"), " ")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(enc, "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+             sum(length(col("w"))).as("n_chars"),
+             sum(col("n_sym")).as("n_tokens"),
+             (sum(col("n_sym")).cast("double") / count(lit(1)).cast("double"))
+               .as("tokens_per_word"),
+             (sum(length(col("w"))).cast("double") / sum(col("n_sym")).cast("double"))
+               .as("chars_per_token"))
+        .orderBy("source")
+    },
+
     // Per-doc memorization risk. Scale shape: ONE gram pass — distinct
     // (doc, gram8) pairs shuffle once on gram for the df dim, rejoin on
     // gram (equi-join, map-side-combined per-doc agg), and the doc
