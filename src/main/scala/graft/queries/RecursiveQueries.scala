@@ -41,6 +41,13 @@ object RecursiveQueries {
   /** Days folded into one recursion level by the blocked smoother. */
   private val EwmaBlock = 8
 
+  /** Tree levels folded into one recursion iteration by the BOM walk:
+    * a frontier at depth d (d ≡ 0 mod stride) emits descendants at
+    * d+1..d+stride in one join against the pre-exploded multi-key
+    * dimension; depth-mod-stride parity makes the match rules mutually
+    * exclusive, so every key is emitted exactly once. */
+  private val BomStride = 3
+
   /** One smoothing step: (x_p + l)/2, chained from the seed. Pure ANSI —
     * the same string parses in Spark and DuckDB. NULL x values occur only
     * at the tail of the LAST (partial) block; they poison that block's
@@ -102,11 +109,22 @@ object RecursiveQueries {
     // 100 TB, always far under the configured level limit. Each level
     // is one equi-join frontier⋈part on the parent key (Catalyst plans
     // it; the frontier is the previous level only, never the
-    // accumulated closure, and the dimension side broadcasts), so total
-    // work is one pass over part spread across log n joins. The rollup
-    // reports per-depth membership and the exact cents-summed retail
-    // price (Portable.dsum — no accumulation-order drift between
-    // engines).
+    // accumulated closure, and the dimension side broadcasts). The
+    // Spark execution STRIDES [[BomStride]] TREE LEVELS PER ITERATION:
+    // part pre-explodes into a (join-key, level-delta) dimension
+    // carrying its ancestor keys (k div 2 at Δ1, k div 4 at Δ2, …),
+    // the recursion keeps only depths ≡ 0 mod stride as the frontier,
+    // and each step emits the whole stride of descendants in one join
+    // — depth-mod-stride parity makes the match rules mutually
+    // exclusive, so every key is emitted exactly once. Iterations drop
+    // from log₂ n to (log₂ n)/stride (measured 2.6 s → 1.5 s at sf0.1
+    // against the ~0.2 s/level executor overhead); at 100 TB depth ~28
+    // that is 10 joins, and the stride is the dial if level cost ever
+    // dominates deeper hierarchies.
+    // The rollup reports per-depth membership and the exact
+    // cents-summed retail price (Portable.dsum — no accumulation-order
+    // drift between engines). The oracle keeps the canonical one-level
+    // recursion: same rows, independent derivation.
     "q58_bom_explode" -> Q(
       s"""WITH RECURSIVE bom AS (
          |  SELECT p_partkey, 0 AS depth, p_retailprice
@@ -120,16 +138,29 @@ object RecursiveQueries {
          |       MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
          |       ${graft.functions.Portable.duckDsum("p_retailprice")} AS level_price
          |FROM bom GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      val S = BomStride
       Tables.part(s, d).createOrReplaceTempView("g_part")
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+                explode(array((1 to S).map(dl =>
+                  struct(expr(s"p_partkey div ${1 << dl}").as("jk"),
+                         lit(dl).as("lvl"))): _*)).as("j"))
+        .select(col("p_partkey"), col("p_retailprice"),
+                col("j.jk").as("jk"), col("j.lvl").as("lvl"))
+        .filter(col("p_partkey") >= 2)
+        // every recursion step re-reads this dimension; materialize the
+        // scan+explode once (ExistingRDD, not a cached-relation leak)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("g_desc2")
       withConfs(s, recConfs(64): _*) {
-        s.sql("""
+        s.sql(s"""
           WITH RECURSIVE bom AS (
-            SELECT p_partkey, 0 AS depth, p_retailprice
+            SELECT p_partkey, 0 AS depth, p_retailprice, $S AS lvl
             FROM g_part WHERE p_partkey = 1
             UNION ALL
-            SELECT c.p_partkey, b.depth + 1, c.p_retailprice
-            FROM bom b JOIN g_part c ON c.p_partkey div 2 = b.p_partkey
-            WHERE c.p_partkey >= 2)
+            SELECT c.p_partkey, b.depth + c.lvl, c.p_retailprice, c.lvl
+            FROM bom b JOIN g_desc2 c ON c.jk = b.p_partkey
+            WHERE b.lvl = $S)
           SELECT CAST(depth AS INT) AS depth,
                  COUNT(*) AS n_parts,
                  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
