@@ -75,6 +75,37 @@ object Bench {
     // artifact training on its own metric line — NOT part of "total"
     println(s"""{"metric":"artifact_build","value":${r3(artifactSec)},"unit":"sec","ok":$artifactsOk,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    // Cascade-path throughput: the reference's entire workload is
+    // publish + point-read over a topic log (BASELINE.md — 10 events,
+    // synchronous, two mutexes, 3 seeks per read; no published numbers).
+    // Measure the same path here at corpus scale so the round artifacts
+    // carry absolute events/s for the write path, the batched read, and
+    // the point-read latency the reference serializes on. Failures never
+    // abort the query bench (its own metric line reports ok=false).
+    // SPARK_GRAFT_BENCH_THROUGHPUT=0 skips the stage.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_THROUGHPUT", "1") == "1") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-topic").toString
+      try {
+        val ev = Tables.events(spark, sfDir).localCheckpoint(true)
+        val nEv = ev.count()
+        val tp0 = System.nanoTime()
+        Topic.publish(ev, s"$dir/t", knownHighWaterMark = Some(-1L))
+        val pubSec = (System.nanoTime() - tp0) / 1e9
+        val tc0 = System.nanoTime()
+        val nRead = Topic.consume(spark, s"$dir/t", 0L, nEv.toInt).count()
+        val conSec = (System.nanoTime() - tc0) / 1e9
+        val nPoint = 50
+        val tr0 = System.nanoTime()
+        var i = 0
+        while (i < nPoint) { Topic.consume(spark, s"$dir/t", (i * 997L) % nEv, 1).count(); i += 1 }
+        val pointMs = (System.nanoTime() - tr0) / 1e6 / nPoint
+        println(s"""{"metric":"cascade_throughput","publish_events_per_sec":${r3(nEv / pubSec)},"batch_read_events_per_sec":${r3(nRead / conSec)},"point_read_ms":${r3(pointMs)},"n_events":$nEv,"ok":true,"sf":"$sfDir"}""")
+      } catch { case e: Throwable =>
+        println(s"""{"metric":"cascade_throughput","ok":false,"err":"${e.getMessage.take(120).replace('"', '\'')}"}""")
+      } finally {
+        scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    }
     // The per-query line above grew past the driver's tail-capture window
     // (BENCH_r01..r03 all parsed as null). The LAST line printed must be a
     // complete, short JSON record so any tail capture can parse the result.
