@@ -31,11 +31,20 @@ object StatsQueries {
     * the batch query and the streaming twin (EventStream.cmsCells) so
     * the hash family cannot drift between the two. */
   private[graft] def withCmsCells(df: org.apache.spark.sql.DataFrame,
-                                  key: String): org.apache.spark.sql.DataFrame =
+                                  key: String,
+                                  width: Int = W): org.apache.spark.sql.DataFrame =
     df.withColumn("d", explode(sequence(lit(0), lit(D - 1))))
       .withColumn("cell",
         pmod(expr(s"conv(substring(md5(CAST($key AS STRING)), 1 + 8*d, 8), 16, 10)")
-               .cast("long"), lit(W)))
+               .cast("long"), lit(width)))
+
+  /** Inner-product sketch width for q60_join_card_est. Point-query error
+    * scales as N/W, but INNER-PRODUCT error scales as N_A·N_B/W — the
+    * width must track the product of the stream sizes, not one stream.
+    * 16384 holds the overcount near 10% at sf0.01; the query reports the
+    * overcount in basis points precisely so an operator sees when the
+    * dial has fallen behind the corpus. */
+  private[graft] val JW = 16384
 
   def defs: Map[String, Q] = Map(
 
@@ -73,6 +82,68 @@ object StatsQueries {
         .select(col("user_id"), col("cms_est"), col("exact_n"),
                 (col("cms_est") - col("exact_n")).as("overcount"))
         .orderBy("user_id")
+    },
+
+    // Join-cardinality estimation by count-min INNER PRODUCT — the
+    // optimizer-observability twin of el_cms_counts (AGMS/CM inner
+    // product: |A ⋈ B| = Σ_k f_A(k)·f_B(k) ≤ min_d Σ_cell A_d·B_d, the
+    // classic sketch a cost-based planner consults before choosing a
+    // join strategy, and the exact workload here: events and orders
+    // both key on the customer). The report carries the per-hash-row
+    // estimates, the min (the CM estimate, always ≥ exact), the exact
+    // size, and the overcount in basis points — the number that says
+    // whether W is wide enough to trust the planner's choice. Scale
+    // shape: both sides pre-aggregate to per-key counts (map-side
+    // combined, ∝ distinct keys), sketches are fixed D×W grids joined
+    // cell-to-cell, and the exact check is one key-dim equi-join —
+    // nothing touches raw row pairs.
+    "q60_join_card_est" -> Q(
+      s"""WITH fa AS (
+         |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |fb AS (
+         |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+         |ca AS (
+         |  SELECT d, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1 + 8*d, 8)) AS BIGINT) % $JW AS cell,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM fa, range(0, $D) t(d) GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT d, CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1 + 8*d, 8)) AS BIGINT) % $JW AS cell,
+         |         CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM fb, range(0, $D) t(d) GROUP BY 1, 2),
+         |rowest AS (
+         |  SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS row_est
+         |  FROM ca JOIN cb ON ca.d = cb.d AND ca.cell = cb.cell
+         |  GROUP BY ca.d),
+         |est AS (SELECT CAST(MIN(row_est) AS BIGINT) AS cms_est,
+         |               CAST(MAX(row_est) AS BIGINT) AS worst_row_est FROM rowest),
+         |ex AS (
+         |  SELECT CAST(SUM(fa.n * fb.n) AS BIGINT) AS exact_rows
+         |  FROM fa JOIN fb ON fa.k = fb.k)
+         |SELECT ex.exact_rows, est.cms_est, est.worst_row_est,
+         |       est.cms_est - ex.exact_rows AS overcount,
+         |       CAST((est.cms_est - ex.exact_rows) * 10000 // ex.exact_rows AS BIGINT)
+         |         AS overcount_bp
+         |FROM ex CROSS JOIN est""".stripMargin) { (s, d) =>
+      val fa = Tables.events(s, d).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("n"))
+      val fb = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n"))
+      def grid(f: org.apache.spark.sql.DataFrame) =
+        withCmsCells(f, "k", JW).groupBy("d", "cell").agg(sum(col("n")).as("cnt"))
+      val ca = grid(fa)
+      val cb = grid(fb).select(col("d").as("bd"), col("cell").as("bcell"),
+                               col("cnt").as("bcnt"))
+      val rowest = ca.join(cb, col("d") === col("bd") && col("cell") === col("bcell"))
+        .groupBy("d").agg(sum(col("cnt") * col("bcnt")).as("row_est"))
+      val est = rowest.agg(min(col("row_est")).as("cms_est"),
+                           max(col("row_est")).as("worst_row_est"))
+      val ex = fa.join(fb.select(col("k"), col("n").as("bn")), "k")
+        .agg(sum(col("n") * col("bn")).as("exact_rows"))
+      ex.crossJoin(broadcast(est))
+        .select(col("exact_rows"), col("cms_est"), col("worst_row_est"),
+                (col("cms_est") - col("exact_rows")).as("overcount"),
+                expr("cast((cms_est - exact_rows) * 10000 div exact_rows as bigint)")
+                  .as("overcount_bp"))
     },
 
     // Markov transition matrix over per-user event sequences: the

@@ -55,4 +55,18 @@ class SketchBoundsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q60_join_card_est: CM inner product upper-bounds the exact join size at both SFs") {
+    dirs.foreach { d =>
+      val r = SparkEntry.queries("q60_join_card_est")(spark, d).head()
+      val (exact, est, worst) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(exact > 0, s"$d: degenerate fixture")
+      assert(est >= exact, s"$d: CM estimate must never undercount")
+      assert(worst >= est, s"$d: min row cannot exceed max row")
+      // independent exact recompute via a plain join count
+      val ev = Tables.events(spark, d).select(col("user_id").as("k"))
+      val or = Tables.orders(spark, d).select(col("o_custkey").as("k"))
+      assert(ev.join(or, "k").count() === exact, s"$d: exact side")
+    }
+  }
 }
