@@ -99,6 +99,37 @@ object RecursiveQueries {
        |FROM perday ORDER BY day""".stripMargin
   }
 
+  /** The smoothed daily frame (day, n_events, ewma, resid), shared by
+    * el_ewma_forecast and el_forecast_eval — the chain is recomputed
+    * once per corpus (calendar-scale rows, localCheckpointed; the
+    * bandCandidatesCached pattern) instead of once per consumer. */
+  private val ewmaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(ewmaCache.remove(_))
+
+  private[queries] def ewmaFrame(s: SparkSession, d: String): DataFrame =
+    ewmaCache.computeIfAbsent(d, _ => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val dense = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
+        .select((col("n") + 1).as("di"), col("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
+      import s.implicits._
+      s.createDataset(
+        dense.orderBy("di")
+          .as[(Long, java.sql.Date, Long)]
+          .collect().toSeq)
+        .toDF("di", "day", "n_events")
+        .createOrReplaceTempView("g_daily_dense")
+      withConfs(s, recConfs(4000): _*) { // a decade of daily blocks
+        s.sql(ewmaCoreSql).localCheckpoint(true)
+      }
+    })
+
   def defs: Map[String, Q] = Map(
 
     // Bill-of-materials explosion: walk the part hierarchy from a root
@@ -208,27 +239,65 @@ object RecursiveQueries {
          |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
          |${ewmaCoreSql.replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
     }) { (s, d) =>
-      // distributed half: one combined pass events -> daily counts,
-      // densified over the min..max calendar
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
-      val dense = daily
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
-        .select((col("n") + 1).as("di"), col("day"))
-        .join(daily, Seq("day"), "left")
-        .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
-      // local half: the calendar-scale series anchors the recursion
-      import s.implicits._
-      s.createDataset(
-        dense.orderBy("di")
-          .as[(Long, java.sql.Date, Long)]
-          .collect().toSeq)
-        .toDF("di", "day", "n_events")
-        .createOrReplaceTempView("g_daily_dense")
-      withConfs(s, recConfs(4000): _*) { // a decade of daily blocks
-        s.sql(ewmaCoreSql)
-      }
+      ewmaFrame(s, d).orderBy("day")
+    },
+
+    // One-step-ahead BACKTEST of the smoother — the evaluation half a
+    // forecast deployment cannot ship without: yesterday's level is
+    // today's forecast, scored as mean absolute error against the
+    // naive "today = yesterday" baseline, plus win/loss day counts.
+    // The improvement is the go/no-go signal for replacing the naive
+    // imputation in monitoring/alerting with the smoothed one. Reuses
+    // the per-corpus smoothed frame (built once, shared with
+    // el_ewma_forecast); the eval is one self-join on adjacent days
+    // over the calendar-scale series — no events re-scan, no global
+    // window. All sums are exact in binary (counts are integers, the
+    // level carries ≤ depth fractional bits, and the series is far
+    // below the 2^53 mantissa), so the doubles are bit-portable.
+    "el_forecast_eval" -> Q(
+      """WITH RECURSIVE dy AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dy),
+        |cal AS (
+        |  SELECT CAST(u.n AS INTEGER) + 1 AS di,
+        |         d0 + CAST(u.n AS INTEGER) AS day
+        |  FROM bounds, unnest(range(0, CAST(d1 - d0 AS INTEGER) + 1)) u(n)),
+        |dense AS (
+        |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
+        |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
+        |rec AS (
+        |  SELECT di, day, n_events, CAST(n_events AS DOUBLE) AS ewma
+        |  FROM dense WHERE di = 1
+        |  UNION ALL
+        |  SELECT d.di, d.day, d.n_events,
+        |         (CAST(d.n_events AS DOUBLE) + r.ewma) / 2
+        |  FROM rec r JOIN dense d ON d.di = r.di + 1),
+        |ev AS (
+        |  SELECT t.n_events AS x, p.ewma AS f, p.n_events AS nv
+        |  FROM rec t JOIN rec p ON t.day = p.day + 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       SUM(abs(CAST(x AS DOUBLE) - f)) / COUNT(*) AS mae_ewma,
+        |       SUM(abs(CAST(x AS DOUBLE) - CAST(nv AS DOUBLE))) / COUNT(*)
+        |         AS mae_naive,
+        |       CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE) - f)
+        |                       < abs(CAST(x AS DOUBLE) - CAST(nv AS DOUBLE))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS ewma_win_days
+        |FROM ev""".stripMargin) { (s, d) =>
+      val f = ewmaFrame(s, d)
+      val t = f.select(col("day"), col("n_events").as("x"))
+      val p = f.select(col("day").as("pday"), col("ewma").as("f"),
+                       col("n_events").as("nv"))
+      t.join(p, col("day") === date_add(col("pday"), 1))
+        .agg(count(lit(1)).as("n_days"),
+             (sum(abs(col("x").cast("double") - col("f"))) / count(lit(1)))
+               .as("mae_ewma"),
+             (sum(abs(col("x").cast("double") - col("nv").cast("double")))
+                / count(lit(1))).as("mae_naive"),
+             sum(when(abs(col("x").cast("double") - col("f"))
+                        < abs(col("x").cast("double") - col("nv").cast("double")),
+                      1L).otherwise(0L)).as("ewma_win_days"))
     }
   )
 }

@@ -47,5 +47,6 @@ object Warm {
     RelationalQueries8.rankRoundsCached(spark, dir) // 3-round rank chain
     DedupQueries2.spansCached(spark, dir)        // detected dup spans
     DedupQueries4.simhashSigs(spark, dir)        // 60-bit simhash frame
+    RecursiveQueries.ewmaFrame(spark, dir)       // smoothed daily chain
   }
 }

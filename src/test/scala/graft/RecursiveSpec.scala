@@ -34,6 +34,19 @@ class RecursiveSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(4)).sum - total) < 1e-6)
   }
 
+  test("el_forecast_eval: backtest reconciles with the smoothed series") {
+    val f = SparkEntry.queries("el_ewma_forecast")(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))) // (n_events, ewma)
+    val errsE = f.sliding(2).map { case Array((_, l), (x, _)) => math.abs(x.toDouble - l) }.toSeq
+    val errsN = f.sliding(2).map { case Array((p, _), (x, _)) => math.abs(x.toDouble - p) }.toSeq
+    val r = SparkEntry.queries("el_forecast_eval")(spark, sf).head()
+    assert(r.getLong(0) === (f.length - 1).toLong)
+    assert(r.getDouble(1) === errsE.sum / errsE.size)
+    assert(r.getDouble(2) === errsN.sum / errsN.size)
+    assert(r.getLong(3) === errsE.zip(errsN).count { case (e, n) => e < n }.toLong)
+  }
+
   test("el_ewma_forecast: recurrence matches a sequential recompute, bit-exact") {
     val rows = SparkEntry.queries("el_ewma_forecast")(spark, sf)
       .orderBy("day").collect()
