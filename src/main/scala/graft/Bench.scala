@@ -99,7 +99,14 @@ object Bench {
         var i = 0
         while (i < nPoint) { Topic.consume(spark, s"$dir/t", (i * 997L) % nEv, 1).count(); i += 1 }
         val pointMs = (System.nanoTime() - tr0) / 1e6 / nPoint
-        println(s"""{"metric":"cascade_throughput","publish_events_per_sec":${r3(nEv / pubSec)},"batch_read_events_per_sec":${r3(nRead / conSec)},"point_read_ms":${r3(pointMs)},"n_events":$nEv,"ok":true,"sf":"$sfDir"}""")
+        // same reads through a RESIDENT reader (relation resolved once):
+        // the serving-layer pattern for repeated point lookups
+        val reader = Topic.openReader(spark, s"$dir/t")
+        val tv0 = System.nanoTime()
+        i = 0
+        while (i < nPoint) { Topic.consumeVia(reader, (i * 997L) % nEv, 1).count(); i += 1 }
+        val residentMs = (System.nanoTime() - tv0) / 1e6 / nPoint
+        println(s"""{"metric":"cascade_throughput","publish_events_per_sec":${r3(nEv / pubSec)},"batch_read_events_per_sec":${r3(nRead / conSec)},"point_read_ms":${r3(pointMs)},"resident_point_read_ms":${r3(residentMs)},"n_events":$nEv,"ok":true,"sf":"$sfDir"}""")
       } catch { case e: Throwable =>
         println(s"""{"metric":"cascade_throughput","ok":false,"err":"${e.getMessage.take(120).replace('"', '\'')}"}""")
       } finally {

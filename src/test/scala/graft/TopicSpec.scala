@@ -324,4 +324,15 @@ class TopicSpec extends SparkSpec {
     Topic.publish(ev.limit(5), dir)
     assert(spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) === 64L)
   }
+
+  test("resident reader serves the same point and batch reads as consume") {
+    val dir = java.nio.file.Files.createTempDirectory("topic-reader").toString + "/t"
+    Topic.publish(Tables.events(spark, sf).limit(200), dir)
+    val reader = Topic.openReader(spark, dir)
+    Seq((0L, 1), (57L, 1), (120L, 25), (199L, 1)).foreach { case (from, n) =>
+      val a = Topic.consume(spark, dir, from, n).collect().toSeq
+      val b = Topic.consumeVia(reader, from, n).collect().toSeq
+      assert(a === b, s"reader divergence at ($from, $n)")
+    }
+  }
 }
