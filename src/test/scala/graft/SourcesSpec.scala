@@ -66,4 +66,33 @@ class SourcesSpec extends SparkSpec {
       }
     }
   }
+
+  test("binaryFile source ingests opaque media payloads with metadata") {
+    // the ingestion path for real image/audio corpora: files land as
+    // (path, modificationTime, length, content) rows; pathGlobFilter
+    // selects a modality without listing-side surprises
+    val dir = Files.createTempDirectory("binsrc")
+    val payloads = (0 until 6).map { i =>
+      val ext = if (i % 2 == 0) "jpg" else "wav"
+      val bytes = Array.tabulate[Byte](64 + i * 17)(j => ((i * 31 + j) % 251).toByte)
+      java.nio.file.Files.write(dir.resolve(s"m$i.$ext"), bytes)
+      (s"m$i.$ext", bytes)
+    }.toMap
+    val all = spark.read.format("binaryFile").load(dir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+              col("length"), col("content"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2))).toMap
+    assert(all.keySet === payloads.keySet)
+    payloads.foreach { case (n, bytes) =>
+      assert(all(n)._1 === bytes.length.toLong, s"$n length")
+      assert(all(n)._2.toSeq === bytes.toSeq, s"$n content round-trip")
+    }
+    // modality selection via pathGlobFilter prunes at the listing
+    val jpgs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir.toString)
+    assert(jpgs.count() === 3L)
+    // and the decode-metadata shape from MultimodalQueries applies as-is
+    val meta = jpgs.select(md5(col("content")).as("h"), (col("length") % 640 + 1).as("w"))
+    assert(meta.collect().length === 3)
+  }
 }
