@@ -108,7 +108,11 @@ object Bench {
         val residentMs = (System.nanoTime() - tv0) / 1e6 / nPoint
         println(s"""{"metric":"cascade_throughput","publish_events_per_sec":${r3(nEv / pubSec)},"batch_read_events_per_sec":${r3(nRead / conSec)},"point_read_ms":${r3(pointMs)},"resident_point_read_ms":${r3(residentMs)},"n_events":$nEv,"ok":true,"sf":"$sfDir"}""")
       } catch { case e: Throwable =>
-        println(s"""{"metric":"cascade_throughput","ok":false,"err":"${e.getMessage.take(120).replace('"', '\'')}"}""")
+        // String.valueOf: a null message must not NPE inside the guard;
+        // strip control chars so the metric line stays one-line JSON
+        val msg = String.valueOf(e.getMessage).take(120)
+          .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c)
+        println(s"""{"metric":"cascade_throughput","ok":false,"err":"$msg"}""")
       } finally {
         scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
       }

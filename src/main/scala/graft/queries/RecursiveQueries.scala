@@ -14,14 +14,27 @@ import org.apache.spark.sql.functions._
   *
   * Scale stance: each recursion LEVEL is one plan execution — measured at
   * ~150 ms of fixed scheduling/compile overhead per level on this box
-  * regardless of row volume (and AQE re-planning roughly doubles that, so
-  * both queries pin it off for the loop). The scaling discipline is
-  * therefore LEVEL BUDGETING: depth must be bounded by log(n) or by a
-  * corpus-independent axis (calendar blocks), never by row count. Both
-  * queries set `spark.sql.cteRecursionLevelLimit` explicitly so the
-  * intent survives a session-default change.
+  * regardless of row volume. The scaling discipline is therefore LEVEL
+  * BUDGETING: depth must be bounded by log(n) or by a corpus-independent
+  * axis (calendar blocks), never by row count. Both queries set
+  * `spark.sql.cteRecursionLevelLimit` explicitly so the intent survives
+  * a session-default change, and both EXECUTE inside the conf scope
+  * (localCheckpoint) — a lazily returned frame would run at action time
+  * with the confs already restored.
+  *
+  * AQE is a measured per-query call: on the smoother's LOCAL one-row
+  * chain, AQE re-planning roughly doubles the level cost (pure overhead
+  * → pinned off); on the BOM walk's distributed per-level join, AQE's
+  * partition coalescing WINS (1.65 s vs 2.26 s warm at sf0.1 → left on).
   */
 object RecursiveQueries {
+
+  /** Dir-unique temp-view suffix: concurrent first builds for two corpora
+    * must not overwrite each other's registered views between view
+    * creation and SQL execution. */
+  private def viewTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   /** Run `body` with the given SQL confs, restoring previous values. */
   private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
@@ -31,11 +44,12 @@ object RecursiveQueries {
     finally old.foreach { case (k, ov) => ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  /** Confs for a LOCAL recursion (the smoother's one-row carries): AQE
+    * re-optimizes every step, pure overhead on frames this tiny —
+    * measured ~2x the level cost with it on. The BOM walk's distributed
+    * levels keep AQE (see the object doc). */
   private def recConfs(levels: Int): Seq[(String, String)] = Seq(
     "spark.sql.cteRecursionLevelLimit" -> levels.toString,
-    // AQE re-optimizes every recursion step; the per-level frames here are
-    // tiny (a frontier / a one-row carry), so re-planning is pure overhead
-    // — measured ~2x the level cost with it on.
     "spark.sql.adaptive.enabled" -> "false")
 
   /** Days folded into one recursion level by the blocked smoother. */
@@ -69,7 +83,7 @@ object RecursiveQueries {
     * (di starting at 1, day, n_events): pivot days 2.. into B-wide blocks,
     * recurse one level per BLOCK carrying the block-end level, then expand
     * per-day values with the in-block chain. */
-  private def ewmaCoreSql: String = {
+  private def ewmaCoreSql(src: String = "g_daily_dense"): String = {
     val xs = (1 to EwmaBlock)
       .map(p => s"MAX(CASE WHEN pos = $p THEN n_events END) AS x$p")
       .mkString(", ")
@@ -77,18 +91,18 @@ object RecursiveQueries {
        |  SELECT CAST(FLOOR((di - 2) / $EwmaBlock) AS INT) AS bi,
        |         CAST((di - 2) % $EwmaBlock AS INT) + 1 AS pos,
        |         day, n_events
-       |  FROM g_daily_dense WHERE di >= 2),
+       |  FROM $src WHERE di >= 2),
        |blocks AS (
        |  SELECT bi, $xs FROM blk GROUP BY bi),
        |rec AS (
        |  SELECT CAST(-1 AS INT) AS bi, CAST(n_events AS DOUBLE) AS lend
-       |  FROM g_daily_dense WHERE di = 1
+       |  FROM $src WHERE di = 1
        |  UNION ALL
        |  SELECT b.bi, ${chain(EwmaBlock, "r.lend")} AS lend
        |  FROM rec r JOIN blocks b ON b.bi = r.bi + 1),
        |perday AS (
        |  SELECT day, n_events, CAST(n_events AS DOUBLE) AS ewma
-       |  FROM g_daily_dense WHERE di = 1
+       |  FROM $src WHERE di = 1
        |  UNION ALL
        |  SELECT d.day, d.n_events, ${posCase("r.lend")} AS ewma
        |  FROM blk d
@@ -124,9 +138,9 @@ object RecursiveQueries {
           .as[(Long, java.sql.Date, Long)]
           .collect().toSeq)
         .toDF("di", "day", "n_events")
-        .createOrReplaceTempView("g_daily_dense")
+        .createOrReplaceTempView(s"g_daily_dense_${viewTag(d)}")
       withConfs(s, recConfs(4000): _*) { // a decade of daily blocks
-        s.sql(ewmaCoreSql).localCheckpoint(true)
+        s.sql(ewmaCoreSql(s"g_daily_dense_${viewTag(d)}")).localCheckpoint(true)
       }
     })
 
@@ -151,7 +165,13 @@ object RecursiveQueries {
     // from log₂ n to (log₂ n)/stride (measured 2.6 s → 1.5 s at sf0.1
     // against the ~0.2 s/level executor overhead); at 100 TB depth ~28
     // that is 10 joins, and the stride is the dial if level cost ever
-    // dominates deeper hierarchies.
+    // dominates deeper hierarchies. DEPENDENCY the stride adds: on a
+    // GAPPED key space the strided join can emit a node whose
+    // intermediate parent is missing (reaching it via the div-4/div-8
+    // ancestor), where the one-level walk would prune the whole
+    // subtree. Part keys are dense 0..n-1 at every SF (RecursiveSpec
+    // asserts it), so the derivations agree; a real BOM with holes
+    // needs stride 1 or an existence-chain filter.
     // The rollup reports per-depth membership and the exact
     // cents-summed retail price (Portable.dsum — no accumulation-order
     // drift between engines). The oracle keeps the canonical one-level
@@ -170,7 +190,11 @@ object RecursiveQueries {
          |       ${graft.functions.Portable.duckDsum("p_retailprice")} AS level_price
          |FROM bom GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
       val S = BomStride
-      Tables.part(s, d).createOrReplaceTempView("g_part")
+      // view names are DIR-UNIQUE: two corpora racing their first build
+      // must not overwrite each other's views between registration and
+      // execution (the hazard ConcurrencySpec races the cached frames for)
+      val tag = viewTag(d)
+      Tables.part(s, d).createOrReplaceTempView(s"g_part_$tag")
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_retailprice"),
                 explode(array((1 to S).map(dl =>
@@ -182,22 +206,26 @@ object RecursiveQueries {
         // every recursion step re-reads this dimension; materialize the
         // scan+explode once (ExistingRDD, not a cached-relation leak)
         .localCheckpoint(true)
-        .createOrReplaceTempView("g_desc2")
-      withConfs(s, recConfs(64): _*) {
+        .createOrReplaceTempView(s"g_desc2_$tag")
+      withConfs(s, "spark.sql.cteRecursionLevelLimit" -> "64") {
+        // localCheckpoint EXECUTES the recursion inside the conf scope —
+        // a lazily returned frame would run at action time, after the
+        // finally block restored AQE and the level limit (ewmaFrame had
+        // this right; the round-6 review caught it here)
         s.sql(s"""
           WITH RECURSIVE bom AS (
             SELECT p_partkey, 0 AS depth, p_retailprice, $S AS lvl
-            FROM g_part WHERE p_partkey = 1
+            FROM g_part_$tag WHERE p_partkey = 1
             UNION ALL
             SELECT c.p_partkey, b.depth + c.lvl, c.p_retailprice, c.lvl
-            FROM bom b JOIN g_desc2 c ON c.jk = b.p_partkey
+            FROM bom b JOIN g_desc2_$tag c ON c.jk = b.p_partkey
             WHERE b.lvl = $S)
           SELECT CAST(depth AS INT) AS depth,
                  COUNT(*) AS n_parts,
                  MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key,
-                 CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
-                   / CAST(100 AS DOUBLE) AS level_price
-          FROM bom GROUP BY depth ORDER BY depth""")
+                 ${graft.functions.Portable.duckDsum("p_retailprice")} AS level_price
+          FROM bom GROUP BY depth ORDER BY depth""").localCheckpoint(true)
+          .orderBy("depth")
       }
     },
 
@@ -237,7 +265,7 @@ object RecursiveQueries {
          |g_daily_dense AS (
          |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
          |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
-         |${ewmaCoreSql.replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
+         |${ewmaCoreSql().replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
     }) { (s, d) =>
       ewmaFrame(s, d).orderBy("day")
     },

@@ -187,15 +187,21 @@ object RelationalQueries10 {
         split(col("p_name"), " ").getItem(1).as("noun"),
         graft.functions.Portable.cents(col("p_retailprice")).as("cents"))
       val bsz = p.groupBy("noun", "p_type", "p_size").agg(count(lit(1)).as("bn"))
-      val a = p.select(col("noun"), col("p_type"), col("p_size"),
-                       col("p_brand").as("ba"), col("p_partkey").as("ka"), col("cents").as("ca"))
+      // the cap must land BEFORE the self-join (the bandCandidates
+      // discipline): restricting the LEFT side to under-cap blocks bounds
+      // the join fan-out itself — filtering after pairing would still
+      // materialize an over-cap block's n² intermediate
+      val capped = broadcast(bsz.filter(col("bn") <= 100)
+        .select("noun", "p_type", "p_size"))
+      val a = p.join(capped, Seq("noun", "p_type", "p_size"))
+        .select(col("noun"), col("p_type"), col("p_size"),
+                col("p_brand").as("ba"), col("p_partkey").as("ka"), col("cents").as("ca"))
       val b = p.select(col("noun"), col("p_type"), col("p_size"),
                        col("p_brand").as("bb"), col("p_partkey").as("kb"), col("cents").as("cb"))
       val pairs = a.join(b, Seq("noun", "p_type", "p_size"))
         .filter(col("ba") < col("bb") ||
                 (col("ba") === col("bb") && col("ka") < col("kb")))
-        .join(bsz, Seq("noun", "p_type", "p_size"))
-        .filter(col("bn") <= 100 && col("ba") =!= col("bb"))
+        .filter(col("ba") =!= col("bb"))
         .select(col("noun"), col("p_type"), abs(col("ca") - col("cb")).as("gap"))
       val pc = pairs.groupBy("noun", "p_type")
         .agg(count(lit(1)).as("n_pairs"),

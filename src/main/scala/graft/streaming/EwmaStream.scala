@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * Arithmetic is bit-identical to the batch twin: counts are integers,
   * (x + l) / 2 in doubles, same fold order (ascending day) —
   * StreamingEwmaSpec pins stream ≡ batch to the last bit.
+  *
+  * Seeding rule: the chain anchors ONLY at di = 1. A series whose first
+  * arrival is a mid-chain day must not seed from it — the level would
+  * diverge from the batch chain irreparably — so pre-anchor rows drop
+  * until day 1 arrives (the upstream densified daily aggregate emits
+  * days in order, making this a crash-replay corner, not the steady
+  * state).
   */
 final case class DayCount(series: String, di: Int, n: Long)
 final case class EwmaPoint(series: String, di: Int, n: Long, ewma: Double)
@@ -48,9 +55,13 @@ class EwmaProcessor extends StatefulProcessor[String, DayCount, EwmaPoint] {
           val lvl = (r.n.toDouble + st.level) / 2
           cur = Some(EwmaState(r.di, lvl))
           out += EwmaPoint(key, r.di, r.n, lvl)
-        case None =>
+        case None if r.di == 1 => // the chain anchors ONLY at day 1: a
+          // mid-chain first arrival must not seed the level (it would
+          // silently diverge from the batch chain forever); such rows
+          // drop until the anchor shows up
           cur = Some(EwmaState(r.di, r.n.toDouble))
           out += EwmaPoint(key, r.di, r.n, r.n.toDouble)
+        case None => ()
       }
     }
     cur.foreach(state.update)

@@ -12,6 +12,11 @@ class RecursiveSpec extends SparkSpec {
     val parts = Tables.part(spark, sf)
       .select("p_partkey").as[Long](spark.implicits.newLongEncoder).collect()
 
+    // the strided walk's declared dependency: a DENSE key space (a gap
+    // would let the stride reach past a missing intermediate parent)
+    assert(parts.sorted.toSeq === (0L until parts.length.toLong).toSeq,
+      "part keys must be contiguous 0..n-1 for the strided BOM walk")
+
     // every partkey >= 1 is reachable (parent chain k -> k div 2 ends at 1)
     val reachable = parts.count(_ >= 1L)
     assert(rows.map(_.getLong(1)).sum === reachable)

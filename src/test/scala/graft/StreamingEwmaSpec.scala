@@ -47,10 +47,16 @@ class StreamingEwmaSpec extends SparkSpec {
         .writeStream.format("memory").queryName("ewma_s").outputMode("append")
         .option("checkpointLocation", Files.createTempDirectory("ewma-ckpt").toString)
         .start()
+      // a series whose FIRST arrival is mid-chain must not seed (the
+      // anchor-only rule); it recovers when day 1 and the replayed day
+      // arrive in order
+      mem.addData(DayCount("__gap", 2, 70L)); q.processAllAvailable()
       mem.addData(first: _*); q.processAllAvailable()
       // replay a stale day to prove the late-drop rule
       mem.addData(DayCount("__all", 1, 999L)); q.processAllAvailable()
       mem.addData(second: _*); q.processAllAvailable()
+      mem.addData(DayCount("__gap", 1, 40L), DayCount("__gap", 2, 70L))
+      q.processAllAvailable()
       q.stop()
 
       val got = spark.table("ewma_s").collect()
@@ -64,7 +70,12 @@ class StreamingEwmaSpec extends SparkSpec {
           assert(got((t, r.di)) === ((r.n, level)), s"$t di=${r.di}")
         }
       }
-      assert(got.size === rows.size, "late replay must not emit")
+      // the unseeded mid-chain row emitted nothing; the in-order replay
+      // then seeded at day 1 and folded day 2 exactly like the batch
+      assert(got(("__gap", 1)) === ((40L, 40.0)))
+      assert(got(("__gap", 2)) === ((70L, 55.0)))
+      assert(!got.contains(("__gap", 3)))
+      assert(got.size === rows.size + 2, "late replay must not emit")
 
       // the global series equals the declared batch query, bit-exact
       val batch = SparkEntry.queries("el_ewma_forecast")(spark, sf)
