@@ -113,6 +113,71 @@ object RecursiveQueries {
        |FROM perday ORDER BY day""".stripMargin
   }
 
+  /** Holt (double-exponential) chain: VECTOR state (level, trend) per
+    * step, α = β = 1/2 so every operation is a dyadic-exact add/halve:
+    *   l_p = (x_p + l_{p−1} + b_{p−1}) / 2
+    *   b_p = ((l_p − l_{p−1}) + b_{p−1}) / 2
+    * Generated as NESTED SUBQUERIES (two wraps per position) instead of
+    * one inlined expression: b_p references l_p AND the prior state, so
+    * textual inlining would grow exponentially in block width, while
+    * each wrap adds one named column and the text stays linear — the
+    * trick that makes multi-variable recurrences blockable at all.
+    * `src` must provide l0/b0 (the carry) and x1..xB. */
+  private def holtChain(src: String): String =
+    (1 to EwmaBlock).foldLeft(s"($src)") { (inner, p) =>
+      val lp = s"SELECT *, (CAST(x$p AS DOUBLE) + l${p - 1} + b${p - 1}) / 2 AS l$p FROM $inner h$p"
+      s"(SELECT *, ((l$p - l${p - 1}) + b${p - 1}) / 2 AS b$p FROM ($lp) g$p)"
+    }
+
+  /** Dialect-shared Holt SQL from the densified series view/CTE `src`:
+    * the same blocked-recursion shape as [[ewmaCoreSql]], but the carry
+    * is the (level, trend) PAIR and the per-day expansion emits the
+    * one-step-ahead forecast l+b the previous day implied. */
+  private def holtCoreSql(src: String = "g_daily_dense"): String = {
+    val xs = (1 to EwmaBlock)
+      .map(p => s"MAX(CASE WHEN pos = $p THEN n_events END) AS x$p")
+      .mkString(", ")
+    val carrySrc =
+      s"SELECT r.lend AS l0, r.bend AS b0, b.bi AS bbi, " +
+      (1 to EwmaBlock).map(p => s"b.x$p").mkString(", ") +
+      s" FROM rec r JOIN blocks b ON b.bi = r.bi + 1"
+    val perdaySrc =
+      s"SELECT d.day, d.n_events, d.pos, r.lend AS l0, r.bend AS b0, " +
+      (1 to EwmaBlock).map(p => s"b.x$p").mkString(", ") +
+      s" FROM blk d JOIN blocks b ON b.bi = d.bi JOIN rec r ON r.bi = d.bi - 1"
+    val lCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN l$p")
+      .mkString("CASE pos ", " ", " END")
+    val bCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN b$p")
+      .mkString("CASE pos ", " ", " END")
+    val fCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN l${p - 1} + b${p - 1}")
+      .mkString("CASE pos ", " ", " END")
+    s"""WITH RECURSIVE blk AS (
+       |  SELECT CAST(FLOOR((di - 2) / $EwmaBlock) AS INT) AS bi,
+       |         CAST((di - 2) % $EwmaBlock AS INT) + 1 AS pos,
+       |         day, n_events
+       |  FROM $src WHERE di >= 2),
+       |blocks AS (
+       |  SELECT bi, $xs FROM blk GROUP BY bi),
+       |rec AS (
+       |  SELECT CAST(-1 AS INT) AS bi, CAST(n_events AS DOUBLE) AS lend,
+       |         CAST(0 AS DOUBLE) AS bend
+       |  FROM $src WHERE di = 1
+       |  UNION ALL
+       |  SELECT c.bbi, c.l$EwmaBlock, c.b$EwmaBlock
+       |  FROM ${holtChain(carrySrc)} c),
+       |perday AS (
+       |  SELECT day, n_events, CAST(n_events AS DOUBLE) AS level,
+       |         CAST(0 AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS forecast
+       |  FROM $src WHERE di = 1
+       |  UNION ALL
+       |  SELECT c.day, c.n_events, $lCase AS level, $bCase AS trend,
+       |         $fCase AS forecast
+       |  FROM ${holtChain(perdaySrc)} c)
+       |SELECT day, n_events, level, trend, forecast,
+       |       CAST(n_events AS DOUBLE) - forecast AS fc_err
+       |FROM perday ORDER BY day""".stripMargin
+  }
+
   /** The smoothed daily frame (day, n_events, ewma, resid), shared by
     * el_ewma_forecast and el_forecast_eval — the chain is recomputed
     * once per corpus (calendar-scale rows, localCheckpointed; the
@@ -122,25 +187,49 @@ object RecursiveQueries {
 
   graft.ArtifactStore.onInvalidate(ewmaCache.remove(_))
 
+  /** Register (dir-uniquely) and return the densified daily-series view:
+    * the distributed aggregate + calendar zero-fill, collected to a
+    * LocalRelation (corpus-independent row count) — the shared input of
+    * every daily-recurrence query. */
+  private def denseDailyView(s: SparkSession, d: String): String = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+    val dense = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
+      .select((col("n") + 1).as("di"), col("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
+    import s.implicits._
+    val name = s"g_daily_dense_${viewTag(d)}"
+    s.createDataset(
+      dense.orderBy("di")
+        .as[(Long, java.sql.Date, Long)]
+        .collect().toSeq)
+      .toDF("di", "day", "n_events")
+      .createOrReplaceTempView(name)
+    name
+  }
+
   private[queries] def ewmaFrame(s: SparkSession, d: String): DataFrame =
     ewmaCache.computeIfAbsent(d, _ => {
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
-      val dense = daily
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
-        .select((col("n") + 1).as("di"), col("day"))
-        .join(daily, Seq("day"), "left")
-        .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
-      import s.implicits._
-      s.createDataset(
-        dense.orderBy("di")
-          .as[(Long, java.sql.Date, Long)]
-          .collect().toSeq)
-        .toDF("di", "day", "n_events")
-        .createOrReplaceTempView(s"g_daily_dense_${viewTag(d)}")
+      val view = denseDailyView(s, d)
       withConfs(s, recConfs(4000): _*) { // a decade of daily blocks
-        s.sql(ewmaCoreSql(s"g_daily_dense_${viewTag(d)}")).localCheckpoint(true)
+        s.sql(ewmaCoreSql(view)).localCheckpoint(true)
+      }
+    })
+
+  /** The Holt (level+trend) frame, cached per corpus like [[ewmaFrame]]. */
+  private val holtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(holtCache.remove(_))
+
+  private[queries] def holtFrame(s: SparkSession, d: String): DataFrame =
+    holtCache.computeIfAbsent(d, _ => {
+      val view = denseDailyView(s, d)
+      withConfs(s, recConfs(4000): _*) {
+        s.sql(holtCoreSql(view)).localCheckpoint(true)
       }
     })
 
@@ -326,6 +415,38 @@ object RecursiveQueries {
              sum(when(abs(col("x").cast("double") - col("f"))
                         < abs(col("x").cast("double") - col("nv").cast("double")),
                       1L).otherwise(0L)).as("ewma_win_days"))
+    },
+
+    // Holt double-exponential smoothing — the TREND-AWARE sibling of
+    // el_ewma_forecast, and the proof that the blocked-recursion
+    // pattern generalizes to VECTOR state: the carry is the (level,
+    // trend) pair, and the in-block chain is generated as nested
+    // subqueries (one named column per step) because the trend equation
+    // references the same step's level — textual inlining would grow
+    // exponentially where the nesting stays linear. α = β = 1/2 keeps
+    // every step a dyadic-exact add/halve, so Spark and DuckDB agree to
+    // the last bit. Emits per day the fitted level/trend and the
+    // one-step-ahead forecast (l + b of the previous day) with its
+    // signed error — the series a capacity planner actually charts.
+    // Same execution split as the EWMA: one distributed daily
+    // aggregate, calendar-densified, collected (corpus-independent),
+    // then depth/8 local recursion levels.
+    "el_holt_forecast" -> Q({
+      s"""WITH RECURSIVE dy AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dy),
+         |cal AS (
+         |  SELECT CAST(u.n AS INTEGER) + 1 AS di,
+         |         d0 + CAST(u.n AS INTEGER) AS day
+         |  FROM bounds, unnest(range(0, CAST(d1 - d0 AS INTEGER) + 1)) u(n)),
+         |g_daily_dense AS (
+         |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
+         |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
+         |${holtCoreSql().replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
+    }) { (s, d) =>
+      holtFrame(s, d).orderBy("day")
     }
   )
 }

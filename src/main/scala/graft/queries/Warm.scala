@@ -48,5 +48,6 @@ object Warm {
     DedupQueries2.spansCached(spark, dir)        // detected dup spans
     DedupQueries4.simhashSigs(spark, dir)        // 60-bit simhash frame
     RecursiveQueries.ewmaFrame(spark, dir)       // smoothed daily chain
+    RecursiveQueries.holtFrame(spark, dir)       // Holt level+trend chain
   }
 }

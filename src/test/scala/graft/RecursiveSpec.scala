@@ -52,6 +52,32 @@ class RecursiveSpec extends SparkSpec {
     assert(r.getLong(3) === errsE.zip(errsN).count { case (e, n) => e < n }.toLong)
   }
 
+  test("el_holt_forecast: vector-state recurrence matches a sequential recompute, bit-exact") {
+    val rows = SparkEntry.queries("el_holt_forecast")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length === 30)
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    var l = 0.0; var b = 0.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val x = daily.getOrElse(r.getDate(0).toString, 0L)
+      assert(r.getLong(1) === x)
+      if (i == 0) { l = x.toDouble; b = 0.0; assert(r.isNullAt(4), "day 1 has no forecast") }
+      else {
+        val fc = l + b
+        val lNew = (x.toDouble + l + b) / 2
+        b = ((lNew - l) + b) / 2
+        l = lNew
+        assert(r.getDouble(4) === fc, s"forecast day ${i + 1}")
+        assert(r.getDouble(5) === x.toDouble - fc)
+      }
+      assert(r.getDouble(2) === l, s"level day ${i + 1}")
+      assert(r.getDouble(3) === b, s"trend day ${i + 1}")
+    }
+  }
+
   test("el_ewma_forecast: recurrence matches a sequential recompute, bit-exact") {
     val rows = SparkEntry.queries("el_ewma_forecast")(spark, sf)
       .orderBy("day").collect()
