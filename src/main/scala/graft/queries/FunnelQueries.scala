@@ -235,6 +235,66 @@ object FunnelQueries {
                 when(lead(col("valid_from"), 1).over(wVer).isNull, 1)
                   .otherwise(0).as("is_current"))
         .orderBy("user_id", "version")
+    },
+
+    // Complex-event-processing pattern match — the MATCH_RECOGNIZE /
+    // Flink-CEP workload neither Spark SQL nor the reference offers as
+    // an operator: detect ORDERED event-type patterns inside each
+    // user's stream. Each user's history collapses to a compact symbol
+    // string (one char per event, the five types have distinct
+    // initials, ordered by time with the event-id tie-break), and
+    // patterns are plain regexes counted non-overlapping —
+    // leftmost-earliest semantics agree between Spark's regexp_count
+    // and the oracle's regexp_extract_all for these literal/class-only
+    // patterns. Declared patterns: the browse-to-buy conversion
+    // (view, clicks, purchase), the error-immediately-before-purchase
+    // resilience signal, and signup-to-first-purchase. Scale shape:
+    // the symbol string is per-user BOUNDED (the sessionize argument —
+    // a user's history is human-scale at any corpus size), collect_list
+    // combines map-side, the pattern set is a literal unpivot, and the
+    // output is one row per pattern. A 100 TB deployment points the
+    // same expressions at a session- or day-windowed sequence instead
+    // of the full history if user streams are unbounded.
+    "el_cep_pattern" -> Q(
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |                    ORDER BY epoch_ns(ts)//1000, event_id) AS s
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, 'browse_to_buy' AS pattern,
+        |         CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n
+        |  FROM seq
+        |  UNION ALL
+        |  SELECT user_id, 'error_then_buy',
+        |         CAST(len(regexp_extract_all(s, 'ep')) AS BIGINT) FROM seq
+        |  UNION ALL
+        |  SELECT user_id, 'signup_to_first_buy',
+        |         CAST(len(regexp_extract_all(s, 's[^p]*p')) AS BIGINT) FROM seq)
+        |SELECT pattern,
+        |       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_users_matched,
+        |       CAST(SUM(n) AS BIGINT) AS n_matches,
+        |       CAST(MAX(n) AS BIGINT) AS max_user_matches
+        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"),
+                struct(unix_micros(col("ts")).as("us"), col("event_id"),
+                       substring(col("event_type"), 1, 1).as("c")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(transform(sort_array(collect_list(col("e"))),
+                                  x => x.getField("c")), "").as("s"))
+      val m = seq.select(col("user_id"), expr(
+        """stack(3,
+          |  'browse_to_buy',       regexp_count(s, 'vc*p'),
+          |  'error_then_buy',      regexp_count(s, 'ep'),
+          |  'signup_to_first_buy', regexp_count(s, 's[^p]*p')
+          |) AS (pattern, n)""".stripMargin))
+      m.groupBy("pattern")
+        .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_users_matched"),
+             sum(col("n")).as("n_matches"),
+             max(col("n")).cast("long").as("max_user_matches"))
+        .orderBy("pattern")
     }
   )
 }

@@ -465,4 +465,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(r.fieldIndex("retained_share")) - share) < 1e-12)
     }
   }
+
+  test("el_cep_pattern: counts match a driver-side regex over brute-built sequences") {
+    val rows = SparkEntry.queries("el_cep_pattern")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, evs) =>
+        evs.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3)).mkString
+      }.toSeq
+    val pats = Map("browse_to_buy" -> "vc*p", "error_then_buy" -> "ep",
+                   "signup_to_first_buy" -> "s[^p]*p")
+    pats.foreach { case (name, p) =>
+      val counts = seqs.map(s => p.r.findAllMatchIn(s).length.toLong)
+      assert(rows(name) === ((counts.count(_ > 0).toLong, counts.sum, counts.max)),
+        s"pattern $name")
+    }
+  }
 }
