@@ -54,6 +54,7 @@ object SparkEntry {
     graft.queries.RelationalQueries10.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
+    graft.queries.SemiStructuredQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.DedupQueries2.defs ++
     graft.queries.DedupQueries3.defs ++

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semi-structured parsing surfaces Spark 4 ships that the engine must
+  * expose to be a drop-in warehouse: XML extraction (`from_xml` /
+  * `xpath_*`) and the VARIANT type (`parse_json` / `variant_get`), next
+  * to the JSON-string functions q17/q37 already cover.
+  *
+  * The oracle discipline for parsers: DuckDB has no XML and no variant,
+  * so both queries are ROUND-TRIP INVERSIONS — the document is BUILT
+  * in-query from base columns, parsed back with the operator under
+  * test, and the oracle supplies the expected values straight from the
+  * same base columns. What the hash-compare then proves is that the
+  * parser exactly inverts the construction (including the
+  * double→string→double round trip, lossless under shortest-repr
+  * casting). Both queries are pure row-local codegen expressions — no
+  * shuffle anywhere, the orderBy is presentation only.
+  */
+object SemiStructuredQueries {
+
+  def defs: Map[String, Q] = Map(
+
+    // XML extraction: attributes via xpath + from_xml's attribute
+    // mapping (default prefix "_"), elements via typed from_xml fields.
+    "q61_xml_extract" -> Q(
+      s"""SELECT o_orderkey, o_orderkey AS xml_id,
+         |       o_orderstatus AS status,
+         |       ${graft.functions.Portable.duckCents("o_totalprice")} AS total_cents,
+         |       o_orderpriority AS prio
+         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val xml = concat(
+        lit("<order id=\""), col("o_orderkey"),
+        lit("\" status=\""), col("o_orderstatus"),
+        lit("\"><total>"), col("o_totalprice").cast("string"),
+        lit("</total><prio>"), col("o_orderpriority"),
+        lit("</prio></order>"))
+      Tables.orders(s, d)
+        .withColumn("x", xml)
+        .select(
+          col("o_orderkey"),
+          expr("from_xml(x, '_id BIGINT, total DOUBLE, prio STRING')").as("st"),
+          expr("xpath_string(x, '/order/@status')").as("status"))
+        .select(
+          col("o_orderkey"),
+          col("st._id").as("xml_id"),
+          col("status"),
+          graft.functions.Portable.cents(col("st.total")).as("total_cents"),
+          col("st.prio").as("prio"))
+        .orderBy("o_orderkey")
+    },
+
+    // VARIANT: build a nested document per event, parse to variant, and
+    // extract typed paths (object field, array index, string leaf, and
+    // a missing path through try_variant_get's NULL contract).
+    "q62_variant_path" -> Q(
+      """SELECT event_id,
+        |       CAST(props->>'$.k' AS BIGINT) AS k,
+        |       user_id AS a1,
+        |       event_type AS t,
+        |       CAST(NULL AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("j", to_json(struct(
+          col("user_id").as("u"),
+          struct(col("event_type").as("t"),
+                 get_json_object(col("props"), "$.k").cast("long").as("k")).as("m"),
+          array(col("event_id"), col("user_id")).as("a"))))
+        .withColumn("v", parse_json(col("j")))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.m.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.a[1]', 'bigint')").as("a1"),
+          expr("variant_get(v, '$.m.t', 'string')").as("t"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
+        .orderBy("event_id")
+    }
+  )
+}
