@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState, ListState}
+import graft.streaming.EventStream.Event
+
+/** Timer-driven session closing — the remaining arbitrary-state
+  * primitives `transformWithState` offers that the engine did not yet
+  * exercise: EVENT-TIME TIMERS (a session emits when the watermark
+  * passes its gap deadline, not when the next event happens to arrive —
+  * `EventStream.sessionCounts` closes sessions only via the windowing
+  * operator; this closes them from user code) and LIST STATE (a bounded
+  * sample of the session's event ids rides along for debugging/joining,
+  * the pattern for "give me exemplars per session" without unbounded
+  * state).
+  *
+  * Protocol per key: fold arriving events into the running session
+  * accumulator; if an event lands more than [[SessionCloser.GapMs]]
+  * after the current session's end, the old session is emitted
+  * immediately (the stream analogue of the batch gap rule) and a fresh
+  * one starts; otherwise the session extends. Every batch re-arms ONE
+  * event-time timer at session_end + gap (previous timers deleted — the
+  * listTimers/deleteTimer protocol), and when the WATERMARK crosses that
+  * deadline with no extension, handleExpiredTimer emits the session and
+  * clears all state. State per key is one small accumulator + a
+  * ≤ [[SessionCloser.MaxSampleIds]] id list — bounded regardless of
+  * session length.
+  *
+  * StreamingSessionCloserSpec proves the emitted sessions equal the
+  * batch `session_window` aggregation (same 30-minute gap) on the same
+  * events, including sessions closed by timer at stream end.
+  */
+final case class SessionAcc(startUs: Long, endUs: Long, n: Long, cents: Long)
+final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                               n_events: Long, cents: Long, sample_ids: Seq[Long])
+
+class SessionCloser extends StatefulProcessor[Long, Event, ClosedSession] {
+
+  @transient private var acc: ValueState[SessionAcc] = _
+  @transient private var ids: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    acc = getHandle.getValueState[SessionAcc](
+      "sessionAcc", Encoders.product[SessionAcc], TTLConfig.NONE)
+    ids = getHandle.getListState[Long](
+      "sampleIds", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def cents(v: Double): Long =
+    BigDecimal.valueOf(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Full-precision epoch micros: Timestamp.getTime is ms-truncated —
+    * the sub-millisecond digits live in getNanos. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+
+  private def emit(key: Long, a: SessionAcc): ClosedSession = {
+    val sample = ids.get().toSeq
+    acc.clear(); ids.clear()
+    ClosedSession(key, a.startUs, a.endUs, a.n, a.cents, sample)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[ClosedSession] = {
+    val out = Seq.newBuilder[ClosedSession]
+    // fold in event-time order; cross-batch state carries the open session
+    rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+      val us = micros(e.ts)
+      val cur = if (acc.exists()) Some(acc.get()) else None
+      cur match {
+        case Some(a) if us - a.endUs > SessionCloser.GapMs * 1000 =>
+          out += emit(key, a) // gap exceeded: close the old session inline
+          acc.update(SessionAcc(us, us, 1L, cents(e.value)))
+          ids.appendValue(e.event_id)
+        case Some(a) =>
+          acc.update(SessionAcc(a.startUs, math.max(a.endUs, us),
+                                a.n + 1, a.cents + cents(e.value)))
+          if (a.n < SessionCloser.MaxSampleIds) ids.appendValue(e.event_id)
+        case None =>
+          acc.update(SessionAcc(us, us, 1L, cents(e.value)))
+          ids.appendValue(e.event_id)
+      }
+    }
+    // re-arm the gap deadline for the (possibly new) open session
+    if (acc.exists()) {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(acc.get().endUs / 1000 + SessionCloser.GapMs)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+    if (acc.exists()) Iterator.single(emit(key, acc.get()))
+    else Iterator.empty
+}
+
+object SessionCloser {
+  /** Session gap, matching the batch `session_window(ts, '30 minutes')`. */
+  val GapMs: Long = 30L * 60 * 1000
+  /** Bounded per-session exemplar ids carried in ListState. */
+  val MaxSampleIds = 16
+
+  /** Wire the closer over a typed event stream (input must carry a
+    * watermark on `ts` for the event-time timers to fire). */
+  def apply(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionCloser, TimeMode.EventTime(), OutputMode.Append())
+  }
+}
