@@ -62,6 +62,13 @@ object Portable {
   def cents(c: Column): Column = round(c * 100).cast("long")
   def duckCents(expr: String): String = s"CAST(round(($expr)*100) AS BIGINT)"
 
+  /** JVM-side twin of [[cents]] for stateful processors: HALF_UP on the
+    * shortest decimal repr — math.round would round half-toward-+inf and
+    * diverge on negative .5 cents. One definition so batch/stream cents
+    * cannot drift (UserStatsProcessor, SessionCloser). */
+  def centsJvm(v: Double): Long =
+    BigDecimal.valueOf(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Order-independent exact sum of a ≤2dp double column, as double. */
   def dsum(c: Column): Column =
     sum(cents(c)).cast("double") / lit(100.0)

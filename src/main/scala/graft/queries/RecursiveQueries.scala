@@ -190,26 +190,36 @@ object RecursiveQueries {
   /** Register (dir-uniquely) and return the densified daily-series view:
     * the distributed aggregate + calendar zero-fill, collected to a
     * LocalRelation (corpus-independent row count) — the shared input of
-    * every daily-recurrence query. */
-  private def denseDailyView(s: SparkSession, d: String): String = {
-    val daily = Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
-    val dense = daily
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
-      .select((col("n") + 1).as("di"), col("day"))
-      .join(daily, Seq("day"), "left")
-      .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
-    import s.implicits._
-    val name = s"g_daily_dense_${viewTag(d)}"
-    s.createDataset(
-      dense.orderBy("di")
-        .as[(Long, java.sql.Date, Long)]
-        .collect().toSeq)
-      .toDF("di", "day", "n_events")
-      .createOrReplaceTempView(name)
-    name
-  }
+    * every daily-recurrence query. Built ONCE per corpus (the events
+    * scan is the expensive half of the recurrence pipeline, and both
+    * the EWMA and Holt chains consume the identical series); the cache
+    * also makes the view name single-writer, so concurrent chain builds
+    * cannot re-register it mid-flight. */
+  private val denseViewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  graft.ArtifactStore.onInvalidate(denseViewCache.remove(_))
+
+  private def denseDailyView(s: SparkSession, d: String): String =
+    denseViewCache.computeIfAbsent(d, _ => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val dense = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(posexplode(expr("sequence(d0, d1)")).as(Seq("n", "day")))
+        .select((col("n") + 1).as("di"), col("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("di"), col("day"), coalesce(col("c"), lit(0L)).as("n_events"))
+      import s.implicits._
+      val name = s"g_daily_dense_${viewTag(d)}"
+      s.createDataset(
+        dense.orderBy("di")
+          .as[(Long, java.sql.Date, Long)]
+          .collect().toSeq)
+        .toDF("di", "day", "n_events")
+        .createOrReplaceTempView(name)
+      name
+    })
 
   private[queries] def ewmaFrame(s: SparkSession, d: String): DataFrame =
     ewmaCache.computeIfAbsent(d, _ => {

@@ -26,9 +26,20 @@ import graft.streaming.EventStream.Event
   * ≤ [[SessionCloser.MaxSampleIds]] id list — bounded regardless of
   * session length.
   *
+  * Out-of-order contract (the EwmaStream discipline): full batch
+  * equivalence holds for arrival that is ordered ACROSS batches (any
+  * order within a batch — the processor sorts its batch). A non-late
+  * straggler behind the open session merges and may LOWER the session
+  * start; one gap-separated BEFORE the open session emits as its own
+  * session best-effort — it cannot rejoin history that was already
+  * emitted (the same emit-on-close trade Kafka Streams makes with zero
+  * grace). Buffer-until-watermark upstream if arbitrary disorder must
+  * be exact.
+  *
   * StreamingSessionCloserSpec proves the emitted sessions equal the
   * batch `session_window` aggregation (same 30-minute gap) on the same
-  * events, including sessions closed by timer at stream end.
+  * events, including sessions closed by timer at stream end, and
+  * covers the straggler branches.
   */
 final case class SessionAcc(startUs: Long, endUs: Long, n: Long, cents: Long)
 final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
@@ -46,8 +57,7 @@ class SessionCloser extends StatefulProcessor[Long, Event, ClosedSession] {
       "sampleIds", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  private def cents(v: Double): Long =
-    BigDecimal.valueOf(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  private def cents(v: Double): Long = graft.functions.Portable.centsJvm(v)
 
   /** Full-precision epoch micros: Timestamp.getTime is ms-truncated —
     * the sub-millisecond digits live in getNanos. */
@@ -64,16 +74,23 @@ class SessionCloser extends StatefulProcessor[Long, Event, ClosedSession] {
                                timerValues: TimerValues): Iterator[ClosedSession] = {
     val out = Seq.newBuilder[ClosedSession]
     // fold in event-time order; cross-batch state carries the open session
+    val gapUs = SessionCloser.GapMs * 1000
     rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
       val us = micros(e.ts)
       val cur = if (acc.exists()) Some(acc.get()) else None
       cur match {
-        case Some(a) if us - a.endUs > SessionCloser.GapMs * 1000 =>
+        case Some(a) if us - a.endUs > gapUs =>
           out += emit(key, a) // gap exceeded: close the old session inline
           acc.update(SessionAcc(us, us, 1L, cents(e.value)))
           ids.appendValue(e.event_id)
+        case Some(a) if us < a.startUs - gapUs =>
+          // straggler gap-separated BEFORE the open session: its own
+          // session (best effort — it cannot rejoin history that was
+          // already emitted; see the ordered-arrival contract above)
+          out += ClosedSession(key, us, us, 1L, cents(e.value), Seq(e.event_id))
         case Some(a) =>
-          acc.update(SessionAcc(a.startUs, math.max(a.endUs, us),
+          // in-gap straggler may LOWER the start; on-time events extend
+          acc.update(SessionAcc(math.min(a.startUs, us), math.max(a.endUs, us),
                                 a.n + 1, a.cents + cents(e.value)))
           if (a.n < SessionCloser.MaxSampleIds) ids.appendValue(e.event_id)
         case None =>
@@ -81,10 +98,14 @@ class SessionCloser extends StatefulProcessor[Long, Event, ClosedSession] {
           ids.appendValue(e.event_id)
       }
     }
-    // re-arm the gap deadline for the (possibly new) open session
+    // re-arm the gap deadline for the (possibly new) open session. The
+    // expiry rounds the µs end UP to the next ms and adds one: the timer
+    // must fire strictly AFTER end+gap, or a boundary event at exactly
+    // end+gap (which the pinned session semantics MERGE) could find its
+    // session already flushed.
     if (acc.exists()) {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(acc.get().endUs / 1000 + SessionCloser.GapMs)
+      getHandle.registerTimer((acc.get().endUs + 999) / 1000 + SessionCloser.GapMs + 1)
     }
     out.result().iterator
   }

@@ -34,11 +34,7 @@ class UserStatsProcessor extends StatefulProcessor[Long, Event, UserStats] {
     var mx = prev.max_event_id
     rows.foreach { e =>
       n += 1
-      // HALF_UP on the shortest decimal repr — the same rounding as
-      // Portable.cents (Spark SQL round); math.round would round
-      // half-toward-+inf and diverge on negative .5 cents
-      c += BigDecimal.valueOf(e.value * 100)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      c += graft.functions.Portable.centsJvm(e.value)
       if (e.event_id > mx) mx = e.event_id
     }
     val next = UserStats(key, n, c, mx)

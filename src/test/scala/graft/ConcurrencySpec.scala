@@ -53,7 +53,9 @@ class ConcurrencySpec extends SparkSpec {
     "dd_dup_spans", "dd_span_scrub",           // gram + span caches
     "ta_bpe_merges", "ta_bpe_encode",          // BPE tokenizer cache
     "dd_minhash_pairs", "dd_est_calibration",  // estimate-pair cache
-    "dd_simhash_pairs")                        // signature cache
+    "dd_simhash_pairs",                        // signature cache
+    "el_ewma_forecast", "el_forecast_eval",    // smoothed-chain cache
+    "el_holt_forecast")                        // Holt chain (shares the dense view)
 
   test("racing consumers of one shared cached frame stay serial-identical") {
     implicit val ec: ExecutionContext = ExecutionContext.global

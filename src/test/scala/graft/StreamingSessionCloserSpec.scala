@@ -51,8 +51,9 @@ class StreamingSessionCloserSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSet
 
-      val gapUs = SessionCloser.GapMs * 1000
-      val want = Tables.events(spark, sf).limit(600)
+      // batch twin over the SAME collected rows (an unordered limit()
+      // re-evaluated twice is not guaranteed to pick the same 600)
+      val want = spark.createDataset(evs.toSeq)(org.apache.spark.sql.Encoders.product)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"),
              sum(functions.Portable.cents(col("value"))).as("c"),
@@ -68,6 +69,55 @@ class StreamingSessionCloserSpec extends SparkSpec {
       assert(extra.isEmpty && missing.isEmpty,
         s"extra=${extra.take(5)} missing=${missing.take(5)} sizes got=${got.size} want=${want.size}")
       assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stragglers: in-gap lowers the session start; gap-separated-before emits alone") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      def ev(id: Long, us: Long): EventStream.Event = {
+        val t = new java.sql.Timestamp(us / 1000)
+        t.setNanos(((us % 1000) * 1000).toInt)
+        EventStream.Event(id, t, 77L, "view", 1.0, "{}")
+      }
+      val base = 1700000000000000L // epoch µs
+      val gapUs = SessionCloser.GapMs * 1000
+
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStream.Event]
+      // 2h watermark delay keeps the stragglers non-late
+      val q = SessionCloser(mem.toDS().withWatermark("ts", "2 hours")
+          .as[EventStream.Event])
+        .toDF().writeStream.format("memory").queryName("straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("sg-ckpt").toString)
+        .start()
+      mem.addData(ev(1, base)); q.processAllAvailable()
+      // in-gap straggler 5 min BEFORE the open session's start: merges, lowers start
+      mem.addData(ev(2, base - 5L * 60 * 1000000)); q.processAllAvailable()
+      // gap-separated straggler 90 min before (inside the watermark
+      // delay, beyond the 30-min gap): its own immediate session
+      mem.addData(ev(3, base - 90L * 60 * 1000000)); q.processAllAvailable()
+      // push the watermark far ahead to flush the open session
+      mem.addData(ev(4, base + 10L * 3600 * 1000000)); q.processAllAvailable()
+      mem.addData(ev(5, base + 24L * 3600 * 1000000)); q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("straggler_out")
+        .select("start_us", "end_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val lone = (base - 90L * 60 * 1000000, base - 90L * 60 * 1000000, 1L)
+      val merged = (base - 5L * 60 * 1000000, base, 2L)
+      assert(got.contains(lone), s"gap-separated straggler session missing: $got")
+      assert(got.contains(merged), s"start-lowered session missing: $got")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
