@@ -61,6 +61,56 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Image RESIZE (box downsample) over the binary "pixel grid" — the
+    // resize leg of the decode/feature-extract/resize/frame-sample
+    // quartet: the payload reads as a 32-wide grid of byte "pixels"
+    // (same fake-decode contract as mm_phash), and a 4×4 average-pool
+    // shrinks it 16× — exactly the batch shape of a thumbnailing /
+    // model-input-resize stage. All-integer outputs: per-block mean is
+    // integer floor division, the checksum sums the pooled means, so
+    // the oracle hash-matches exactly. Scale shape: one posexplode to
+    // (pixel, block) rows, a map-side-combined per-block aggregate
+    // (blocks ≤ pixels/16 per doc), then a per-doc rollup — no HOF
+    // lambdas in the hot path (the mm_phash 36× lesson), and output is
+    // one row per doc.
+    "mm_resize" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, length(d.text) AS len,
+        |         ((u.i - 1) // 32) // 4 AS br, ((u.i - 1) % 32) // 4 AS bc,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) u(i)),
+        |blk AS (
+        |  SELECT doc_id, len, br, bc,
+        |         CAST(SUM(p) AS BIGINT) // COUNT(*) AS mean_p
+        |  FROM px GROUP BY doc_id, len, br, bc)
+        |SELECT doc_id,
+        |       CAST(32 AS BIGINT) AS in_w,
+        |       CAST((len + 31) // 32 AS BIGINT) AS in_h,
+        |       CAST(8 AS BIGINT) AS out_w,
+        |       CAST(MAX(br) + 1 AS BIGINT) AS out_h,
+        |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |       CAST(SUM(mean_p) AS BIGINT) AS pooled_checksum
+        |FROM blk GROUP BY doc_id, len ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+                posexplode(expr("sequence(1, length(text))")).as(Seq("z", "i")))
+        .select(col("doc_id"), col("len"),
+                expr("((i - 1) div 32) div 4").as("br"),
+                expr("((i - 1) % 32) div 4").as("bc"),
+                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
+      val blk = px.groupBy("doc_id", "len", "br", "bc")
+        .agg(expr("cast(sum(p) as bigint) div count(*)").as("mean_p"))
+      blk.groupBy("doc_id", "len")
+        .agg(max(col("br")).cast("long").as("mbr"),
+             count(lit(1)).as("n_blocks"),
+             sum(col("mean_p")).as("pooled_checksum"))
+        .select(col("doc_id"), lit(32L).as("in_w"),
+                expr("cast((len + 31) div 32 as bigint)").as("in_h"),
+                lit(8L).as("out_w"), (col("mbr") + 1).as("out_h"),
+                col("n_blocks"), col("pooled_checksum"))
+        .orderBy("doc_id")
+    },
+
     // Audio energy profile over a binary "PCM stream": the first 256
     // bytes as unsigned samples, framed 16 samples per window — per-doc
     // frame count, total energy (Σ sample² in BIGINT), low-energy
