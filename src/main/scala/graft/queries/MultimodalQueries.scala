@@ -91,9 +91,14 @@ object MultimodalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
         |       CAST(SUM(mean_p) AS BIGINT) AS pooled_checksum
         |FROM blk GROUP BY doc_id, len ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // empty-text guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+      // the oracle's range(1, 1) is empty — an empty doc must emit no
+      // pixel rows in both engines (mm_frame_sample's guard pattern)
+      val pixelIdx = when(length(col("text")) > 0,
+        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
       val px = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"),
-                posexplode(expr("sequence(1, length(text))")).as(Seq("z", "i")))
+                posexplode(pixelIdx).as(Seq("z", "i")))
         .select(col("doc_id"), col("len"),
                 expr("((i - 1) div 32) div 4").as("br"),
                 expr("((i - 1) % 32) div 4").as("bc"),

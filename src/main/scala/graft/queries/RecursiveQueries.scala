@@ -36,13 +36,23 @@ object RecursiveQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  /** Run `body` with the given SQL confs, restoring previous values. */
-  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val old = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally old.foreach { case (k, ov) => ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
-  }
+  /** Run `body` with the given SQL confs, restoring previous values.
+    * SERIALIZED across callers: two concurrent conf-scoped builds on the
+    * shared session (e.g. the EWMA and Holt chains racing their first
+    * build — ConcurrencySpec exercises exactly this) would otherwise
+    * interleave save/restore and one could snapshot the other's
+    * temporary value as its "old" conf, permanently leaking AQE=false
+    * into the session. The lock ordering is always (cache-bin →
+    * confLock), so no cycle is possible. */
+  private val confLock = new Object
+
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
+    confLock.synchronized {
+      val old = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally old.foreach { case (k, ov) => ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
 
   /** Confs for a LOCAL recursion (the smoother's one-row carries): AQE
     * re-optimizes every step, pure overhead on frames this tiny —
@@ -200,7 +210,13 @@ object RecursiveQueries {
 
   graft.ArtifactStore.onInvalidate(denseViewCache.remove(_))
 
-  private def denseDailyView(s: SparkSession, d: String): String =
+  private def denseDailyView(s: SparkSession, d: String): String = {
+    // the cached NAME is session-bound (temp views live per session): a
+    // hit whose view is missing in THIS session (new/cloned session,
+    // same JVM) must rebuild, not return a dangling name
+    val cached = denseViewCache.get(d)
+    if (cached != null && !s.catalog.tableExists(cached))
+      denseViewCache.remove(d, cached)
     denseViewCache.computeIfAbsent(d, _ => {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
@@ -220,6 +236,7 @@ object RecursiveQueries {
         .createOrReplaceTempView(name)
       name
     })
+  }
 
   private[queries] def ewmaFrame(s: SparkSession, d: String): DataFrame =
     ewmaCache.computeIfAbsent(d, _ => {

@@ -26,15 +26,16 @@ import graft.streaming.EventStream.Event
   * ≤ [[SessionCloser.MaxSampleIds]] id list — bounded regardless of
   * session length.
   *
-  * Out-of-order contract (the EwmaStream discipline): full batch
-  * equivalence holds for arrival that is ordered ACROSS batches (any
-  * order within a batch — the processor sorts its batch). A non-late
-  * straggler behind the open session merges and may LOWER the session
-  * start; one gap-separated BEFORE the open session emits as its own
-  * session best-effort — it cannot rejoin history that was already
-  * emitted (the same emit-on-close trade Kafka Streams makes with zero
-  * grace). Buffer-until-watermark upstream if arbitrary disorder must
-  * be exact.
+  * Out-of-order contract: each batch re-chains (open session ∪ batch
+  * events) through one interval fold, so WITHIN everything the
+  * processor still holds the grouping is exactly the batch
+  * session_window's — stragglers lower the start, straggler chains
+  * merge with each other and can bridge forward into the open session,
+  * and gap splits close eagerly. The one divergence is an event
+  * belonging to a session EMITTED in a previous batch: closed sessions
+  * are not retracted (the same emit-on-close trade Kafka Streams makes
+  * with zero grace) — it starts or joins a new session instead. Size
+  * the watermark delay to the lateness you need exact.
   *
   * StreamingSessionCloserSpec proves the emitted sessions equal the
   * batch `session_window` aggregation (same 30-minute gap) on the same
@@ -70,39 +71,51 @@ class SessionCloser extends StatefulProcessor[Long, Event, ClosedSession] {
     ClosedSession(key, a.startUs, a.endUs, a.n, a.cents, sample)
   }
 
+  /** A session interval mid-fold: the open state and every new event
+    * become items of this shape, chained by the gap rule. */
+  private final case class Item(startUs: Long, endUs: Long, n: Long,
+                                cents: Long, sampleIds: Seq[Long])
+
   override def handleInputRows(key: Long, rows: Iterator[Event],
                                timerValues: TimerValues): Iterator[ClosedSession] = {
-    val out = Seq.newBuilder[ClosedSession]
-    // fold in event-time order; cross-batch state carries the open session
     val gapUs = SessionCloser.GapMs * 1000
-    rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-      val us = micros(e.ts)
-      val cur = if (acc.exists()) Some(acc.get()) else None
-      cur match {
-        case Some(a) if us - a.endUs > gapUs =>
-          out += emit(key, a) // gap exceeded: close the old session inline
-          acc.update(SessionAcc(us, us, 1L, cents(e.value)))
-          ids.appendValue(e.event_id)
-        case Some(a) if us < a.startUs - gapUs =>
-          // straggler gap-separated BEFORE the open session: its own
-          // session (best effort — it cannot rejoin history that was
-          // already emitted; see the ordered-arrival contract above)
-          out += ClosedSession(key, us, us, 1L, cents(e.value), Seq(e.event_id))
-        case Some(a) =>
-          // in-gap straggler may LOWER the start; on-time events extend
-          acc.update(SessionAcc(math.min(a.startUs, us), math.max(a.endUs, us),
-                                a.n + 1, a.cents + cents(e.value)))
-          if (a.n < SessionCloser.MaxSampleIds) ids.appendValue(e.event_id)
-        case None =>
-          acc.update(SessionAcc(us, us, 1L, cents(e.value)))
-          ids.appendValue(e.event_id)
+    // ONE interval-chaining fold over (open session ∪ batch events),
+    // ordered by start: this uniformly handles on-time extension, gap
+    // splits, start-lowering stragglers, straggler chains that merge
+    // with EACH OTHER, and chains that bridge forward into the open
+    // session — the exact batch session_window grouping over everything
+    // this processor still holds. (Only events belonging to sessions
+    // emitted in PREVIOUS batches diverge — see the contract above.)
+    val stateItem =
+      if (acc.exists()) Seq({ val a = acc.get(); Item(a.startUs, a.endUs, a.n, a.cents, ids.get().toSeq) })
+      else Seq.empty
+    val eventItems = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      .map(e => Item(micros(e.ts), micros(e.ts), 1L, cents(e.value), Seq(e.event_id)))
+    val items = (stateItem ++ eventItems).sortBy(i => (i.startUs, i.endUs))
+
+    val out = Seq.newBuilder[ClosedSession]
+    if (items.nonEmpty) {
+      var cur = items.head
+      items.tail.foreach { it =>
+        if (it.startUs - cur.endUs <= gapUs)
+          cur = Item(cur.startUs, math.max(cur.endUs, it.endUs), cur.n + it.n,
+                     cur.cents + it.cents,
+                     (cur.sampleIds ++ it.sampleIds).take(SessionCloser.MaxSampleIds))
+        else {
+          out += ClosedSession(key, cur.startUs, cur.endUs, cur.n, cur.cents, cur.sampleIds)
+          cur = it
+        }
       }
+      // the final chained group stays open in state
+      acc.update(SessionAcc(cur.startUs, cur.endUs, cur.n, cur.cents))
+      ids.clear()
+      cur.sampleIds.foreach(ids.appendValue)
     }
-    // re-arm the gap deadline for the (possibly new) open session. The
-    // expiry rounds the µs end UP to the next ms and adds one: the timer
-    // must fire strictly AFTER end+gap, or a boundary event at exactly
-    // end+gap (which the pinned session semantics MERGE) could find its
-    // session already flushed.
+    // re-arm the gap deadline for the open session. The expiry rounds
+    // the µs end UP to the next ms and adds one: the timer must fire
+    // strictly AFTER end+gap, or a boundary event at exactly end+gap
+    // (which the pinned session semantics MERGE) could find its session
+    // already flushed.
     if (acc.exists()) {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer((acc.get().endUs + 999) / 1000 + SessionCloser.GapMs + 1)

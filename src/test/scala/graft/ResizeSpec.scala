@@ -11,6 +11,7 @@ class ResizeSpec extends SparkSpec {
 
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty) // empty docs emit no row in either engine
     assert(got.size === docs.length)
     docs.foreach { case (id, text) =>
       val pixels = text.map(_.toLong)

@@ -77,7 +77,7 @@ class StreamingSessionCloserSpec extends SparkSpec {
     }
   }
 
-  test("stragglers: in-gap lowers the session start; gap-separated-before emits alone") {
+  test("stragglers: in-gap lowers the start; gap-separated chains re-group exactly") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -85,11 +85,10 @@ class StreamingSessionCloserSpec extends SparkSpec {
       import spark.implicits._
       def ev(id: Long, us: Long): EventStream.Event = {
         val t = new java.sql.Timestamp(us / 1000)
-        t.setNanos(((us % 1000) * 1000).toInt)
+        t.setNanos(((us % 1000000) * 1000).toInt) // full sub-second, not sub-ms
         EventStream.Event(id, t, 77L, "view", 1.0, "{}")
       }
       val base = 1700000000000000L // epoch µs
-      val gapUs = SessionCloser.GapMs * 1000
 
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[EventStream.Event]
@@ -103,9 +102,11 @@ class StreamingSessionCloserSpec extends SparkSpec {
       mem.addData(ev(1, base)); q.processAllAvailable()
       // in-gap straggler 5 min BEFORE the open session's start: merges, lowers start
       mem.addData(ev(2, base - 5L * 60 * 1000000)); q.processAllAvailable()
-      // gap-separated straggler 90 min before (inside the watermark
-      // delay, beyond the 30-min gap): its own immediate session
-      mem.addData(ev(3, base - 90L * 60 * 1000000)); q.processAllAvailable()
+      // two gap-separated stragglers in ONE batch, within the gap of
+      // each other (90 and 85 min before): they must chain into a
+      // single 2-event session, not two singletons
+      mem.addData(ev(3, base - 90L * 60 * 1000000),
+                  ev(6, base - 85L * 60 * 1000000)); q.processAllAvailable()
       // push the watermark far ahead to flush the open session
       mem.addData(ev(4, base + 10L * 3600 * 1000000)); q.processAllAvailable()
       mem.addData(ev(5, base + 24L * 3600 * 1000000)); q.processAllAvailable()
@@ -114,9 +115,9 @@ class StreamingSessionCloserSpec extends SparkSpec {
       val got = spark.table("straggler_out")
         .select("start_us", "end_us", "n_events").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val lone = (base - 90L * 60 * 1000000, base - 90L * 60 * 1000000, 1L)
+      val chained = (base - 90L * 60 * 1000000, base - 85L * 60 * 1000000, 2L)
       val merged = (base - 5L * 60 * 1000000, base, 2L)
-      assert(got.contains(lone), s"gap-separated straggler session missing: $got")
+      assert(got.contains(chained), s"straggler chain session missing: $got")
       assert(got.contains(merged), s"start-lowered session missing: $got")
     } finally {
       prev match {
