@@ -42,6 +42,7 @@ object SparkEntry {
     graft.queries.EventLogQueries2.defs ++
     graft.queries.EventLogQueries3.defs ++
     graft.queries.FunnelQueries.defs ++
+    graft.queries.GrowthQueries.defs ++
     graft.queries.RelationalQueries.defs ++
     graft.queries.RelationalQueries2.defs ++
     graft.queries.RelationalQueries3.defs ++

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable.{cents, duckCents, duckH, h60}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics growth surface over `events` — the four reports a
+  * consumer-scale event log is actually interrogated with, each kept
+  * all-integer (or fixed-op-order IEEE on exact BIGINT terms) so the
+  * DuckDB twins are hash-exact:
+  *
+  *  - `el_lifecycle`: daily growth accounting (new / retained /
+  *    resurrected / churning) — the "quick ratio" input table.
+  *  - `el_seasonal_profile`: hour-of-day × event-type seasonality with
+  *    integer deviation-from-uniform — the load-shaping profile.
+  *  - `el_pareto_share`: activity-concentration ladder (CCDF over a
+  *    threshold grid) — the whale-curve without a global sort.
+  *  - `el_cuped`: variance-reduced A/B readout (CUPED, Deng et al.
+  *    2013) using the pre-period metric as the control covariate.
+  *
+  * Reference note: the cascade broker stores the raw event stream
+  * (/root/reference/src/broker/main.rs:53) and leaves all analytics to
+  * consumers; these queries are that consumer surface, re-expressed as
+  * one-pass Spark aggregates.
+  */
+object GrowthQueries {
+
+  private val US_PER_DAY  = 86400000000L
+  private val US_PER_HOUR = 3600000000L
+
+  def defs: Map[String, Q] = Map(
+
+    // Daily growth accounting. Scale shape: the event log collapses to
+    // DISTINCT (user, day) FIRST (map-side combined — the only pass over
+    // raw events), then every classification is a per-user lag/lead
+    // window over that user-days table, which is |users|·|active days|
+    // — dimension-scale, never event-scale. No global window, no self
+    // join; churn is read off the same lead() that retention uses.
+    "el_lifecycle" -> Q(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts)//1000//86400000000 AS day_idx
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, day_idx,
+        |         MIN(day_idx) OVER (PARTITION BY user_id) AS first_day,
+        |         LAG(day_idx)  OVER (PARTITION BY user_id ORDER BY day_idx) AS prev_day,
+        |         LEAD(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS next_day
+        |  FROM ud)
+        |SELECT day_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active,
+        |       CAST(SUM(CASE WHEN day_idx = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(SUM(CASE WHEN prev_day = day_idx - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |       CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day_idx - 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |       CAST(SUM(CASE WHEN next_day IS NULL OR next_day > day_idx + 1
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+        |FROM c GROUP BY day_idx ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+                (unix_micros(col("ts")) / US_PER_DAY).cast("long").as("day_idx"))
+        .distinct()
+      val wAll = Window.partitionBy(col("user_id"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      ud.select(col("user_id"), col("day_idx"),
+                min(col("day_idx")).over(wAll).as("first_day"),
+                lag(col("day_idx"), 1).over(wOrd).as("prev_day"),
+                lead(col("day_idx"), 1).over(wOrd).as("next_day"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_active"),
+             sum(when(col("day_idx") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+             sum(when(col("prev_day") === col("day_idx") - 1, 1L).otherwise(0L)).as("n_retained"),
+             sum(when(col("prev_day").isNotNull && col("prev_day") < col("day_idx") - 1,
+                      1L).otherwise(0L)).as("n_resurrected"),
+             sum(when(col("next_day").isNull || col("next_day") > col("day_idx") + 1,
+                      1L).otherwise(0L)).as("n_churning"))
+        .orderBy("day_idx")
+    },
+
+    // Hour-of-day seasonality per event type. One map-side-combined
+    // aggregate to the 5×24 grid, then the per-type total rides a
+    // window PARTITIONED BY event_type (≤24 rows per partition — the
+    // grid, not the log). Hour extraction is pure integer arithmetic
+    // on epoch micros, so no engine calendar code is on the hash path.
+    // dev_bp = (share of the type's events in this hour − uniform
+    // 1/24) in basis points, floor-divided — all-integer.
+    "el_seasonal_profile" -> Q(
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_ns(ts)//1000//3600000000) % 24 AS hour_of_day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+        |       (n * 10000) // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS share_bp,
+        |       (n * 24 * 10000) // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |         - 10000 AS dev_bp
+        |FROM g ORDER BY event_type, hour_of_day""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+                ((unix_micros(col("ts")) / US_PER_HOUR) % 24).cast("long").as("hour_of_day"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+      g.select(col("event_type"), col("hour_of_day"), col("n"),
+               sum(col("n")).over(w).as("type_total"))
+        .select(col("event_type"), col("hour_of_day"), col("n"), col("type_total"),
+                expr("(n * 10000) div type_total").as("share_bp"),
+                expr("(n * 24 * 10000) div type_total - 10000").as("dev_bp"))
+        .orderBy("event_type", "hour_of_day")
+    },
+
+    // Activity-concentration ladder (the whale curve as a CCDF). The
+    // classic "top decile's share" needs a GLOBAL rank over users; this
+    // reformulation reads the same concentration off a fixed threshold
+    // grid instead: for each T, how many users produced ≥T events and
+    // what share of all events they carry. One map-side-combined
+    // per-user count, an 11-row broadcast threshold dim (the explode
+    // multiplies the user table, not the log), totals as a broadcast
+    // scalar — no global sort or window anywhere, the reformulation
+    // that survives a billion-user log.
+    "el_pareto_share" -> Q(
+      """WITH uc AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(cnt) AS BIGINT) AS n_events
+        |  FROM uc),
+        |th AS (SELECT CAST(unnest([1,2,4,8,16,32,64,128,256,512,1024]) AS BIGINT) AS threshold),
+        |l AS (
+        |  SELECT th.threshold,
+        |         CAST(SUM(CASE WHEN uc.cnt >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_users_ge,
+        |         CAST(SUM(CASE WHEN uc.cnt >= th.threshold THEN uc.cnt ELSE 0 END) AS BIGINT)
+        |           AS n_events_ge
+        |  FROM uc, th GROUP BY th.threshold)
+        |SELECT l.threshold, l.n_users_ge, l.n_events_ge,
+        |       (l.n_users_ge * 10000) // tot.n_users AS users_share_bp,
+        |       (l.n_events_ge * 10000) // tot.n_events AS events_share_bp
+        |FROM l, tot ORDER BY l.threshold""".stripMargin) { (s, d) =>
+      val uc = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val tot = uc.agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+      val thresholds = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      val th = uc.sparkSession.range(1).select(
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      uc.crossJoin(broadcast(th))
+        .groupBy("threshold")
+        .agg(sum(when(col("cnt") >= col("threshold"), 1L).otherwise(0L)).as("n_users_ge"),
+             sum(when(col("cnt") >= col("threshold"), col("cnt")).otherwise(0L)).as("n_events_ge"))
+        .crossJoin(broadcast(tot))
+        .select(col("threshold"), col("n_users_ge"), col("n_events_ge"),
+                expr("(n_users_ge * 10000) div n_users").as("users_share_bp"),
+                expr("(n_events_ge * 10000) div n_events").as("events_share_bp"))
+        .orderBy("threshold")
+    },
+
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
+    // pre-period purchase total is the control covariate; the adjusted
+    // post-period mean per variant is mean_y − θ·(mean_x − mean_x_all)
+    // with θ = cov(x,y)/var(x) pooled over both arms. Every sum is an
+    // exact integer-cents BIGINT (order-independent, so partial aggs
+    // are safe); θ and the adjusted means are then a FIXED tree of
+    // correctly-rounded IEEE ops on those exact terms — both engines
+    // state the identical tree, so the doubles match bitwise (the
+    // q38_corr_manual discipline). Headroom: n·Σxy stays under 2^63 to
+    // ~1e4 users × $10k/user; past that the accounting widens to
+    // DECIMAL and gives up oracle bit-parity, not correctness (the
+    // Portable.cents note). Scale shape: one pass over events into a
+    // per-user (x, y) table, one scalar agg (θ terms, broadcast), one
+    // 2-row variant agg — no window, no join on the log.
+    "el_cuped" -> Q({
+      val variant = s"${duckH("'exp1|' || CAST(user_id AS VARCHAR)", 15)} % 2"
+      s"""WITH b AS (
+         |  SELECT user_id, epoch_ns(ts)//1000//86400000000 AS day_idx, event_type,
+         |         ${duckCents("value")} AS vc
+         |  FROM events),
+         |t0 AS (SELECT MIN(day_idx) AS day0 FROM b),
+         |pu AS (
+         |  SELECT user_id, $variant AS variant,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase' AND day_idx < t0.day0 + 15
+         |                       THEN vc ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase' AND day_idx >= t0.day0 + 15
+         |                       THEN vc ELSE 0 END) AS BIGINT) AS y
+         |  FROM b, t0 GROUP BY 1, 2),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |         CAST(SUM(x*y) AS BIGINT) AS sxy
+         |  FROM pu),
+         |v AS (
+         |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(x) AS BIGINT) AS pre_cents, CAST(SUM(y) AS BIGINT) AS post_cents
+         |  FROM pu GROUP BY variant)
+         |SELECT CASE WHEN v.variant = 0 THEN 'control' ELSE 'treatment' END AS variant,
+         |       v.n_users, v.pre_cents, v.post_cents,
+         |       CAST(v.post_cents AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_post,
+         |       CAST(g.n*g.sxy - g.sx*g.sy AS DOUBLE)
+         |         / CAST(g.n*g.sxx - g.sx*g.sx AS DOUBLE) AS theta,
+         |       CAST(v.post_cents AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+         |         - (CAST(g.n*g.sxy - g.sx*g.sy AS DOUBLE)
+         |              / CAST(g.n*g.sxx - g.sx*g.sx AS DOUBLE))
+         |           * (CAST(v.pre_cents AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+         |                - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)) AS adj_mean_post
+         |FROM v, g ORDER BY variant""".stripMargin
+    }) { (s, d) =>
+      val b = Tables.events(s, d)
+        .select(col("user_id"),
+                (unix_micros(col("ts")) / US_PER_DAY).cast("long").as("day_idx"),
+                col("event_type"), cents(col("value")).as("vc"))
+      val t0 = b.agg(min(col("day_idx")).as("day0"))
+      val pu = b.crossJoin(broadcast(t0))
+        .withColumn("variant",
+          pmod(h60(concat(lit("exp1|"), col("user_id").cast("string"))), lit(2L)))
+        .groupBy("user_id", "variant")
+        .agg(sum(when(col("event_type") === "purchase" && col("day_idx") < col("day0") + 15,
+                      col("vc")).otherwise(0L)).as("x"),
+             sum(when(col("event_type") === "purchase" && col("day_idx") >= col("day0") + 15,
+                      col("vc")).otherwise(0L)).as("y"))
+      val g = pu.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+                     sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      pu.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("pre_cents"),
+             sum(col("y")).as("post_cents"))
+        .crossJoin(broadcast(g))
+        .select(
+          when(col("variant") === 0, "control").otherwise("treatment").as("variant"),
+          col("n_users"), col("pre_cents"), col("post_cents"),
+          (col("post_cents").cast("double") / col("n_users").cast("double")).as("mean_post"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+             / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("theta"),
+          (col("post_cents").cast("double") / col("n_users").cast("double")
+             - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * (col("pre_cents").cast("double") / col("n_users").cast("double")
+                    - col("sx").cast("double") / col("n").cast("double"))).as("adj_mean_post"))
+        .orderBy("variant")
+    }
+  )
+}

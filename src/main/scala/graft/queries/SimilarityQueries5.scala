@@ -270,6 +270,88 @@ object SimilarityQueries5 {
                   .as("mean_pair_cos"),
                 (sqrt(col("sumsq")) / col("n_vecs").cast("double")).as("centroid_norm"))
         .orderBy("label")
+    },
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    // SIGIR 2009): a sparse arm (token-set Jaccard vs the query
+    // document, the more-like-this lexical signal) and a dense arm
+    // (cosine vs the query document's embedding) each produce a
+    // top-50 list; RRF fuses them as Σ 1/(60+rank), here in exact
+    // integer millionths so the fused score is hash-portable. The
+    // production hybrid-search shape: arms are computed independently
+    // (inverted index / ANN index at scale), only rank lists meet.
+    // Scale shape: the query doc's token set broadcasts (one doc, not
+    // the corpus); overlap is an equi-join on token + map-side-combined
+    // count — never a doc×doc pair join; the dense arm is the
+    // broadcast-query corpus scan of ss_cosine_topk; both arms bound
+    // to 50 rows by TakeOrdered BEFORE the rank windows (which
+    // therefore see ≤50 rows — allowlisted global windows), and the
+    // fusion join is 50×50.
+    "ss_hybrid_rrf" -> Q(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |g AS (SELECT DISTINCT doc_id, token FROM tok),
+         |q AS (SELECT token FROM g WHERE doc_id = 0),
+         |qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS qn FROM q),
+         |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY doc_id),
+         |ov AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+         |  FROM g JOIN q USING (token) WHERE g.doc_id <> 0 GROUP BY g.doc_id),
+         |lexr AS (
+         |  SELECT o.doc_id, (o.ov * 10000) // (qn.qn + n.nd - o.ov) AS jacc_s
+         |  FROM ov o JOIN nd n ON o.doc_id = n.doc_id, qn),
+         |lex AS (
+         |  SELECT doc_id, jacc_s,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY jacc_s DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM lexr ORDER BY jacc_s DESC, doc_id LIMIT 50),
+         |dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dens AS (
+         |  SELECT e.vec_id AS doc_id, ${duckCosine("e.embedding", "dq.qv")} AS cosine
+         |  FROM embeddings e, dq WHERE e.vec_id <> 0),
+         |den AS (
+         |  SELECT doc_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_den
+         |  FROM dens ORDER BY cosine DESC, doc_id LIMIT 50),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+         |         COALESCE(1000000 // (60 + l.r_lex), 0)
+         |           + COALESCE(1000000 // (60 + dn.r_den), 0) AS rrf_s,
+         |         l.r_lex, dn.r_den
+         |  FROM lex l FULL OUTER JOIN den dn ON l.doc_id = dn.doc_id)
+         |SELECT doc_id, rrf_s, r_lex, r_den FROM f
+         |ORDER BY rrf_s DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val q = g.filter(col("doc_id") === 0).select(col("token"))
+      val qn = q.agg(count(lit(1)).as("qn"))
+      val nd = g.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      val ov = g.filter(col("doc_id") =!= 0)
+        .join(broadcast(q), "token")
+        .groupBy("doc_id").agg(count(lit(1)).as("ov"))
+      val lex = ov.join(nd, "doc_id").crossJoin(broadcast(qn))
+        .select(col("doc_id"), expr("(ov * 10000) div (qn + nd - ov)").as("jacc_s"))
+        .orderBy(col("jacc_s").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("jacc_s").desc, col("doc_id"))).cast("long"))
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val dq = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val den = e.crossJoin(broadcast(dq)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+                (nativeDot(col("embedding"), col("qv"))
+                   / (col("nrm") * col("qnrm"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+        .withColumn("r_den",
+          row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+                (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+                   + coalesce(expr("1000000 div (60 + r_den)"), lit(0L))).as("rrf_s"),
+                col("r_lex"), col("r_den"))
+        .orderBy(col("rrf_s").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }

@@ -171,6 +171,53 @@ object TextQueries5 {
                    .cast("double")
                  / (col("n_docs") * col("n_occ")).cast("double")).as("vmr"))
         .orderBy(col("n_occ").desc, col("token"))
+    },
+
+    // Per-source compressibility proxy: distinct-bigram share. The
+    // fraction of a text's word bigrams that are distinct is a
+    // deflate-free stand-in for compression ratio — boilerplate and
+    // template text repeat bigrams (low share ⇒ compressible ⇒ low
+    // informational density), the quality signal gzip-ratio filters
+    // (CCNet, Gopher) read. Per-doc distinct counting happens INSIDE
+    // the row via array_distinct on the codegen'd bigram array — no
+    // token explode, no shuffle of gram strings; the source rollup is
+    // one map-side-combined aggregate of four integers per doc. Share
+    // is basis points by floor division — all-integer, hash-exact.
+    "ta_compressibility" -> Q(
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(toks) - 1 AS BIGINT) AS n_bi,
+        |         CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_dist
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_bi) AS BIGINT) AS total_bigrams,
+        |       CAST(SUM(n_dist) AS BIGINT) AS distinct_bigrams,
+        |       (CAST(SUM(n_dist) AS BIGINT) * 10000) // CAST(SUM(n_bi) AS BIGINT)
+        |         AS distinct_bp,
+        |       CAST(MIN((n_dist * 10000) // n_bi) AS BIGINT) AS min_doc_bp,
+        |       CAST(MAX((n_dist * 10000) // n_bi) AS BIGINT) AS max_doc_bp
+        |FROM b GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val bigrams = transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+                    element_at(col("toks"), i + 2)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"),
+                (size(col("toks")) - 1).cast("long").as("n_bi"),
+                size(array_distinct(bigrams)).cast("long").as("n_dist"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_bi")).as("total_bigrams"),
+             sum(col("n_dist")).as("distinct_bigrams"),
+             expr("(sum(n_dist) * 10000) div sum(n_bi)").as("distinct_bp"),
+             min(expr("(n_dist * 10000) div n_bi")).as("min_doc_bp"),
+             max(expr("(n_dist * 10000) div n_bi")).as("max_doc_bp"))
+        .orderBy("source")
     }
   )
 }

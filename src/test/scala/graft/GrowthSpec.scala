@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the growth-analytics batch (GrowthQueries) and the
+  * hybrid-retrieval / compressibility additions: each declared query is
+  * checked against either a brute-force recompute on the sf0.001 corpus
+  * or an exact self-consistency identity its own columns must satisfy.
+  */
+class GrowthSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("el_lifecycle: classes partition actives; totals match distinct users") {
+    val rows = run("el_lifecycle").collect()
+    // new + retained + resurrected partition the day's active set
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"),
+        s"class partition broken on day ${r.getAs[Long]("day_idx")}")
+    }
+    // every user is new exactly once; churning marks every activity gap,
+    // so across consecutive days: retained(d+1) = active(d) − churning(d)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users)
+    rows.sortBy(_.getAs[Long]("day_idx")).sliding(2).foreach { case Array(a, b) =>
+      if (b.getAs[Long]("day_idx") == a.getAs[Long]("day_idx") + 1)
+        assert(b.getAs[Long]("n_retained") ==
+          a.getAs[Long]("n_active") - a.getAs[Long]("n_churning"),
+          s"retention/churn identity broken at day ${a.getAs[Long]("day_idx")}")
+    }
+    // brute force one middle day: recompute the four classes directly
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ud.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    val day = rows(rows.length / 2).getAs[Long]("day_idx")
+    def cls(days: Array[Long]): Option[String] = {
+      val i = days.indexOf(day)
+      if (i < 0) None
+      else if (i == 0) Some("new")
+      else if (days(i - 1) == day - 1) Some("retained")
+      else Some("resurrected")
+    }
+    val brute = byUser.values.flatMap(cls(_)).groupBy(x => x).view.mapValues(_.size).toMap
+    val r = rows.find(_.getAs[Long]("day_idx") == day).get
+    assert(r.getAs[Long]("n_new") == brute.getOrElse("new", 0))
+    assert(r.getAs[Long]("n_retained") == brute.getOrElse("retained", 0))
+    assert(r.getAs[Long]("n_resurrected") == brute.getOrElse("resurrected", 0))
+  }
+
+  test("el_seasonal_profile: grid covers the log; shares and deviations are exact") {
+    val rows = run("el_seasonal_profile").collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "grid does not cover the log")
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val tt = rs.head.getAs[Long]("type_total")
+      assert(rs.map(_.getAs[Long]("n")).sum == tt)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("share_bp") == r.getAs[Long]("n") * 10000 / tt)
+        assert(r.getAs[Long]("dev_bp") == r.getAs[Long]("n") * 24 * 10000 / tt - 10000)
+      }
+    }
+  }
+
+  test("el_pareto_share: CCDF is monotone and threshold 1 covers everything") {
+    val rows = run("el_pareto_share").collect().sortBy(_.getAs[Long]("threshold"))
+    val t1 = rows.head
+    assert(t1.getAs[Long]("threshold") == 1L)
+    assert(t1.getAs[Long]("users_share_bp") == 10000L, "threshold 1 must cover all users")
+    assert(t1.getAs[Long]("events_share_bp") == 10000L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_users_ge") >= b.getAs[Long]("n_users_ge"), "CCDF not monotone")
+      assert(a.getAs[Long]("n_events_ge") >= b.getAs[Long]("n_events_ge"))
+    }
+    // brute-force one ladder rung against per-user counts
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getAs[Long]("count"))
+    val mid = rows(rows.length / 2)
+    val t = mid.getAs[Long]("threshold")
+    assert(mid.getAs[Long]("n_users_ge") == counts.count(_ >= t))
+    assert(mid.getAs[Long]("n_events_ge") == counts.filter(_ >= t).sum)
+  }
+
+  test("el_cuped: theta and adjusted means satisfy the CUPED identity") {
+    val rows = run("el_cuped").collect()
+    assert(rows.length == 2)
+    val n  = rows.map(_.getAs[Long]("n_users")).sum
+    val sx = rows.map(_.getAs[Long]("pre_cents")).sum
+    val theta = rows.head.getAs[Double]("theta")
+    assert(theta == rows(1).getAs[Double]("theta"), "theta must be pooled, not per-arm")
+    rows.foreach { r =>
+      val meanPost = r.getAs[Long]("post_cents").toDouble / r.getAs[Long]("n_users")
+      assert(r.getAs[Double]("mean_post") == meanPost)
+      val adj = meanPost - theta *
+        (r.getAs[Long]("pre_cents").toDouble / r.getAs[Long]("n_users") - sx.toDouble / n)
+      assert(math.abs(r.getAs[Double]("adj_mean_post") - adj) < 1e-9,
+        s"CUPED identity broken for ${r.getAs[String]("variant")}")
+    }
+    // theta against a brute-force covariance over the per-user table
+    val b = Tables.events(spark, sf)
+      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"),
+              col("event_type"), graft.functions.Portable.cents(col("value")).as("vc"))
+    val day0 = b.agg(min(col("d"))).collect()(0).getLong(0)
+    val pu = b.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase" && col("d") < day0 + 15,
+                    col("vc")).otherwise(0L)).as("x"),
+           sum(when(col("event_type") === "purchase" && col("d") >= day0 + 15,
+                    col("vc")).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val (nn, sxx, syy, sx2, sxy) = pu.foldLeft((0L, 0L, 0L, 0L, 0L)) {
+      case ((c, a, bb, x2, xy), (x, y)) => (c + 1, a + x, bb + y, x2 + x * x, xy + x * y)
+    }
+    assert(syy == rows.map(_.getAs[Long]("post_cents")).sum)
+    val bruteTheta = (nn * sxy - sxx * syy).toDouble / (nn * sx2 - sxx * sxx).toDouble
+    assert(math.abs(theta - bruteTheta) < 1e-12)
+  }
+
+  test("ta_compressibility: per-source ratios match a brute-force recompute") {
+    val out = run("ta_compressibility").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_bigrams"), r.getAs[Long]("distinct_bigrams"),
+         r.getAs[Long]("distinct_bp"))).toMap
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+    val brute = docs.groupBy(_.getAs[String]("source")).map { case (src, rs) =>
+      val perDoc = rs.map { r =>
+        val toks = r.getAs[String]("text").split(" ", -1)
+        val bi = toks.sliding(2).map(_.mkString(" ")).toSeq
+        (bi.size.toLong, bi.distinct.size.toLong)
+      }.filter(_._1 >= 1)
+      src -> (perDoc.map(_._1).sum, perDoc.map(_._2).sum)
+    }
+    brute.foreach { case (src, (nb, ndis)) =>
+      val (onb, ond, obp) = out(src)
+      assert(onb == nb, s"$src total bigrams")
+      assert(ond == ndis, s"$src distinct bigrams")
+      assert(obp == ndis * 10000 / nb, s"$src ratio")
+    }
+  }
+
+  test("ss_hybrid_rrf: fused scores recompute from ranks; dense arm agrees with ss_cosine_topk") {
+    val fused = run("ss_hybrid_rrf").collect()
+    assert(fused.length == 10)
+    fused.foreach { r =>
+      val rl = Option(r.getAs[Any]("r_lex")).map(_.asInstanceOf[Long])
+      val rd = Option(r.getAs[Any]("r_den")).map(_.asInstanceOf[Long])
+      assert(rl.isDefined || rd.isDefined, "a fused doc must appear in some arm")
+      val expect = rl.map(v => 1000000L / (60 + v)).getOrElse(0L) +
+                   rd.map(v => 1000000L / (60 + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_s") == expect)
+    }
+    // the dense arm's head must agree with ss_cosine_topk's qid=0 list
+    val topk = SparkEntry.queries("ss_cosine_topk")(spark, sf).collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    val densHead = fused.flatMap { r =>
+      Option(r.getAs[Any]("r_den")).map(v =>
+        (v.asInstanceOf[Long], r.getAs[Long]("doc_id")))
+    }.filter(_._1 <= 5)
+    assert(densHead.nonEmpty, "no dense-arm head docs reached the fused top 10")
+    densHead.foreach { case (rank, docId) =>
+      assert(topk(rank.toInt - 1) == docId,
+        s"dense rank $rank disagrees with ss_cosine_topk: $docId vs ${topk(rank.toInt - 1)}")
+    }
+  }
+}

@@ -157,7 +157,9 @@ class PlanAssertionsSpec extends SparkSpec {
     // rank window over the TakeOrdered head: ≤ 50 rows reach it
     "ta_zipf_rank",
     // same pattern: rank window over a 20-row TakeOrdered head
-    "ta_collocations")
+    "ta_collocations",
+    // both fusion arms rank over 50-row TakeOrdered heads
+    "ss_hybrid_rrf")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
