@@ -234,6 +234,79 @@ object GrowthQueries {
                * (col("pre_cents").cast("double") / col("n_users").cast("double")
                     - col("sx").cast("double") / col("n").cast("double"))).as("adj_mean_post"))
         .orderBy("variant")
+    },
+
+    // Poisson-bootstrap confidence interval for mean purchase value —
+    // the ONE bootstrap that works at log scale (Chamandy et al.,
+    // Google 2012): instead of materializing B resamples, each row
+    // draws an independent Poisson(1) replication weight per replicate,
+    // so the whole interval costs one pass with a B-fold in-flight
+    // explode that map-side-combines to B partial sums (never B data
+    // copies). Determinism: the weight is the inverse Poisson(1) CDF
+    // applied to a 32-bit md5 hash of (replicate, event_id) — the CDF
+    // breakpoints are hardcoded integer thresholds on the hash range
+    // (floor(cdf·2³²)), identical literals in both engines, so the
+    // "randomness" is hash-portable. The interval is read as ORDER
+    // STATISTICS of the 32 replicate means (2nd / 16-17th / 31st) via
+    // one sorted ≤32-element array — no cross-row double sums, so no
+    // float-order hazard; replicate means themselves are exact-BIGINT
+    // sums with one final IEEE division each.
+    "el_bootstrap_ci" -> Q({
+      val h = duckH("'boot|' || CAST(r.b AS VARCHAR) || '|' || CAST(p.event_id AS VARCHAR)", 8)
+      s"""WITH p AS (
+         |  SELECT event_id, ${duckCents("value")} AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |reps AS (SELECT unnest(range(0, 32)) AS b),
+         |hw AS (
+         |  SELECT p.x, r.b, $h AS h FROM p, reps r),
+         |w AS (
+         |  SELECT x, b,
+         |         CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+         |              WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+         |              WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+         |              WHEN h < 4294609777 THEN 6 ELSE 7 END AS w
+         |  FROM hw),
+         |m AS (
+         |  SELECT b, CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(w * x) AS BIGINT) AS swx
+         |  FROM w GROUP BY b),
+         |mm AS (
+         |  SELECT b, CASE WHEN sw = 0 THEN 0.0
+         |                 ELSE CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END AS mb
+         |  FROM m),
+         |arr AS (SELECT list_sort(list(mb)) AS a FROM mm),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM p)
+         |SELECT pt.n AS n_purchases,
+         |       CAST(pt.sx AS DOUBLE) / CAST(pt.n AS DOUBLE) AS point_mean_cents,
+         |       a[2] AS boot_lo, (a[16] + a[17]) / 2 AS boot_median, a[31] AS boot_hi,
+         |       CAST(32 AS BIGINT) AS n_replicates
+         |FROM pt, arr""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Portable.h32
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), cents(col("value")).as("x"))
+      val hw = p.select(col("x"), col("event_id"),
+                        explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("h", h32(concat(lit("boot|"), col("b").cast("string"),
+                                    lit("|"), col("event_id").cast("string"))))
+      val w = hw.withColumn("w",
+        when(col("h") < 1580030168L, 0L).when(col("h") < 3160060337L, 1L)
+          .when(col("h") < 3950075421L, 2L).when(col("h") < 4213413783L, 3L)
+          .when(col("h") < 4279248373L, 4L).when(col("h") < 4292415291L, 5L)
+          .when(col("h") < 4294609777L, 6L).otherwise(7L))
+      val mm = w.groupBy("b")
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+        .select(when(col("sw") === 0, lit(0.0))
+                  .otherwise(col("swx").cast("double") / col("sw").cast("double")).as("mb"))
+      val arr = mm.agg(sort_array(collect_list(col("mb"))).as("a"))
+      val pt = p.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      pt.crossJoin(broadcast(arr))
+        .select(col("n").as("n_purchases"),
+                (col("sx").cast("double") / col("n").cast("double")).as("point_mean_cents"),
+                element_at(col("a"), 2).as("boot_lo"),
+                ((element_at(col("a"), 16) + element_at(col("a"), 17)) / 2).as("boot_median"),
+                element_at(col("a"), 31).as("boot_hi"),
+                lit(32L).as("n_replicates"))
     }
   )
 }

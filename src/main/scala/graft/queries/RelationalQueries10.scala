@@ -62,6 +62,35 @@ object RelationalQueries10 {
         .groupBy("s_a", "s_b").agg(count(lit(1)).as("ns"))
         .localCheckpoint(true))
 
+  /** `rounds` peel iterations toward the k-core of the (s_a, s_b) edge
+    * frame; one trajectory row per round. Factored out so the spec can
+    * drive it on constructed graphs where peeling actually fires (the
+    * corpus support graph at test SFs is near-complete). */
+  private[queries] def peel(e0: org.apache.spark.sql.DataFrame, k: Int,
+                            rounds: Int): org.apache.spark.sql.DataFrame = {
+    var e = e0
+    val stats = (1 to rounds).map { r =>
+      val deg = e.select(col("s_a").as("v"))
+        .union(e.select(col("s_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true) // feeds keep, the stat row, AND the peel
+      val keep = deg.filter(col("dg") >= k).select("v")
+      e = e
+        .join(broadcast(keep.select(col("v").as("s_a"))), "s_a")
+        .join(broadcast(keep.select(col("v").as("s_b"))), "s_b")
+        .select("s_a", "s_b")
+        .localCheckpoint(true) // flat lineage per round (≤K rows)
+      val counts = deg.agg(count(lit(1)).as("n_all"),
+                           sum(when(col("dg") >= k, 1L).otherwise(0L)).as("n_keep"))
+      counts.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r.toLong).as("round"),
+                col("n_keep").as("n_nodes"),
+                (col("n_all") - col("n_keep")).as("n_removed"),
+                col("n_edges"))
+    }
+    stats.reduce(_.unionAll(_)).orderBy("round")
+  }
+
   def defs: Map[String, Q] = Map(
 
     "q57_triangle_census" -> Q(
@@ -128,6 +157,64 @@ object RelationalQueries10 {
                 expr("cast(case when n_wedges = 0 then 0 " +
                      "else (3000000 * n_tri) div n_wedges end as bigint)")
                   .as("closure_ppm"))
+    },
+
+    // k-core peeling over the same top-K support graph — the fourth
+    // classic graph primitive (after rank, components, triangles): the
+    // densest-cohesion filter behind community seeding and spam-graph
+    // pruning. Semantics are FOUR declared peel rounds toward the
+    // 3-core (round count is the parameter, like q50's propagation
+    // rounds and IVF's k/nprobe — a fixpoint loop with unknown depth is
+    // not an SF-stable declared query), reporting the full trajectory
+    // (nodes surviving, nodes peeled, edges left) so convergence is
+    // visible in the output: a round with n_removed = 0 IS the 3-core.
+    // Scale shape: each round is degree-count + two semi-join-shaped
+    // equi-joins on the ≤K-edge frame (checkpointed per round to keep
+    // the 4-round lineage flat — the dd_dup_clusters discipline); the
+    // peel never touches the underlying corpus again.
+    "q63_kcore" -> Q({
+      // MATERIALIZED: every round's frames are referenced 2-4× downstream;
+      // without the hint DuckDB re-inlines the whole chain per reference
+      // (exponential re-evaluation of the co-supply self-join)
+      val rounds = (1 to 4).map { r =>
+        s"""deg$r AS MATERIALIZED (
+           |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+           |    SELECT s_a AS v FROM e${r - 1} UNION ALL SELECT s_b FROM e${r - 1})
+           |  GROUP BY v),
+           |keep$r AS MATERIALIZED (SELECT v FROM deg$r WHERE dg >= 3),
+           |e$r AS MATERIALIZED (
+           |  SELECT t.s_a, t.s_b FROM e${r - 1} t
+           |  JOIN keep$r ka ON t.s_a = ka.v JOIN keep$r kb ON t.s_b = kb.v),
+           |stat$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$r) AS n_nodes,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg$r)
+           |           - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$r) AS n_removed,
+           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sets AS MATERIALIZED (
+         |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cust, COUNT(*) AS dc FROM sets GROUP BY cust),
+         |w AS (
+         |  SELECT a.supp AS s_a, b.supp AS s_b
+         |  FROM sets a JOIN sets b ON a.cust = b.cust AND a.supp < b.supp
+         |  JOIN d ON a.cust = d.cust AND d.dc <= 40),
+         |e0 AS MATERIALIZED (
+         |  SELECT s_a, s_b FROM (
+         |    SELECT s_a, s_b, COUNT(*) AS ns FROM w GROUP BY s_a, s_b
+         |    ORDER BY ns DESC, s_a, s_b LIMIT $EdgeBudget)),
+         |$rounds
+         |SELECT * FROM stat1 UNION ALL SELECT * FROM stat2
+         |UNION ALL SELECT * FROM stat3 UNION ALL SELECT * FROM stat4
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      val e0 = coSupplyCounts(s, d)
+        .orderBy(col("ns").desc, col("s_a"), col("s_b")).limit(EdgeBudget)
+        .select("s_a", "s_b")
+        .localCheckpoint(true)
+      peel(e0, k = 3, rounds = 4)
     },
 
     // Blocked entity-resolution self-join — record linkage on RELATIONAL

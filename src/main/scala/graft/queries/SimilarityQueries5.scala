@@ -352,6 +352,92 @@ object SimilarityQueries5 {
                 col("r_lex"), col("r_den"))
         .orderBy(col("rrf_s").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    // greedy selection of 5 results from the top-20 cosine candidates,
+    // each step maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-selected (λ = 0.7) — the redundancy-suppressing re-rank
+    // every retrieval stack bolts onto its ANN head. The greedy loop is
+    // inherently sequential, so it runs UNROLLED over the k=5 steps on
+    // the CANDIDATE frame (20 rows, checkpointed once — index-head
+    // scale, never corpus scale): per step one max-over-selected
+    // aggregate (≤20·|sel| rows) and one TakeOrdered-1. The corpus is
+    // touched exactly once, by the candidate scan (the ss_cosine_topk
+    // broadcast-query shape). Scores are fixed IEEE trees over portable
+    // cosines — hash-exact; ties break on doc_id. The DuckDB twin
+    // unrolls the same five steps (MATERIALIZED: each step is
+    // referenced by every later step's NOT-IN and max-sim join).
+    "ss_mmr_diversify" -> Q({
+      val steps = (2 to 5).map { i =>
+        s"""sel${i - 1} AS MATERIALIZED (
+           |  ${(1 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ")}),
+           |p$i AS MATERIALIZED (
+           |  SELECT c.doc_id, c.rel, 0.7*c.rel - 0.3*MAX(s.s) AS mmr
+           |  FROM ce c JOIN sims s ON c.doc_id = s.da
+           |  JOIN sel${i - 1} ss ON s.db = ss.doc_id
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+           |  GROUP BY c.doc_id, c.rel),
+           |s$i AS MATERIALIZED (
+           |  SELECT doc_id, rel, mmr, CAST($i AS BIGINT) AS rank
+           |  FROM p$i ORDER BY mmr DESC, doc_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id, cos AS rel FROM (
+         |    SELECT e.vec_id, ${duckCosine("e.embedding", "dq.qv")} AS cos
+         |    FROM embeddings e, dq WHERE e.vec_id <> 0)
+         |  ORDER BY cos DESC, vec_id LIMIT 20),
+         |ce AS MATERIALIZED (
+         |  SELECT c.doc_id, c.rel, e.embedding
+         |  FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id),
+         |sims AS MATERIALIZED (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS s
+         |  FROM ce a, ce b WHERE a.doc_id <> b.doc_id),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id, rel, 0.7*rel - 0.3*0.0 AS mmr, CAST(1 AS BIGINT) AS rank
+         |  FROM ce ORDER BY rel DESC, doc_id LIMIT 1),
+         |$steps
+         |SELECT rank, doc_id, rel, mmr FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+         |ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val dq = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val ce = e.crossJoin(broadcast(dq)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+                (nativeDot(col("embedding"), col("qv"))
+                   / (col("nrm") * col("qnrm"))).as("rel"),
+                col("embedding"), col("nrm"))
+        .orderBy(col("rel").desc, col("doc_id")).limit(20)
+        .localCheckpoint(true) // 20-row candidate head; feeds sims + all steps
+      val a = ce.select(col("doc_id").as("da"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = ce.select(col("doc_id").as("db"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val sims = a.crossJoin(broadcast(b)).filter(col("da") =!= col("db"))
+        .select(col("da"), col("db"),
+                (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+        .localCheckpoint(true) // 20×19 pairwise sims, built once
+      var sel = ce
+        .select(col("doc_id"), col("rel"),
+                (lit(0.7) * col("rel") - lit(0.3) * lit(0.0)).as("mmr"))
+        .orderBy(col("rel").desc, col("doc_id")).limit(1)
+        .withColumn("rank", lit(1L))
+      (2 to 5).foreach { i =>
+        val ms = sims.join(broadcast(sel.select(col("doc_id").as("db"))), "db")
+          .groupBy("da").agg(max(col("s")).as("ms"))
+        val pick = ce.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+          .join(ms.withColumnRenamed("da", "doc_id"), "doc_id")
+          .select(col("doc_id"), col("rel"),
+                  (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("mmr"))
+          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+          .withColumn("rank", lit(i.toLong))
+        sel = sel.unionByName(pick).localCheckpoint(true) // ≤5 rows
+      }
+      sel.select(col("rank"), col("doc_id"), col("rel"), col("mmr")).orderBy("rank")
     }
   )
 }

@@ -116,6 +116,41 @@ class GrowthSpec extends SparkSpec {
     assert(math.abs(theta - bruteTheta) < 1e-12)
   }
 
+  test("el_bootstrap_ci: interval matches a driver-side hash-replay of all 32 replicates") {
+    val r = run("el_bootstrap_ci").collect()(0)
+    assert(r.getAs[Double]("boot_lo") <= r.getAs[Double]("boot_median") &&
+           r.getAs[Double]("boot_median") <= r.getAs[Double]("boot_hi"))
+    // brute force: same md5-based Poisson(1) inverse-CDF weights in the JVM
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val cuts = Array(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+                     4279248373L, 4292415291L, 4294609777L)
+    def w(h: Long): Long = { val i = cuts.indexWhere(h < _); if (i < 0) 7L else i.toLong }
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), graft.functions.Portable.cents(col("value")).as("x"))
+      .collect().map(row => (row.getAs[Long]("event_id"), row.getAs[Long]("x")))
+    assert(r.getAs[Long]("n_purchases") == purchases.length)
+    val means = (0 until 32).map { b =>
+      var sw = 0L; var swx = 0L
+      purchases.foreach { case (id, x) =>
+        val wt = w(h32(s"boot|$b|$id")); sw += wt; swx += wt * x
+      }
+      if (sw == 0) 0.0 else swx.toDouble / sw.toDouble
+    }.sorted
+    assert(r.getAs[Double]("boot_lo") == means(1))
+    assert(r.getAs[Double]("boot_hi") == means(30))
+    assert(r.getAs[Double]("boot_median") == (means(15) + means(16)) / 2)
+    assert(r.getAs[Double]("point_mean_cents") ==
+      purchases.map(_._2).sum.toDouble / purchases.length)
+    // the interval should bracket the point estimate on a healthy sample
+    assert(r.getAs[Double]("boot_lo") <= r.getAs[Double]("point_mean_cents") &&
+           r.getAs[Double]("point_mean_cents") <= r.getAs[Double]("boot_hi"))
+  }
+
   test("ta_compressibility: per-source ratios match a brute-force recompute") {
     val out = run("ta_compressibility").collect()
       .map(r => r.getAs[String]("source") ->

@@ -146,4 +146,34 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(first.getAs[Double]("y0") - y0) < 1e-9,
       s"y0 ${first.getAs[Double]("y0")} != direct $y0")
   }
+
+  test("ss_mmr_diversify: selection matches a brute-force greedy MMR replay") {
+    val out = SparkEntry.queries("ss_mmr_diversify")(spark, sf).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // brute force: same candidates (top-20 cosine to vec 0), same greedy
+    val qv = vecs(0L)
+    val cands = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    var selected = Vector.empty[Long]
+    val picks = (1 to 5).map { _ =>
+      val scored = cands.filterNot(c => selected.contains(c._1)).map { case (id, rel) =>
+        val ms = if (selected.isEmpty) 0.0
+                 else selected.map(sid => cos(vecs(id), vecs(sid))).max
+        (id, 0.7 * rel - 0.3 * ms)
+      }
+      val best = scored.minBy { case (id, sc) => (-sc, id) }
+      selected = selected :+ best._1
+      best
+    }
+    out.zip(picks).foreach { case (row, (id, sc)) =>
+      assert(row.getAs[Long]("doc_id") == id,
+        s"rank ${row.getAs[Long]("rank")}: ${row.getAs[Long]("doc_id")} != brute $id")
+      assert(math.abs(row.getAs[Double]("mmr") - sc) < 1e-12)
+    }
+    // diversification must actually reorder vs pure relevance beyond rank 1
+    assert(out.head.getAs[Long]("doc_id") == cands.head._1,
+      "rank 1 must be the pure-relevance argmax")
+  }
 }
