@@ -58,7 +58,7 @@ object GrowthQueries {
         |FROM c GROUP BY day_idx ORDER BY day_idx""".stripMargin) { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"),
-                (unix_micros(col("ts")) / US_PER_DAY).cast("long").as("day_idx"))
+                expr(s"unix_micros(ts) div $US_PER_DAY").as("day_idx"))
         .distinct()
       val wAll = Window.partitionBy(col("user_id"))
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
@@ -99,7 +99,7 @@ object GrowthQueries {
         |FROM g ORDER BY event_type, hour_of_day""".stripMargin) { (s, d) =>
       val g = Tables.events(s, d)
         .select(col("event_type"),
-                ((unix_micros(col("ts")) / US_PER_HOUR) % 24).cast("long").as("hour_of_day"))
+                expr(s"(unix_micros(ts) div $US_PER_HOUR) % 24").as("hour_of_day"))
         .groupBy("event_type", "hour_of_day")
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type"))
@@ -205,7 +205,7 @@ object GrowthQueries {
     }) { (s, d) =>
       val b = Tables.events(s, d)
         .select(col("user_id"),
-                (unix_micros(col("ts")) / US_PER_DAY).cast("long").as("day_idx"),
+                expr(s"unix_micros(ts) div $US_PER_DAY").as("day_idx"),
                 col("event_type"), cents(col("value")).as("vc"))
       val t0 = b.agg(min(col("day_idx")).as("day0"))
       val pu = b.crossJoin(broadcast(t0))

@@ -63,12 +63,20 @@ object RelationalQueries10 {
         .localCheckpoint(true))
 
   /** `rounds` peel iterations toward the k-core of the (s_a, s_b) edge
-    * frame; one trajectory row per round. Factored out so the spec can
-    * drive it on constructed graphs where peeling actually fires (the
-    * corpus support graph at test SFs is near-complete). */
+    * frame; one trajectory row per round. `n_removed` is the drop in the
+    * SURVIVOR count versus the previous round (round 1: versus the
+    * distinct nodes of the input), so it counts BOTH low-degree peels and
+    * nodes a peel isolated (degree-0 nodes never reappear in the next
+    * degree table — without the survivor baseline they would vanish
+    * uncounted and Σ n_removed would not reconcile with n_nodes).
+    * Factored out so the spec can drive it on constructed graphs where
+    * peeling actually fires (the corpus support graph at test SFs is
+    * near-complete). */
   private[queries] def peel(e0: org.apache.spark.sql.DataFrame, k: Int,
                             rounds: Int): org.apache.spark.sql.DataFrame = {
     var e = e0
+    var prev = e0.select(col("s_a").as("v")).union(e0.select(col("s_b").as("v")))
+      .distinct().agg(count(lit(1)).as("n_prev"))
     val stats = (1 to rounds).map { r =>
       val deg = e.select(col("s_a").as("v"))
         .union(e.select(col("s_b").as("v")))
@@ -80,13 +88,20 @@ object RelationalQueries10 {
         .join(broadcast(keep.select(col("v").as("s_b"))), "s_b")
         .select("s_a", "s_b")
         .localCheckpoint(true) // flat lineage per round (≤K rows)
-      val counts = deg.agg(count(lit(1)).as("n_all"),
-                           sum(when(col("dg") >= k, 1L).otherwise(0L)).as("n_keep"))
-      counts.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      // coalesce: SUM over an emptied graph is NULL while the oracle's
+      // COUNT(*) FROM keep is 0 — the twins must agree when peeling
+      // dissolves the graph entirely (KcoreSpec's chain case)
+      val counts = deg
+        .agg(coalesce(sum(when(col("dg") >= k, 1L).otherwise(0L)), lit(0L)).as("n_keep"))
+        .localCheckpoint(true) // this round's stat AND the next round's baseline
+      val stat = counts.crossJoin(broadcast(prev))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
         .select(lit(r.toLong).as("round"),
                 col("n_keep").as("n_nodes"),
-                (col("n_all") - col("n_keep")).as("n_removed"),
+                (col("n_prev") - col("n_keep")).as("n_removed"),
                 col("n_edges"))
+      prev = counts.select(col("n_keep").as("n_prev"))
+      stat
     }
     stats.reduce(_.unionAll(_)).orderBy("round")
   }
@@ -177,6 +192,11 @@ object RelationalQueries10 {
       // without the hint DuckDB re-inlines the whole chain per reference
       // (exponential re-evaluation of the co-supply self-join)
       val rounds = (1 to 4).map { r =>
+        // n_removed baseline: previous round's SURVIVOR count (round 1:
+        // distinct input nodes) so peel-isolated nodes are counted too
+        val prevCount =
+          if (r == 1) "(SELECT n FROM nodes0)"
+          else s"(SELECT CAST(COUNT(*) AS BIGINT) FROM keep${r - 1})"
         s"""deg$r AS MATERIALIZED (
            |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
            |    SELECT s_a AS v FROM e${r - 1} UNION ALL SELECT s_b FROM e${r - 1})
@@ -188,7 +208,7 @@ object RelationalQueries10 {
            |stat$r AS (
            |  SELECT CAST($r AS BIGINT) AS round,
            |         (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$r) AS n_nodes,
-           |         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg$r)
+           |         $prevCount
            |           - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$r) AS n_removed,
            |         (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges)""".stripMargin
       }.mkString(",\n")
@@ -205,6 +225,9 @@ object RelationalQueries10 {
          |  SELECT s_a, s_b FROM (
          |    SELECT s_a, s_b, COUNT(*) AS ns FROM w GROUP BY s_a, s_b
          |    ORDER BY ns DESC, s_a, s_b LIMIT $EdgeBudget)),
+         |nodes0 AS MATERIALIZED (
+         |  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n FROM (
+         |    SELECT s_a AS v FROM e0 UNION ALL SELECT s_b FROM e0)),
          |$rounds
          |SELECT * FROM stat1 UNION ALL SELECT * FROM stat2
          |UNION ALL SELECT * FROM stat3 UNION ALL SELECT * FROM stat4

@@ -31,7 +31,7 @@ class GrowthSpec extends SparkSpec {
     }
     // brute force one middle day: recompute the four classes directly
     val ud = Tables.events(spark, sf)
-      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val byUser = ud.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
     val day = rows(rows.length / 2).getAs[Long]("day_idx")
@@ -99,7 +99,7 @@ class GrowthSpec extends SparkSpec {
     }
     // theta against a brute-force covariance over the per-user table
     val b = Tables.events(spark, sf)
-      .select(col("user_id"), (unix_micros(col("ts")) / 86400000000L).cast("long").as("d"),
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
               col("event_type"), graft.functions.Portable.cents(col("value")).as("vc"))
     val day0 = b.agg(min(col("d"))).collect()(0).getLong(0)
     val pu = b.groupBy("user_id")
@@ -158,11 +158,13 @@ class GrowthSpec extends SparkSpec {
          r.getAs[Long]("distinct_bp"))).toMap
     val docs = Tables.documents(spark, sf).select("source", "text").collect()
     val brute = docs.groupBy(_.getAs[String]("source")).map { case (src, rs) =>
-      val perDoc = rs.map { r =>
-        val toks = r.getAs[String]("text").split(" ", -1)
-        val bi = toks.sliding(2).map(_.mkString(" ")).toSeq
-        (bi.size.toLong, bi.distinct.size.toLong)
-      }.filter(_._1 >= 1)
+      val perDoc = rs.map(_.getAs[String]("text").split(" ", -1))
+        .filter(_.length >= 2) // match the query's size(toks) >= 2 guard:
+        // sliding(2) on a 1-token doc emits a partial window (a phantom bigram)
+        .map { toks =>
+          val bi = toks.sliding(2).map(_.mkString(" ")).toSeq
+          (bi.size.toLong, bi.distinct.size.toLong)
+        }
       src -> (perDoc.map(_._1).sum, perDoc.map(_._2).sum)
     }
     brute.foreach { case (src, (nb, ndis)) =>

@@ -37,10 +37,18 @@ class KcoreSpec extends graft.SparkSpec {
     val e0 = spark.createDataFrame(path).toDF("s_a", "s_b")
     val out = RelationalQueries10.peel(e0, k = 2, rounds = 3).collect()
     assert(out(0).getAs[Long]("n_nodes") == 3)  // 2,3,4 survive round 1
+    assert(out(0).getAs[Long]("n_removed") == 2) // endpoints 1, 5
     assert(out(0).getAs[Long]("n_edges") == 2)  // 2-3, 3-4
     assert(out(1).getAs[Long]("n_nodes") == 1)  // only 3 has degree 2... peeled next
+    assert(out(1).getAs[Long]("n_removed") == 2) // 2 and 4 drop below k
     assert(out(2).getAs[Long]("n_nodes") == 0)  // chain fully dissolved
+    assert(out(2).getAs[Long]("n_removed") == 1) // node 3, ISOLATED by round 2's
+                                                 // peel — counted via the
+                                                 // survivor-baseline accounting
     assert(out(2).getAs[Long]("n_edges") == 0)
+    // the trajectory reconciles: survivors + all removals = input nodes
+    assert(out(2).getAs[Long]("n_nodes") +
+      out.map(_.getAs[Long]("n_removed")).sum == 5)
   }
 
   test("q63_kcore: corpus trajectory is monotone and convergence-consistent") {
@@ -49,6 +57,9 @@ class KcoreSpec extends graft.SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getAs[Long]("n_nodes") <= a.getAs[Long]("n_nodes"), "nodes grew")
       assert(b.getAs[Long]("n_edges") <= a.getAs[Long]("n_edges"), "edges grew")
+      // survivor-baseline accounting: removals explain the node drop exactly
+      assert(b.getAs[Long]("n_nodes") + b.getAs[Long]("n_removed") ==
+        a.getAs[Long]("n_nodes"), "n_removed does not reconcile")
       // a converged round stays converged with identical state
       if (a.getAs[Long]("n_removed") == 0) {
         assert(b.getAs[Long]("n_removed") == 0)
