@@ -295,6 +295,120 @@ object FunnelQueries {
              sum(col("n")).as("n_matches"),
              max(col("n")).cast("long").as("max_user_matches"))
         .orderBy("pattern")
+    },
+
+    // Time-to-convert histogram: among users whose first purchase
+    // follows their first view, the view→purchase latency bucketed on
+    // the standard analytics ladder (<1m, 1-5m, 5-15m, 15-60m, 1-4h,
+    // 4h+, keyed by the bucket's lower bound in minutes). Scale shape:
+    // one conditional-min pass collapses the log to per-user first-view
+    // timestamps; the purchase side re-enters via a user-keyed equi-join
+    // against that aggregated dim (events join a USER-scale frame, not
+    // the log); the histogram is one map-side-combined rollup.
+    // All-integer microsecond arithmetic.
+    "el_funnel_latency" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS tv
+        |  FROM e GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(e.us) - fv.tv AS lat_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND fv.tv IS NOT NULL AND e.us > fv.tv
+        |  GROUP BY e.user_id, fv.tv),
+        |b AS (
+        |  SELECT user_id, lat_us, lat_us // 60000000 AS lm FROM conv)
+        |SELECT CAST(CASE WHEN lm < 1 THEN 0 WHEN lm < 5 THEN 1 WHEN lm < 15 THEN 5
+        |                 WHEN lm < 60 THEN 15 WHEN lm < 240 THEN 60
+        |                 ELSE 240 END AS BIGINT) AS bucket_lo_min,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+        |       CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      val fv = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("tv"))
+        .filter(col("tv").isNotNull)
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("us") > col("tv"))
+        .groupBy("user_id", "tv").agg((min(col("us")) - col("tv")).as("lat_us"))
+        .select(col("user_id"), col("lat_us"),
+                expr("lat_us div 60000000").as("lm"))
+      conv.groupBy(
+          when(col("lm") < 1, 0L).when(col("lm") < 5, 1L).when(col("lm") < 15, 5L)
+            .when(col("lm") < 60, 15L).when(col("lm") < 240, 60L).otherwise(240L)
+            .as("bucket_lo_min"))
+        .agg(count(lit(1)).as("n_users"),
+             min(col("lat_us")).as("min_lat_us"),
+             max(col("lat_us")).as("max_lat_us"))
+        .orderBy("bucket_lo_min")
+    },
+
+    // SCD2 read-as-of: reconstruct every user's state at a fixed
+    // mid-corpus instant (first event + 15 days) from the same
+    // change-interval table el_scd2_intervals builds — the time-travel
+    // read that turns a change log into a snapshot. Scale shape: the
+    // interval derivation is the el_scd2_intervals plan (per-user
+    // windows on the log); the as-of cut is a broadcast-scalar filter
+    // (valid_from ≤ T < valid_to, open current rows included) — one row
+    // per user survives, no second pass over the log.
+    "el_asof_snapshot" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+        |t0 AS (SELECT MIN(us) + 1296000000000 AS tcut FROM e),
+        |x AS (
+        |  SELECT *, CASE WHEN LAG(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |                 OR LAG(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY us, event_id) <> event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, version, MIN(event_type) AS event_type,
+        |         MIN(us) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, version),
+        |iv AS (
+        |  SELECT user_id, version, event_type, valid_from,
+        |         LEAD(valid_from) OVER
+        |           (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM g)
+        |SELECT iv.user_id, CAST(iv.version AS INTEGER) AS version, iv.event_type,
+        |       CAST(iv.valid_from AS BIGINT) AS valid_from,
+        |       CAST(t0.tcut - iv.valid_from AS BIGINT) AS held_us
+        |FROM iv, t0
+        |WHERE iv.valid_from <= t0.tcut
+        |  AND (iv.valid_to IS NULL OR iv.valid_to > t0.tcut)
+        |ORDER BY iv.user_id""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                expr("unix_micros(ts)").as("us"))
+      val t0 = e.agg((min(col("us")) + 1296000000000L).as("tcut"))
+      val lagT = lag(col("event_type"), 1).over(wSeq)
+      val iv = e
+        .withColumn("chg", when(lagT.isNull || lagT =!= col("event_type"), 1)
+                             .otherwise(0))
+        .withColumn("version", sum(col("chg")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("event_type"),
+             min(col("us")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      iv.crossJoin(broadcast(t0))
+        .filter(col("valid_from") <= col("tcut") &&
+                (col("valid_to").isNull || col("valid_to") > col("tcut")))
+        .select(col("user_id"), col("version").cast("int").as("version"),
+                col("event_type"), col("valid_from"),
+                (col("tcut") - col("valid_from")).as("held_us"))
+        .orderBy("user_id")
     }
   )
 }

@@ -400,6 +400,57 @@ object MultimodalQueries {
              max(abs(col("delta"))).as("max_abs_delta"),
              min(when(abs(col("delta")) > 300, col("frame_no"))).as("first_cut_frame"))
         .orderBy("doc_id")
+    },
+
+    // Pixel-intensity histogram profile — the exposure/contrast summary
+    // an image-curation gate reads (flat histogram ⇒ noise, one-bucket
+    // histogram ⇒ blank/overexposed): per "image" (first 256 byte
+    // pixels, same fake-decode contract as mm_audio_energy), the
+    // 32-wide intensity buckets used, the modal bucket (ties to the
+    // LOWEST bucket via a max-count + min-bucket two-level aggregate —
+    // no argmax nondeterminism), its population, and the dynamic range.
+    // Scale shape: posexplode → (doc, bucket) counts map-side combined,
+    // then two doc-keyed rollups — ≤8 bucket rows per doc, all-integer.
+    "mm_pixel_hist" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, 257)) u(i)
+        |  WHERE length(d.text) > 0 AND u.i <= least(256, length(d.text))),
+        |bc AS (
+        |  SELECT doc_id, p // 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(MIN(p) AS BIGINT) AS pmin, CAST(MAX(p) AS BIGINT) AS pmax
+        |  FROM px GROUP BY doc_id, p // 32),
+        |mx AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px,
+        |         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         CAST(MAX(c) AS BIGINT) AS mode_count,
+        |         CAST(MIN(pmin) AS BIGINT) AS p_lo, CAST(MAX(pmax) AS BIGINT) AS p_hi
+        |  FROM bc GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_px, m.n_buckets,
+        |       CAST(MIN(b.bucket) AS BIGINT) AS mode_bucket, m.mode_count,
+        |       m.p_hi - m.p_lo AS dynamic_range
+        |FROM mx m JOIN bc b ON m.doc_id = b.doc_id AND b.c = m.mode_count
+        |GROUP BY m.doc_id, m.n_px, m.n_buckets, m.mode_count, m.p_hi - m.p_lo
+        |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val px = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+                posexplode(expr("slice(split(text, ''), 1, 256)")).as(Seq("i", "ch")))
+        .select(col("doc_id"), ascii(col("ch")).cast("long").as("p"))
+      val bc = px.groupBy(col("doc_id"), expr("p div 32").as("bucket"))
+        .agg(count(lit(1)).as("c"), min(col("p")).as("pmin"), max(col("p")).as("pmax"))
+      val mx = bc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_px"), count(lit(1)).as("n_buckets"),
+             max(col("c")).as("mode_count"),
+             min(col("pmin")).as("p_lo"), max(col("pmax")).as("p_hi"))
+      mx.join(bc.select(col("doc_id"), col("bucket"), col("c")), "doc_id")
+        .filter(col("c") === col("mode_count"))
+        .groupBy("doc_id", "n_px", "n_buckets", "mode_count", "p_lo", "p_hi")
+        .agg(min(col("bucket")).as("mode_bucket"))
+        .select(col("doc_id"), col("n_px"), col("n_buckets"), col("mode_bucket"),
+                col("mode_count"), (col("p_hi") - col("p_lo")).as("dynamic_range"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -218,6 +218,51 @@ object TextQueries5 {
              min(expr("(n_dist * 10000) div n_bi")).as("min_doc_bp"),
              max(expr("(n_dist * 10000) div n_bi")).as("max_doc_bp"))
         .orderBy("source")
+    },
+
+    // Per-document keyword extraction: top-3 tokens by scaled-integer
+    // tf·idf — the "what is this document about" label every retrieval
+    // and clustering pipeline derives first (the per-doc sibling of the
+    // corpus-level ta_tfidf). idf is the same integer-scaled BM25-style
+    // ((N−df)·10⁴)//(df+1) as ta_bm25_search, so scores are BIGINTs and
+    // rank ties break on the token string. Scale shape: (doc, token)
+    // counts map-side combine, the df dim is vocabulary-scale, the
+    // score join is a token equi-join, and the top-3 cut is a window
+    // PARTITIONED BY doc — per-doc state only, never a global sort.
+    "ta_keywords_per_doc" -> Q(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         tf.tf * (((nd.n_docs - df.df) * 10000) // (df.df + 1)) AS score_s
+         |  FROM tf JOIN df ON tf.token = df.token, nd),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                               ORDER BY score_s DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df, score_s
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_s").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+                expr("tf * (((n_docs - df) * 10000) div (df + 1))").as("score_s"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+                col("score_s"))
+        .orderBy("doc_id", "rank")
     }
   )
 }
