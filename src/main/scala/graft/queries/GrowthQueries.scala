@@ -307,6 +307,103 @@ object GrowthQueries {
                 ((element_at(col("a"), 16) + element_at(col("a"), 17)) / 2).as("boot_median"),
                 element_at(col("a"), 31).as("boot_hi"),
                 lit(32L).as("n_replicates"))
+    },
+
+    // User-lifetime survival ladder — the retention CCDF with explicit
+    // right-censoring: lifetime = last active day − first active day;
+    // users still active on the corpus's final day are censored (their
+    // true lifetime exceeds what the log shows — the Kaplan-Meier
+    // caveat, reported as a per-rung censored count instead of a
+    // product-limit estimate so the table stays all-integer). Scale
+    // shape: one map-side-combined per-user (first, last) aggregate,
+    // a broadcast corpus-max-day scalar, a 10-row broadcast ladder dim.
+    "el_survival" -> Q(
+      """WITH ud AS (
+        |  SELECT user_id,
+        |         MIN(epoch_ns(ts)//1000//86400000000) AS fd,
+        |         MAX(epoch_ns(ts)//1000//86400000000) AS ld
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT MAX(ld) AS max_day, CAST(COUNT(*) AS BIGINT) AS n_users FROM ud),
+        |u AS (
+        |  SELECT user_id, ld - fd AS lifetime,
+        |         CASE WHEN ld = mx.max_day THEN 1 ELSE 0 END AS censored
+        |  FROM ud, mx),
+        |th AS (SELECT CAST(unnest([0,1,2,3,5,7,10,14,21,28]) AS BIGINT) AS min_lifetime_days)
+        |SELECT th.min_lifetime_days,
+        |       CAST(SUM(CASE WHEN u.lifetime >= th.min_lifetime_days THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_surviving,
+        |       CAST(SUM(CASE WHEN u.lifetime >= th.min_lifetime_days
+        |                     THEN u.censored ELSE 0 END) AS BIGINT) AS n_censored,
+        |       (CAST(SUM(CASE WHEN u.lifetime >= th.min_lifetime_days THEN 1 ELSE 0 END)
+        |             AS BIGINT) * 10000) // mx.n_users AS surviving_bp
+        |FROM u, th, mx
+        |GROUP BY th.min_lifetime_days, mx.n_users
+        |ORDER BY th.min_lifetime_days""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $US_PER_DAY").as("day_idx"))
+        .groupBy("user_id")
+        .agg(min(col("day_idx")).as("fd"), max(col("day_idx")).as("ld"))
+      val mx = ud.agg(max(col("ld")).as("max_day"), count(lit(1)).as("n_users"))
+      val u = ud.crossJoin(broadcast(mx))
+        .select((col("ld") - col("fd")).as("lifetime"),
+                when(col("ld") === col("max_day"), 1L).otherwise(0L).as("censored"))
+      val th = u.sparkSession.range(1).select(
+        explode(array(Seq(0L, 1L, 2L, 3L, 5L, 7L, 10L, 14L, 21L, 28L).map(lit): _*))
+          .as("min_lifetime_days"))
+      u.crossJoin(broadcast(th))
+        .groupBy("min_lifetime_days")
+        .agg(sum(when(col("lifetime") >= col("min_lifetime_days"), 1L).otherwise(0L))
+               .as("n_surviving"),
+             sum(when(col("lifetime") >= col("min_lifetime_days"), col("censored"))
+               .otherwise(0L)).as("n_censored"))
+        .crossJoin(broadcast(mx.select("n_users")))
+        .select(col("min_lifetime_days"), col("n_surviving"), col("n_censored"),
+                expr("(n_surviving * 10000) div n_users").as("surviving_bp"))
+        .orderBy("min_lifetime_days")
+    },
+
+    // DAU / trailing-7-day WAU stickiness — the engagement ratio. The
+    // trailing-distinct problem (distinct users over a sliding window)
+    // is reformulated SCATTER-side: each (user, active day) contributes
+    // itself to the 7 window END-days it falls inside, a 7-fold explode
+    // of the user-days DIM (never the event log), deduped per (user,
+    // window) by one distinct — no windowed COUNT DISTINCT, no
+    // re-scan per window offset. Window ends past the corpus edge are
+    // dropped by a broadcast max-day filter.
+    "el_stickiness" -> Q(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts)//1000//86400000000 AS day_idx
+        |  FROM events),
+        |mx AS (SELECT MAX(day_idx) AS max_day FROM ud),
+        |dau AS (
+        |  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day_idx),
+        |scat AS (
+        |  SELECT DISTINCT ud.user_id, ud.day_idx + u.i AS wend
+        |  FROM ud, unnest(range(0, 7)) u(i)),
+        |wau AS (
+        |  SELECT s.wend AS day_idx, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM scat s, mx WHERE s.wend <= mx.max_day GROUP BY s.wend)
+        |SELECT d.day_idx, d.dau, w.wau,
+        |       (d.dau * 10000) // w.wau AS stickiness_bp
+        |FROM dau d JOIN wau w ON d.day_idx = w.day_idx
+        |ORDER BY d.day_idx""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $US_PER_DAY").as("day_idx"))
+        .distinct()
+      val mx = ud.agg(max(col("day_idx")).as("max_day"))
+      val dau = ud.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+      val scat = ud.select(col("user_id"),
+                           explode(sequence(lit(0L), lit(6L))).as("i"),
+                           col("day_idx"))
+        .select(col("user_id"), (col("day_idx") + col("i")).as("wend"))
+        .distinct()
+      val wau = scat.crossJoin(broadcast(mx))
+        .filter(col("wend") <= col("max_day"))
+        .groupBy(col("wend").as("day_idx")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day_idx")
+        .select(col("day_idx"), col("dau"), col("wau"),
+                expr("(dau * 10000) div wau").as("stickiness_bp"))
+        .orderBy("day_idx")
     }
   )
 }

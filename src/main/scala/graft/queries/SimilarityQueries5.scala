@@ -438,6 +438,52 @@ object SimilarityQueries5 {
         sel = sel.unionByName(pick).localCheckpoint(true) // ≤5 rows
       }
       sel.select(col("rank"), col("doc_id"), col("rel"), col("mmr")).orderBy("rank")
+    },
+
+    // IVF cluster purity vs the supervised labels — the external
+    // cluster-quality report (purity per cell, majority label) that
+    // tells an ANN/clustering deployment whether its cells align with
+    // any semantic partition. Reuses the SAME trained refined-centroid
+    // assignment as ss_ivf_assign (shared artifact — the index
+    // definition cannot drift from its own evaluation). Scale shape:
+    // per-(cell, label) counts map-side combine to a |cells|×|labels|
+    // grid; purity and the majority label come from the max-count +
+    // min-label two-level aggregate on that GRID (the mm_pixel_hist
+    // determinism discipline — no argmax nondeterminism).
+    "ss_cluster_purity" -> Q(
+      s"""WITH ${SimilarityQueries2.duckRefinedCte(SimilarityQueries2.NSEEDS)},
+         |a AS (SELECT cluster, label FROM refined WHERE rn = 1),
+         |cl AS (
+         |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM a GROUP BY cluster, label),
+         |t AS (
+         |  SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_members,
+         |         CAST(COUNT(*) AS BIGINT) AS n_labels,
+         |         CAST(MAX(c) AS BIGINT) AS majority_count
+         |  FROM cl GROUP BY cluster)
+         |SELECT CAST(t.cluster AS INTEGER) AS cluster, t.n_members, t.n_labels,
+         |       CAST(MIN(cl.label) AS INTEGER) AS majority_label, t.majority_count,
+         |       (t.majority_count * 10000) // t.n_members AS purity_bp
+         |FROM t JOIN cl ON t.cluster = cl.cluster AND cl.c = t.majority_count
+         |GROUP BY t.cluster, t.n_members, t.n_labels, t.majority_count
+         |ORDER BY cluster""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val a = SimilarityQueries2.refined(e, d).filter(col("rn") === 1)
+        .select(col("ccluster").as("cluster"), col("label"))
+      val cl = a.groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+      val t = cl.groupBy("cluster")
+        .agg(sum(col("c")).as("n_members"), count(lit(1)).as("n_labels"),
+             max(col("c")).as("majority_count"))
+      t.join(cl, "cluster")
+        .filter(col("c") === col("majority_count"))
+        .groupBy("cluster", "n_members", "n_labels", "majority_count")
+        .agg(min(col("label")).as("majority_label"))
+        .select(col("cluster").cast("int").as("cluster"), col("n_members"),
+                col("n_labels"), col("majority_label").cast("int").as("majority_label"),
+                col("majority_count"),
+                expr("(majority_count * 10000) div n_members").as("purity_bp"))
+        .orderBy("cluster")
     }
   )
 }

@@ -263,6 +263,51 @@ object TextQueries5 {
         .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
                 col("score_s"))
         .orderBy("doc_id", "rank")
+    },
+
+    // Vocabulary-growth curve (Heaps' law): distinct tokens seen after
+    // the first N documents (doc_id as arrival order), on a fixed N
+    // ladder — the curve that sizes a tokenizer vocabulary and decides
+    // when a corpus stops contributing new types. Scale shape: the
+    // corpus collapses to one MIN(doc_id) PER TOKEN (vocabulary-scale,
+    // map-side combined); the ladder is a 9-row broadcast dim over that
+    // dim — the prefix counts never rescan documents. All-integer;
+    // rungs past the corpus size simply report the full vocabulary
+    // (share 10000), keeping the ladder SF-stable.
+    "ta_vocab_growth" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |ft AS (
+        |  SELECT token, MIN(doc_id) AS fd FROM tok
+        |  WHERE length(token) > 0 GROUP BY token),
+        |tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_total FROM ft),
+        |th AS (SELECT CAST(unnest([10,25,50,100,250,500,1000,2500,5000]) AS BIGINT)
+        |              AS n_docs_prefix)
+        |SELECT th.n_docs_prefix,
+        |       CAST(SUM(CASE WHEN ft.fd < th.n_docs_prefix THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS vocab_size,
+        |       tv.vocab_total,
+        |       (CAST(SUM(CASE WHEN ft.fd < th.n_docs_prefix THEN 1 ELSE 0 END) AS BIGINT)
+        |          * 10000) // tv.vocab_total AS vocab_share_bp
+        |FROM ft, th, tv
+        |GROUP BY th.n_docs_prefix, tv.vocab_total
+        |ORDER BY th.n_docs_prefix""".stripMargin) { (s, d) =>
+      val ft = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(min(col("doc_id")).as("fd"))
+      val tv = ft.agg(count(lit(1)).as("vocab_total"))
+      val th = ft.sparkSession.range(1).select(
+        explode(array(Seq(10L, 25L, 50L, 100L, 250L, 500L, 1000L, 2500L, 5000L)
+          .map(lit): _*)).as("n_docs_prefix"))
+      ft.crossJoin(broadcast(th))
+        .groupBy("n_docs_prefix")
+        .agg(sum(when(col("fd") < col("n_docs_prefix"), 1L).otherwise(0L))
+               .as("vocab_size"))
+        .crossJoin(broadcast(tv))
+        .select(col("n_docs_prefix"), col("vocab_size"), col("vocab_total"),
+                expr("(vocab_size * 10000) div vocab_total").as("vocab_share_bp"))
+        .orderBy("n_docs_prefix")
     }
   )
 }

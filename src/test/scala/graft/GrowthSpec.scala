@@ -151,6 +151,65 @@ class GrowthSpec extends SparkSpec {
            r.getAs[Double]("point_mean_cents") <= r.getAs[Double]("boot_hi"))
   }
 
+  test("el_survival: ladder matches per-user lifetimes; censoring counted") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+      .collect().map(r => (r.getAs[Long]("fd"), r.getAs[Long]("ld")))
+    val maxDay = ud.map(_._2).max
+    val rows = run("el_survival").collect().sortBy(_.getAs[Long]("min_lifetime_days"))
+    assert(rows.head.getAs[Long]("min_lifetime_days") == 0L)
+    assert(rows.head.getAs[Long]("n_surviving") == ud.length)
+    assert(rows.head.getAs[Long]("surviving_bp") == 10000L)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("min_lifetime_days")
+      val surv = ud.filter { case (f, l) => l - f >= t }
+      assert(r.getAs[Long]("n_surviving") == surv.length)
+      assert(r.getAs[Long]("n_censored") == surv.count(_._2 == maxDay))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_surviving") <= a.getAs[Long]("n_surviving"),
+        "survival CCDF not monotone")
+    }
+  }
+
+  test("el_stickiness: trailing-7-day WAU matches a direct window recompute") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run("el_stickiness").collect()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_idx")
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(x => x._2 >= d - 6 && x._2 <= d).map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau, s"dau at $d")
+      assert(r.getAs[Long]("wau") == wau, s"wau at $d")
+      assert(r.getAs[Long]("stickiness_bp") == dau * 10000 / wau)
+      assert(dau <= wau)
+    }
+    // one row per active day
+    assert(rows.map(_.getAs[Long]("day_idx")).toSet == ud.map(_._2).toSet)
+  }
+
+  test("ta_vocab_growth: prefix vocabularies match; curve is monotone to the full vocab") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toSet)
+    val rows = run("ta_vocab_growth").collect().sortBy(_.getAs[Long]("n_docs_prefix"))
+    val total = docs.flatMap(_._2).distinct.length.toLong
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs_prefix")
+      val brute = docs.filter(_._1 < n).flatMap(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("vocab_size") == brute, s"prefix $n")
+      assert(r.getAs[Long]("vocab_total") == total)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("vocab_size") <= b.getAs[Long]("vocab_size"))
+    }
+    assert(rows.last.getAs[Long]("vocab_size") == total,
+      "largest rung must reach the full vocabulary on the test corpus")
+  }
+
   test("ta_compressibility: per-source ratios match a brute-force recompute") {
     val out = run("ta_compressibility").collect()
       .map(r => r.getAs[String]("source") ->

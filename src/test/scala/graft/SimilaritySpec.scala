@@ -176,4 +176,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("doc_id") == cands.head._1,
       "rank 1 must be the pure-relevance argmax")
   }
+
+  test("ss_cluster_purity: recomputes from the shared ss_ivf_assign table") {
+    val assign = SparkEntry.queries("ss_ivf_assign")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("label")))
+    val purity = SparkEntry.queries("ss_cluster_purity")(spark, sf).collect()
+    assert(purity.map(_.getAs[Long]("n_members")).sum == assign.length,
+      "members must partition the corpus")
+    val byCluster = assign.groupBy(_._1)
+    assert(purity.map(_.getAs[Int]("cluster")).toSet == byCluster.keySet)
+    purity.foreach { r =>
+      val labels = byCluster(r.getAs[Int]("cluster")).map(_._2)
+      val counts = labels.groupBy(identity).map { case (l, xs) => l -> xs.length }
+      val mc = counts.values.max
+      assert(r.getAs[Long]("n_members") == labels.length)
+      assert(r.getAs[Long]("n_labels") == counts.size)
+      assert(r.getAs[Long]("majority_count") == mc)
+      assert(r.getAs[Int]("majority_label") == counts.filter(_._2 == mc).keys.min)
+      assert(r.getAs[Long]("purity_bp") == mc.toLong * 10000 / labels.length)
+    }
+  }
 }
