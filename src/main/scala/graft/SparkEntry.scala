@@ -76,5 +76,7 @@ object SparkEntry {
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++
+    graft.queries.StatsQueries2.defs ++
+    graft.queries.AuditQueries.defs ++
     graft.queries.MultimodalQueries.defs
 }

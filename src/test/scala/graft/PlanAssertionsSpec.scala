@@ -159,7 +159,10 @@ class PlanAssertionsSpec extends SparkSpec {
     // same pattern: rank window over a 20-row TakeOrdered head
     "ta_collocations",
     // both fusion arms rank over 50-row TakeOrdered heads
-    "ss_hybrid_rrf")
+    "ss_hybrid_rrf",
+    // running CUSUM over the daily grid: input bounded by calendar days
+    // (the log collapses to ≤366 rows before the window)
+    "el_changepoint_cusum")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
