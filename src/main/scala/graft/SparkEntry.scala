@@ -78,5 +78,7 @@ object SparkEntry {
     graft.queries.StatsQueries.defs ++
     graft.queries.StatsQueries2.defs ++
     graft.queries.AuditQueries.defs ++
+    graft.queries.AuditQueries2.defs ++
+    graft.queries.GraphQueries.defs ++
     graft.queries.MultimodalQueries.defs
 }

@@ -171,6 +171,42 @@ object StatsQueries2 {
                 expr("(n_both * n_users * 10000) div (n_lhs * n_rhs)")
                   .as("lift_bp"))
         .orderBy("lhs", "rhs")
+    },
+
+    // Behavioral path mining: top-20 event-type trigrams along each
+    // user's time-ordered stream — the order-3 extension of
+    // el_markov_transitions' bigram matrix. Scale shape: the sequence
+    // windows are per-user (ordered by (ts, event_id) — the el_sessionize
+    // tie-break, so replayed timestamps cannot flip the output); the
+    // trigram space is |types|³ — a fixed vocabulary cube — and the
+    // top-20 is TakeOrdered with full-column tie-break, never a global
+    // sort of the log.
+    "el_path_trigrams" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS t1,
+        |         LEAD(event_type, 1) OVER w AS t2,
+        |         LEAD(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM c
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                expr("unix_micros(ts)").as("tus"), col("event_id"))
+        .select(col("event_type").as("t1"),
+                lead(col("event_type"), 1).over(w).as("t2"),
+                lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
     }
   )
 }

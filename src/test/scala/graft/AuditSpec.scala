@@ -85,6 +85,51 @@ class AuditSpec extends SparkSpec {
       o.agg(max("o_custkey")).head().getLong(0).toString)
   }
 
+  test("ta_simpson_diversity: brute-force recompute of one source") {
+    val rows = run("ta_simpson_diversity").collect()
+    val src = rows.head.getAs[String]("source")
+    val toks = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect().map(_.getAs[Long]("count"))
+    val r = rows.find(_.getAs[String]("source") == src).get
+    assert(r.getAs[Long]("n_tokens") == toks.sum)
+    assert(r.getAs[Long]("n_types") == toks.length.toLong)
+    assert(r.getAs[Long]("num") == toks.map(n => n * (n - 1)).sum)
+    assert(r.getAs[Long]("den") == toks.sum * (toks.sum - 1))
+    // Simpson of a nonempty distribution lies in [1/types, 1] (scaled ppm)
+    assert(r.getAs[Long]("simpson_ppm") >= 0L &&
+           r.getAs[Long]("simpson_ppm") <= 1000000L)
+  }
+
+  test("dd_dup_rate_by_source: per-source accounting matches dd_exact's corpus view") {
+    val rows = run("dd_dup_rate_by_source").collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_unique"))
+      assert(r.getAs[Long]("n_unique") >= 1L)
+    }
+    // corpus-wide distinct texts can only merge across sources, never split
+    val corpusUnique = docs.select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_unique")).sum >= corpusUnique)
+  }
+
+  test("ss_ivf_balance: shares account for every vector; deviations center on uniform") {
+    val rows = run("ss_ivf_balance").collect()
+    val total = rows.head.getAs[Long]("total")
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(total == Tables.embeddings(spark, sf).count())
+    val cells = rows.head.getAs[Long]("n_cells")
+    assert(rows.length.toLong == cells)
+    // Σ n·cells = total·cells ⇒ mean dev_bp ≈ 0 up to truncation
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_bp") >= -10000L)
+      assert(r.getAs[Long]("share_bp") <= 10000L)
+    }
+  }
+
   test("ss_dim_profile: one row per dimension; n = vector count; min ≤ mean ≤ max") {
     val rows = run("ss_dim_profile").collect()
     assert(rows.length == 64)
