@@ -55,6 +55,7 @@ object SparkEntry {
     graft.queries.RelationalQueries10.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
+    graft.queries.PrivacyQueries2.defs ++
     graft.queries.SemiStructuredQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.DedupQueries2.defs ++
