@@ -41,6 +41,7 @@ object SparkEntry {
     graft.queries.EventLogQueries.defs ++
     graft.queries.EventLogQueries2.defs ++
     graft.queries.EventLogQueries3.defs ++
+    graft.queries.EventLogQueries4.defs ++
     graft.queries.FunnelQueries.defs ++
     graft.queries.GrowthQueries.defs ++
     graft.queries.RelationalQueries.defs ++
@@ -53,6 +54,7 @@ object SparkEntry {
     graft.queries.RelationalQueries8.defs ++
     graft.queries.RelationalQueries9.defs ++
     graft.queries.RelationalQueries10.defs ++
+    graft.queries.RelationalQueries11.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
@@ -74,6 +76,7 @@ object SparkEntry {
     graft.queries.TextQueries3.defs ++
     graft.queries.TextQueries4.defs ++
     graft.queries.TextQueries5.defs ++
+    graft.queries.TextQueries6.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++
@@ -81,5 +84,6 @@ object SparkEntry {
     graft.queries.AuditQueries.defs ++
     graft.queries.AuditQueries2.defs ++
     graft.queries.GraphQueries.defs ++
-    graft.queries.MultimodalQueries.defs
+    graft.queries.MultimodalQueries.defs ++
+    graft.queries.MultimodalQueries2.defs
 }

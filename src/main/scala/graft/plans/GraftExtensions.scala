@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WindowMin.build(children)))
+    // Opt-in approx-distinct mode (conf-gated, off by default): the one
+    // Rule[LogicalPlan] shipped, and it is a PERFORMANCE rewrite, not a
+    // semantic necessity — §4.2's no-custom-Rule-required decision
+    // stands (see ApproxDistinctRewrite's scaladoc).
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

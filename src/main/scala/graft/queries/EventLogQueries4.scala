@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth event-log batch: interval analytics over the session intervals
+  * the log implies (reference: the cascade broker persists the raw
+  * stream and leaves derived analytics to consumers,
+  * /root/reference/src/broker/main.rs:53).
+  *
+  * `el_peak_concurrency` is the classic sweep-line operator — max
+  * simultaneous open sessions per day, the capacity number an ops team
+  * sizes connection pools against. The naive form sorts every boundary
+  * globally; the declared plan never does: sessions (el_session_window
+  * semantics — islands with a 30-min inclusive gap, interval end = last
+  * event + gap, END EXCLUSIVE) are clipped to the days they span, so
+  * each day's +1/−1 sweep is self-contained with a zero baseline and the
+  * running-sum window is PARTITIONED BY DAY — bounded by a day's traffic,
+  * parallel across the calendar. At 100 TB the same shape drops to
+  * (day, hour) panes with per-pane baselines; the day pane is the
+  * declared grain because the fixture's sessions never span two hours.
+  * Tie discipline: at equal timestamps ends sort before starts
+  * (exclusive end — a session ending exactly when another starts never
+  * overlaps it), encoded as ORDER BY (t, delta) since −1 < +1.
+  */
+object EventLogQueries4 {
+
+  private val GapUs = 1800000000L // 30 minutes, el_session_window's gap
+  private val DayUs = 86400000000L
+
+  def defs: Map[String, Q] = Map(
+
+    "el_peak_concurrency" -> Q(
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, tus,
+         |         CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > $GapUs
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (
+         |  SELECT user_id, tus,
+         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, sid, MIN(tus) AS st, MAX(tus) + $GapUs AS en
+         |  FROM s GROUP BY user_id, sid),
+         |days AS (
+         |  SELECT st, en, u.d AS day_idx
+         |  FROM sess, unnest(range(st // $DayUs, (en - 1) // $DayUs + 1)) u(d)),
+         |sw AS (
+         |  SELECT day_idx, greatest(st, day_idx * $DayUs) AS t, 1 AS delta FROM days
+         |  UNION ALL
+         |  SELECT day_idx, least(en, (day_idx + 1) * $DayUs) AS t, -1 AS delta FROM days),
+         |run AS (
+         |  SELECT day_idx, delta,
+         |         SUM(delta) OVER (PARTITION BY day_idx ORDER BY t, delta
+         |                          ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM sw)
+         |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+         |       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         |       CAST(MAX(c) AS BIGINT) AS peak_concurrency
+         |FROM run GROUP BY day_idx ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val wU = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      val g = e.withColumn("is_new",
+        when(lag(col("tus"), 1).over(wU).isNull ||
+             col("tus") - lag(col("tus"), 1).over(wU) > GapUs, 1).otherwise(0))
+      val sess = g
+        .withColumn("sid", sum(col("is_new")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tus")).as("st"), (max(col("tus")) + GapUs).as("en"))
+      val days = sess.select(col("st"), col("en"),
+        explode(expr(s"sequence(st div $DayUs, (en - 1) div $DayUs)")).as("day_idx"))
+      val sw = days.select(col("day_idx"),
+          explode(array(
+            struct(greatest(col("st"), col("day_idx") * DayUs).as("t"),
+                   lit(1).as("delta")),
+            struct(least(col("en"), (col("day_idx") + 1) * DayUs).as("t"),
+                   lit(-1).as("delta")))).as("ev"))
+        .select(col("day_idx"), col("ev.t").as("t"), col("ev.delta").as("delta"))
+      val wD = Window.partitionBy("day_idx").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sw.withColumn("c", sum(col("delta")).over(wD))
+        .groupBy("day_idx")
+        .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+             max(col("c")).cast("long").as("peak_concurrency"))
+        .orderBy("day_idx")
+    }
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second multimodal batch.
+  *
+  * `mm_dhash` — difference hash, the gradient twin of mm_phash's
+  * average hash: each bit records whether a pooled pixel outshines its
+  * right neighbor, so the hash captures horizontal gradients and is
+  * robust to global brightness shifts (the property aHash lacks — a
+  * brightened copy flips aHash bits but leaves every inequality, and so
+  * the dHash, unchanged). Same fake-decode contract as mm_phash/
+  * mm_resize: the payload reads as a 32-wide grid of byte "pixels",
+  * 4×4-average-pooled to an 8-wide grid of integer means (exact floor
+  * division, so the twins hash-match bit-for-bit).
+  *
+  * Scale shape is mm_resize's: posexplode → map-side-combined per-block
+  * mean (blocks ≤ pixels/16 per doc), then a LEAD window PARTITIONED BY
+  * (doc, pooled-row) — never wider than 8 rows — and one per-doc rollup
+  * packing bits with exact integer shifts (never float pow: 2^62 is
+  * past a double's 53-bit mantissa). Pooled rows beyond 8 are excluded
+  * so the bit position br·7+bc stays ≤ 62, inside a BIGINT.
+  */
+object MultimodalQueries2 {
+
+  def defs: Map[String, Q] = Map(
+
+    "mm_dhash" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         ((u.i - 1) // 32) // 4 AS br, ((u.i - 1) % 32) // 4 AS bc,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) u(i)),
+        |blk AS (
+        |  SELECT doc_id, br, bc, CAST(SUM(p) AS BIGINT) // COUNT(*) AS mean_p
+        |  FROM px GROUP BY doc_id, br, bc),
+        |nb AS (
+        |  SELECT doc_id, br, bc, mean_p,
+        |         LEAD(mean_p) OVER (PARTITION BY doc_id, br ORDER BY bc) AS nxt
+        |  FROM blk),
+        |bits AS (
+        |  SELECT doc_id, br, bc,
+        |         CASE WHEN mean_p > nxt THEN 1 ELSE 0 END AS bit
+        |  FROM nb WHERE nxt IS NOT NULL AND br <= 8)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(bit * (CAST(1 AS BIGINT) << (br * 7 + bc))) AS BIGINT) AS dhash,
+        |       CAST(SUM(bit) AS BIGINT) AS bits_set
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pixelIdx = when(length(col("text")) > 0,
+        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), posexplode(pixelIdx).as(Seq("z", "i")))
+        .select(col("doc_id"),
+                expr("((i - 1) div 32) div 4").as("br"),
+                expr("((i - 1) % 32) div 4").as("bc"),
+                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
+      val blk = px.groupBy("doc_id", "br", "bc")
+        .agg(expr("cast(sum(p) as bigint) div count(*)").as("mean_p"))
+      val nb = blk.withColumn("nxt",
+        lead(col("mean_p"), 1).over(Window.partitionBy("doc_id", "br").orderBy("bc")))
+      nb.filter(col("nxt").isNotNull && col("br") <= 8)
+        .select(col("doc_id"), col("br"), col("bc"),
+                when(col("mean_p") > col("nxt"), 1L).otherwise(0L).as("bit"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(br * 7 + bc AS INT))"))
+               .as("dhash"),
+             sum(col("bit")).as("bits_set"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -46,7 +46,7 @@ object RecursiveQueries {
     * confLock), so no cycle is possible. */
   private val confLock = new Object
 
-  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
+  private[queries] def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
     confLock.synchronized {
       val old = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
       kvs.foreach { case (k, v) => s.conf.set(k, v) }

@@ -49,5 +49,6 @@ object Warm {
     DedupQueries4.simhashSigs(spark, dir)        // 60-bit simhash frame
     RecursiveQueries.ewmaFrame(spark, dir)       // smoothed daily chain
     RecursiveQueries.holtFrame(spark, dir)       // Holt level+trend chain
+    RelationalQueries11.baseMv(spark, dir)       // incremental-MV base aggregate
   }
 }
