@@ -69,6 +69,57 @@ object MultimodalQueries2 {
                .as("dhash"),
              sum(col("bit")).as("bits_set"))
         .orderBy("doc_id")
+    },
+
+    // Audio fingerprint — the energy-delta bitstring (the Shazam-family
+    // idea reduced to what a codec-free container can verify exactly):
+    // over mm_audio_energy's 16-sample frames (first 256 "samples"),
+    // each bit records whether a frame's energy rose against its
+    // predecessor. Completes the audio trio (energy profile, silence
+    // trim, fingerprint). Same shape discipline as mm_dhash: per-frame
+    // map-side-combined energy aggregate (≤16 rows/doc), a LAG window
+    // partitioned by doc, exact integer bit packing (≤15 bits).
+    "mm_audio_fingerprint" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, (u.i - 1) // 16 AS frame,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, 257)) u(i)
+        |  WHERE length(d.text) > 0 AND u.i <= least(256, length(d.text))),
+        |fr AS (
+        |  SELECT doc_id, frame, CAST(SUM(p * p) AS BIGINT) AS ss
+        |  FROM px GROUP BY doc_id, frame),
+        |dl AS (
+        |  SELECT doc_id, frame, ss,
+        |         LAG(ss) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+        |  FROM fr),
+        |bits AS (
+        |  SELECT doc_id, frame,
+        |         CASE WHEN ss > prev THEN 1 ELSE 0 END AS bit
+        |  FROM dl WHERE prev IS NOT NULL)
+        |SELECT doc_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+        |       CAST(SUM(bit * (CAST(1 AS BIGINT) << (frame - 1))) AS BIGINT)
+        |         AS fingerprint,
+        |       CAST(SUM(bit) AS BIGINT) AS bits_set
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sampleIdx = when(length(col("text")) > 0,
+        expr("sequence(1, least(256, length(text)))"))
+        .otherwise(array().cast("array<int>"))
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), posexplode(sampleIdx).as(Seq("z", "i")))
+        .select(col("doc_id"), expr("(i - 1) div 16").as("frame"),
+                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
+      val fr = px.groupBy("doc_id", "frame").agg(sum(col("p") * col("p")).as("ss"))
+      val dl = fr.withColumn("prev",
+        lag(col("ss"), 1).over(Window.partitionBy("doc_id").orderBy("frame")))
+      dl.filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame"),
+                when(col("ss") > col("prev"), 1L).otherwise(0L).as("bit"))
+        .groupBy("doc_id")
+        .agg((count(lit(1)) + 1).as("n_frames"),
+             sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(frame - 1 AS INT))"))
+               .as("fingerprint"),
+             sum(col("bit")).as("bits_set"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -93,6 +93,25 @@ object PrivacyQueries2 {
        |           c -> CASE WHEN ${luhnValid("c")} THEN 1 ELSE 0 END)), 0) AS cc_valid
        |  FROM det)""".stripMargin
 
+  /** Per-row PII signal columns over `textCol`: emails/phones/ips counts,
+    * card candidates and Luhn-valid count. One flat codegen projection —
+    * shared by the declared batch queries (over the augmented column) and
+    * the streaming ingest gate ([[graft.streaming.PiiGateStream]], over
+    * raw text), so stream and batch judge PII with literally the same
+    * expressions. */
+  private[graft] def piiSignals(df: org.apache.spark.sql.DataFrame,
+                                textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Pat), lit(0))).cast("long"))
+      .withColumn("ccs", regexp_extract_all(col(textCol), lit(CardPat), lit(0)))
+      .withColumn("cc_cand", size(col("ccs")).cast("long"))
+      .withColumn("cc_valid",
+        coalesce(expr(s"size(filter(ccs, c -> ${luhnValid("c")}))"), lit(0)).cast("long"))
+
   /** Spark twin of [[duckDetect]]: augmented text + per-doc counts, one
     * codegen projection chain. */
   private def sparkDetect(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -118,16 +137,8 @@ object PrivacyQueries2 {
                when(col("doc_id") % 14 === 3, col("chk"))
                  .otherwise((col("chk") + 5) % 10).cast("string"), lit(" on file")))
       .otherwise(col("text")).as("aug"))
-    aug.select(col("doc_id"), col("source"), col("aug"),
-      size(regexp_extract_all(col("aug"), lit(EmailPat), lit(0))).cast("long").as("emails"),
-      size(regexp_extract_all(col("aug"), lit(PhonePat), lit(0))).cast("long").as("phones"),
-      size(regexp_extract_all(col("aug"), lit(Ipv4Pat), lit(0))).cast("long").as("ips"),
-      regexp_extract_all(col("aug"), lit(CardPat), lit(0)).as("ccs"))
-      .select(col("doc_id"), col("source"), col("aug"),
-        col("emails"), col("phones"), col("ips"),
-        size(col("ccs")).cast("long").as("cc_cand"),
-        coalesce(expr(s"size(filter(ccs, c -> ${luhnValid("c")}))"), lit(0))
-          .cast("long").as("cc_valid"))
+    piiSignals(aug, "aug")
+      .select("doc_id", "source", "aug", "emails", "phones", "ips", "cc_cand", "cc_valid")
   }
 
   def defs: Map[String, Q] = Map(
@@ -258,6 +269,51 @@ object PrivacyQueries2 {
              min(col("t_bp")).cast("long").as("min_t_bp"),
              max(col("t_bp")).cast("long").as("max_t_bp"))
         .orderBy("t_band")
+    },
+
+    // Generalization ladder — the REMEDIATION next to pr_k_anonymity's
+    // audit: coarsen the quasi-identifier (acctbal band width) up a
+    // fixed ladder and report, per width, how far from k=10 the release
+    // sits; `chosen` marks the finest width whose minimum class reaches
+    // k (the standard generalization-lattice walk restricted to one
+    // attribute, Sweeney's full-domain generalization). One pass over
+    // customer with a 5-row broadcast width dim (a 5× explode of a
+    // dimension-bounded aggregate input, not a 5× corpus scan at the
+    // fact side — class grids are QI-cardinality-sized).
+    "pr_generalize" -> Q(
+      """WITH ws AS (SELECT unnest([625, 1250, 2500, 5000, 10000]) AS w),
+        |cls AS (
+        |  SELECT ws.w, c_nationkey,
+        |         CAST(FLOOR(c_acctbal / ws.w) AS BIGINT) AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM customer CROSS JOIN ws GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |         CAST(MIN(sz) AS BIGINT) AS min_class,
+        |         CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT)
+        |           AS rows_below_k
+        |  FROM cls GROUP BY w),
+        |ch AS (SELECT MIN(CASE WHEN min_class >= 10 THEN w END) AS wsel FROM per)
+        |SELECT per.w, n_classes, min_class, rows_below_k,
+        |       CAST(CASE WHEN min_class >= 10 THEN 1 ELSE 0 END AS BIGINT) AS meets_k,
+        |       CAST(CASE WHEN per.w = ch.wsel THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM per, ch ORDER BY w""".stripMargin) { (s, d) =>
+      val ws = s.range(0, 1).select(
+        explode(array(lit(625), lit(1250), lit(2500), lit(5000), lit(10000))).as("w"))
+      val cls = Tables.customer(s, d).crossJoin(broadcast(ws))
+        .groupBy(col("w"), col("c_nationkey"),
+                 floor(col("c_acctbal") / col("w")).cast("long").as("band"))
+        .agg(count(lit(1)).as("sz"))
+      val per = cls.groupBy("w")
+        .agg(count(lit(1)).as("n_classes"),
+             min(col("sz")).as("min_class"),
+             coalesce(sum(when(col("sz") < 10, col("sz"))), lit(0L)).as("rows_below_k"))
+      val ch = per.agg(min(when(col("min_class") >= 10, col("w"))).as("wsel"))
+      per.crossJoin(broadcast(ch))
+        .select(col("w"), col("n_classes"), col("min_class"), col("rows_below_k"),
+                when(col("min_class") >= 10, 1L).otherwise(0L).as("meets_k"),
+                when(col("w") === col("wsel"), 1L).otherwise(0L).as("chosen"))
+        .orderBy("w")
     }
   )
 }

@@ -234,6 +234,57 @@ object RelationalQueries11 {
              min(col("min_shipdate")).as("min_shipdate"),
              max(col("max_shipdate")).as("max_shipdate"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Grid-blocked spatial radius join (the Sedona/PostGIS pattern as
+    // pure Spark): suppliers get deterministic planar µdegree coordinates
+    // (LCG scatter of the key — the fixture has no geo columns; same
+    // fixture-augmentation contract as the PII/multimodal queries), and
+    // the 20 nearest pairs within radius R are found by joining each
+    // point's grid cell against its 3×3 neighborhood — candidate work is
+    // per-cell-occupancy-bounded, never the all-pairs compare the oracle
+    // runs (DuckDB can afford quadratic at sf0.01). Each candidate pair
+    // is generated exactly once (the offset relation between two fixed
+    // cells is unique), so no distinct is needed. Distances are exact
+    // BIGINT µdeg² (R² = 4·10¹⁴, far inside long). At 100 TB cell size
+    // shrinks with density — the dial is CellUdeg, the algorithm is
+    // unchanged.
+    "q72_spatial_pairs" -> Q(
+      """WITH pts AS (
+        |  SELECT s_suppkey AS k,
+        |         (s_suppkey * 2654435761) % 360000000 AS x,
+        |         (s_suppkey * 2246822519) % 360000000 AS y
+        |  FROM supplier),
+        |pr AS (
+        |  SELECT a.k AS k_a, b.k AS k_b,
+        |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM pts a JOIN pts b ON a.k < b.k)
+        |SELECT k_a, k_b, CAST(d2 AS BIGINT) AS d2
+        |FROM pr WHERE d2 <= CAST(40000000 AS BIGINT) * 40000000
+        |ORDER BY d2, k_a, k_b LIMIT 20""".stripMargin) { (s, d) =>
+      val R = 40000000L // 40° in µdeg; grid cell = R so 3×3 covers the radius (≥1 pair at sf0.001)
+      val pts = Tables.supplier(s, d).select(
+        col("s_suppkey").as("k"),
+        ((col("s_suppkey") * 2654435761L) % 360000000L).as("x"),
+        ((col("s_suppkey") * 2246822519L) % 360000000L).as("y"))
+        .withColumn("cx", expr(s"x div $R")).withColumn("cy", expr(s"y div $R"))
+      val offs = s.range(0, 1).select(explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)).as("o"))
+        .select(col("o.dx").as("dx"), col("o.dy").as("dy"))
+      val aExp = pts.toDF("ka", "xa", "ya", "cxa", "cya")
+        .crossJoin(broadcast(offs))
+        .withColumn("ncx", col("cxa") + col("dx"))
+        .withColumn("ncy", col("cya") + col("dy"))
+      aExp.join(pts.toDF("kb", "xb", "yb", "cxb", "cyb"),
+          col("ncx") === col("cxb") && col("ncy") === col("cyb") &&
+          col("ka") < col("kb"))
+        .select(col("ka").as("k_a"), col("kb").as("k_b"),
+                ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                 (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+        .filter(col("d2") <= R * R)
+        .orderBy("d2", "k_a", "k_b")
+        .limit(20)
     }
   )
 }

@@ -44,6 +44,37 @@ class GraphSpec extends SparkSpec {
     assert(t.head.getAs[Long]("n_changed") > 0L)
   }
 
+  test("q71_link_predict: brute-force common-neighbor/Jaccard recompute at sf0.001") {
+    val got = run("q71_link_predict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // rebuild the same sparse head driver-side, straight from the declared query's
+    // own edge frame: predicted pairs must be non-edges with true CN counts
+    val edges = got // sanity only if non-empty
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    // recompute the top-500 edge set exactly as the query does
+    val e0 = graft.queries.GraphQueries.sparseHead(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    e0.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    val eset = e0.toSet
+    val all = adj.keys.toSeq.sorted
+    val cands = for {
+      i <- all.indices; j <- (i + 1) until all.length
+      a = all(i); b = all(j)
+      if !eset.contains((a, b))
+      cn = (adj(a) intersect adj(b)).size if cn > 0
+    } yield {
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      (a, b, cn.toLong, da, db, cn.toLong * 10000 / (da + db - cn))
+    }
+    val expect = cands.sortBy(t => (-t._3, -t._6, t._1, t._2)).take(20)
+    assert(got.toSeq === expect)
+    assert(edges.forall { case (a, b, cn, da, db, _) =>
+      cn <= math.min(da, db) && a < b }, "CN bounded by min degree; canonical order")
+  }
+
   test("el_path_trigrams: brute-force recompute at sf0.001") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"),

@@ -43,6 +43,29 @@ class Privacy2Spec extends SparkSpec {
     }
   }
 
+  test("pr_generalize: ladder is monotone and chosen is the finest width meeting k") {
+    val rows = SparkEntry.queries("pr_generalize")(spark, sf).orderBy("w").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(625, 1250, 2500, 5000, 10000))
+    // independent recompute of one rung
+    val bal = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val w = r.getInt(0)
+      val sizes = bal.groupBy { case (n, b) => (n, math.floor(b / w).toLong) }
+        .values.map(_.size.toLong)
+      assert(r.getLong(1) === sizes.size.toLong, s"n_classes w=$w")
+      assert(r.getLong(2) === sizes.min, s"min_class w=$w")
+      assert(r.getLong(3) === sizes.filter(_ < 10).sum, s"rows_below_k w=$w")
+      assert(r.getLong(4) === (if (sizes.min >= 10) 1L else 0L))
+    }
+    // coarser widths never increase class count; chosen flags exactly the min meeting width
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sorted.reverse.toSeq)
+    val meeting = rows.filter(_.getLong(4) == 1L).map(_.getInt(0))
+    val chosen = rows.filter(_.getLong(5) == 1L).map(_.getInt(0)).toSeq
+    assert(chosen === meeting.sorted.headOption.toSeq)
+  }
+
   test("pr_t_closeness: exact-rational TV distance against driver-side recomputation") {
     val cust = Tables.customer(spark, sf)
       .select(col("c_nationkey"), floor(col("c_acctbal") / 2500).cast("long").as("band"),
