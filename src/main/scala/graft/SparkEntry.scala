@@ -81,6 +81,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++
     graft.queries.StatsQueries2.defs ++
+    graft.queries.AnnotationQueries.defs ++
     graft.queries.AuditQueries.defs ++
     graft.queries.AuditQueries2.defs ++
     graft.queries.GraphQueries.defs ++

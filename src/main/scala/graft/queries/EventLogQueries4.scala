@@ -90,6 +90,33 @@ object EventLogQueries4 {
         .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
              max(col("c")).cast("long").as("peak_concurrency"))
         .orderBy("day_idx")
+    },
+
+    // Sample-ratio mismatch guard (the standard A/B sanity check next to
+    // el_ab_lift / el_cuped): users assigned 50/50 by id parity; if the
+    // realized split's χ² = (o₁−o₂)²/n exceeds the 3.841 critical value
+    // (α=0.05, df=1), the experiment is corrupted before any lift is
+    // read. Exact integer χ² in milli-units — for the two-equal-buckets
+    // case the statistic reduces to a single truncating division. One
+    // distinct-user pass, one scalar row.
+    "el_ab_srm" -> Q(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+        |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+        |  FROM u)
+        |SELECT o_a, o_b,
+        |       CAST(1000 * (o_a - o_b) * (o_a - o_b) // (o_a + o_b) AS BIGINT)
+        |         AS chi2_milli,
+        |       CAST(CASE WHEN 1000 * (o_a - o_b) * (o_a - o_b) // (o_a + o_b) > 3841
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select("user_id").distinct()
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("o_a"),
+             sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("o_b"))
+        .select(col("o_a"), col("o_b"),
+                expr("1000 * (o_a - o_b) * (o_a - o_b) div (o_a + o_b)").as("chi2_milli"),
+                expr("cast(case when 1000 * (o_a - o_b) * (o_a - o_b) div (o_a + o_b) > 3841 then 1 else 0 end as bigint)").as("srm_flag"))
     }
   )
 }
