@@ -59,6 +59,7 @@ object SparkEntry {
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
     graft.queries.SemiStructuredQueries.defs ++
+    graft.queries.SqlUdfQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.DedupQueries2.defs ++
     graft.queries.DedupQueries3.defs ++
@@ -71,6 +72,7 @@ object SparkEntry {
     graft.queries.SimilarityQueries3.defs ++
     graft.queries.SimilarityQueries4.defs ++
     graft.queries.SimilarityQueries5.defs ++
+    graft.queries.SimilarityQueries6.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++

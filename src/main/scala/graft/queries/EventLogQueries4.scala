@@ -92,6 +92,60 @@ object EventLogQueries4 {
         .orderBy("day_idx")
     },
 
+    // Time-average concurrency (Little's law L = λW read off the log):
+    // the capacity twin of el_peak_concurrency — peak sizes the pool,
+    // the TIME-WEIGHTED average is the utilization bill. Same clipped
+    // session segments, no sweep needed: the integral of concurrency
+    // over a day is exactly the sum of clipped session-microseconds, so
+    // L arrives in exact milli-sessions by one truncating division.
+    "el_time_avg_concurrency" -> Q(
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, tus,
+         |         CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > $GapUs
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |s AS (
+         |  SELECT user_id, tus,
+         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, sid, MIN(tus) AS st, MAX(tus) + $GapUs AS en
+         |  FROM s GROUP BY user_id, sid),
+         |seg AS (
+         |  SELECT u.d AS day_idx,
+         |         least(en, (u.d + 1) * $DayUs) - greatest(st, u.d * $DayUs) AS dur
+         |  FROM sess, unnest(range(st // $DayUs, (en - 1) // $DayUs + 1)) u(d))
+         |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |       CAST(SUM(dur) AS BIGINT) AS session_us,
+         |       CAST(1000 * SUM(dur) // $DayUs AS BIGINT) AS avg_concurrency_milli
+         |FROM seg GROUP BY day_idx ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val wU = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      val g = e.withColumn("is_new",
+        when(lag(col("tus"), 1).over(wU).isNull ||
+             col("tus") - lag(col("tus"), 1).over(wU) > GapUs, 1).otherwise(0))
+      val sess = g
+        .withColumn("sid", sum(col("is_new")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tus")).as("st"), (max(col("tus")) + GapUs).as("en"))
+      sess.select(col("st"), col("en"),
+          explode(expr(s"sequence(st div $DayUs, (en - 1) div $DayUs)")).as("day_idx"))
+        .select(col("day_idx"),
+          (least(col("en"), (col("day_idx") + 1) * DayUs) -
+           greatest(col("st"), col("day_idx") * DayUs)).as("dur"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_segments"),
+             sum(col("dur")).as("session_us"),
+             expr(s"1000 * sum(dur) div $DayUs").as("avg_concurrency_milli"))
+        .orderBy("day_idx")
+    },
+
     // Sample-ratio mismatch guard (the standard A/B sanity check next to
     // el_ab_lift / el_cuped): users assigned 50/50 by id parity; if the
     // realized split's χ² = (o₁−o₂)²/n exceeds the 3.841 critical value

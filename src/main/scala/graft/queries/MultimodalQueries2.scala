@@ -120,6 +120,86 @@ object MultimodalQueries2 {
                .as("fingerprint"),
              sum(col("bit")).as("bits_set"))
         .orderBy("doc_id")
+    },
+
+    // Letterbox / border detection: count the leading and trailing runs
+    // of LOW-INTENSITY pixel rows of the 32-wide grid (the black-bar
+    // crop a video/thumbnail pipeline trims before hashing — a border
+    // row shifts every dHash/pHash bit, so cropping precedes hashing).
+    // A row is "dark" when its integer mean intensity < 105 (the soup's
+    // mean sits ~100: both verdicts occur on real data). Leading run =
+    // rows before the first bright row, exact via MIN over bright
+    // indices — no window at all, one two-level aggregate.
+    "mm_border_detect" -> Q(
+      """WITH px AS (
+        |  SELECT d.doc_id, (u.i - 1) // 32 AS r,
+        |         CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT) AS p
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) u(i)),
+        |rows_ AS (
+        |  SELECT doc_id, r,
+        |         CASE WHEN CAST(SUM(p) AS BIGINT) // COUNT(*) < 105 THEN 1 ELSE 0 END AS dark
+        |  FROM px GROUP BY doc_id, r)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(dark) AS BIGINT) AS dark_rows,
+        |       CAST(COALESCE(MIN(CASE WHEN dark = 0 THEN r END), COUNT(*)) AS BIGINT)
+        |         AS top_border,
+        |       CAST(COUNT(*) - 1 - COALESCE(MAX(CASE WHEN dark = 0 THEN r END), -1) AS BIGINT)
+        |         AS bottom_border
+        |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pixelIdx = when(length(col("text")) > 0,
+        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), posexplode(pixelIdx).as(Seq("z", "i")))
+        .select(col("doc_id"), expr("(i - 1) div 32").as("r"),
+                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
+      px.groupBy("doc_id", "r")
+        .agg(when(expr("cast(sum(p) as bigint) div count(*)") < 105, 1L)
+          .otherwise(0L).as("dark"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("dark")).as("dark_rows"),
+             coalesce(min(when(col("dark") === 0, col("r"))), count(lit(1)))
+               .cast("long").as("top_border"),
+             (count(lit(1)) - 1 -
+              coalesce(max(when(col("dark") === 0, col("r"))), lit(-1L)))
+               .cast("long").as("bottom_border"))
+        .orderBy("doc_id")
+    },
+
+    // Tile-level duplication — watermark / template detection: hash each
+    // 16-byte tile of the pixel grid and measure, per doc, how many of
+    // its tiles also occur in OTHER docs (a recurring logo/banner shows
+    // up as a high shared-tile share across a source). Tile df computed
+    // once on the (hash → docs) dim — tile hashes shuffle, never pixels;
+    // the per-doc rollup is a co-partitioned equi-join back on the hash.
+    "mm_tile_dedup" -> Q(
+      """WITH tl AS (
+        |  SELECT DISTINCT d.doc_id,
+        |         md5(substring(d.text, CAST((u.i - 1) * 16 + 1 AS INTEGER), 16)) AS th
+        |  FROM documents d, unnest(range(1, length(d.text) // 16 + 1)) u(i)),
+        |df AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tl GROUP BY th)
+        |SELECT tl.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+        |       CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_tiles,
+        |       CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 10000
+        |            // COUNT(*) AS BIGINT) AS shared_bp
+        |FROM tl JOIN df ON tl.th = df.th
+        |GROUP BY tl.doc_id ORDER BY tl.doc_id""".stripMargin) { (s, d) =>
+      val tileIdx = when(expr("length(text) div 16") > 0,
+        expr("sequence(1, length(text) div 16)")).otherwise(array().cast("array<int>"))
+      val tl = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), explode(tileIdx).as("i"))
+        .select(col("doc_id"),
+                md5(expr("encode(substring(text, CAST((i - 1) * 16 + 1 AS INT), 16), 'UTF-8')")).as("th"))
+        .distinct()
+      val df = tl.groupBy("th").agg(count(lit(1)).as("n_docs"))
+      tl.join(df, "th")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tiles"),
+             sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_tiles"),
+             expr("sum(case when n_docs > 1 then 1 else 0 end) * 10000 div count(*)")
+               .as("shared_bp"))
+        .orderBy("doc_id")
     }
   )
 }

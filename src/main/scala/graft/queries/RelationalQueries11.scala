@@ -236,6 +236,34 @@ object RelationalQueries11 {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // FORWARD as-of join — q19's mirror (kdb/QuestDB ship both
+    // directions; only backward existed here): for each order, the
+    // customer's FIRST event at-or-after the order date, with the exact
+    // integer day gap (events postdate the order history in the fixture,
+    // so this is the direction with matches). Same user-key equi-join +
+    // range predicate shape; at scale both directions bucket by the equi
+    // key and the range side stays a per-key min/count, never a sort.
+    "q74_asof_forward" -> Q(
+      """SELECT o.o_orderkey, MIN(e.ts) AS next_event_ts,
+        |       CAST(COUNT(*) AS BIGINT) AS n_future_events,
+        |       CAST((epoch_ns(MIN(e.ts)) - epoch_ns(o.o_orderdate)) // 1000
+        |            // 86400000000 AS BIGINT) AS days_until
+        |FROM orders o
+        |JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |GROUP BY o.o_orderkey, o.o_orderdate ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "ts")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      o.join(e, col("user_id") === col("o_custkey") && col("ts") >= col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(min(col("ts")).as("next_event_ts"),
+             count(lit(1)).as("n_future_events"))
+        .select(col("o_orderkey"), col("next_event_ts"), col("n_future_events"),
+                // o_orderdate ships TIMESTAMP_NTZ; UTC session pins the cast
+                expr("(unix_micros(next_event_ts) - unix_micros(cast(o_orderdate as timestamp))) div 86400000000")
+                  .as("days_until"))
+        .orderBy("o_orderkey")
+    },
+
     // Grid-blocked spatial radius join (the Sedona/PostGIS pattern as
     // pure Spark): suppliers get deterministic planar µdegree coordinates
     // (LCG scatter of the key — the fixture has no geo columns; same

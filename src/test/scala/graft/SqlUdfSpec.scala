@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.SqlUdfQueries
+import org.apache.spark.sql.functions._
+
+/** SQL UDFs must INLINE: the plan carries no black-box UDF node, the
+  * scalar body matches Portable.cents bit-for-bit, and the TVF expands
+  * to its explode. */
+class SqlUdfSpec extends SparkSpec {
+
+  test("scalar SQL UDF inlines and equals Portable.cents on every lineitem row") {
+    SqlUdfQueries.registerSqlFns(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("sqludf_li")
+    val df = spark.sql(
+      "SELECT graft_cents(l_extendedprice) AS a FROM sqludf_li")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("udf"), "SQL UDF must inline, not plan a UDF node:\n" + p)
+    val direct = Tables.lineitem(spark, sf)
+      .select(functions.Portable.cents(col("l_extendedprice")).as("a"))
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty)
+  }
+
+  test("SQL table function expands inline and LATERAL-joins") {
+    SqlUdfQueries.registerSqlFns(spark)
+    val rows = spark.sql("SELECT t FROM graft_ladder(3, 6)").collect().map(_.getInt(0))
+    assert(rows.sorted.toSeq === Seq(3, 4, 5, 6))
+    val p = spark.sql("SELECT t FROM graft_ladder(3, 6)")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("explode") || p.contains("Generate"),
+      "TVF should expand to its generator:\n" + p)
+  }
+
+  test("q73_sql_macro equals the DataFrame formulation") {
+    val got = SparkEntry.queries("q73_sql_macro")(spark, sf).collect()
+    val h = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("n"),
+           sum(functions.Portable.cents(col("l_extendedprice"))).as("c"))
+    val t = spark.range(1, 51).select(col("id").cast("int").as("t"))
+    val expect = t.join(h, col("q") >= col("t"))
+      .groupBy("t").agg(sum(col("n")).as("n_items"), sum(col("c")).as("rev"))
+      .orderBy("t").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+           expect.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}

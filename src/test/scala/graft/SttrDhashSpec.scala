@@ -30,6 +30,21 @@ class SttrDhashSpec extends SparkSpec {
     }
   }
 
+  test("mm_border_detect: leading/trailing dark runs match a driver recompute") {
+    val got = SparkEntry.queries("mm_border_detect")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { row =>
+      val id = row.getLong(0); val text = row.getString(1)
+      val dark = text.grouped(32).map { r =>
+        r.map(_.toLong).sum / r.length < 105
+      }.toArray
+      val n = dark.length.toLong
+      val top = dark.indexWhere(!_) match { case -1 => n; case i => i.toLong }
+      val bot = dark.lastIndexWhere(!_) match { case -1 => n; case i => n - 1 - i }
+      assert(got(id) === ((n, dark.count(identity).toLong, top, bot)), s"doc $id")
+    }
+  }
+
   test("mm_dhash: bits match a driver-side pooled-gradient recompute; brightness-invariant") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
