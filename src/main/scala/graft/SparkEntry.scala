@@ -83,6 +83,7 @@ object SparkEntry {
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++
     graft.queries.StatsQueries2.defs ++
+    graft.queries.StatsQueries3.defs ++
     graft.queries.AnnotationQueries.defs ++
     graft.queries.AuditQueries.defs ++
     graft.queries.AuditQueries2.defs ++

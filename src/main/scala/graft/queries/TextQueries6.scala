@@ -3,7 +3,8 @@ package graft.queries
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
-/** Sixth text batch: windowed lexical diversity.
+/** Sixth text batch: windowed lexical diversity + letter-repeat
+  * concentration.
   *
   * `ta_sttr` — standardized type-token ratio (Johnson 1944; the MATTR/
   * STTR family corpus linguistics uses instead of raw TTR, whose value
@@ -59,6 +60,61 @@ object TextQueries6 {
              sum(col("types")).as("sum_types"),
              expr(s"sum(types) * 10000 div (count(*) * $W)").as("sttr_bp"))
         .orderBy("source")
+    },
+
+    // Index of coincidence (Friedman 1922) per document over the first
+    // 256 letters, rolled up per language: IC = Σ f(f−1) / (n(n−1)) in
+    // integer basis points — the repeat-probability of two sampled
+    // letters, a classic language/gibberish discriminator (English ≈
+    // 667 bp over 26 letters; uniform noise ≈ 385 bp) that complements
+    // ta_langid's n-gram vote with a distribution-shape signal. Scale
+    // shape: the per-char posexplode is CAPPED at 256 positions per
+    // document (corpus-linear regardless of document length), the
+    // letter-frequency agg map-side combines to ≤ 26 rows per doc, and
+    // the language rollup sees one row per doc. All-integer: per-doc
+    // ic_bp is an exact integer ratio, the rollup reports its integer
+    // mean plus min/max.
+    "ta_ic_profile" -> Q(
+      """WITH ch AS (
+        |  SELECT d.doc_id, d.lang,
+        |         substring(lower(substring(d.text, 1, 256)), CAST(u.i AS INTEGER), 1) AS c
+        |  FROM documents d,
+        |       unnest(range(1, least(length(d.text), 256) + 1)) u(i)),
+        |f AS (
+        |  SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM ch WHERE c BETWEEN 'a' AND 'z' GROUP BY 1, 2, 3),
+        |ic AS (
+        |  SELECT doc_id, lang, CAST(SUM(f) AS BIGINT) AS n,
+        |         CAST(SUM(f * (f - 1)) AS BIGINT) AS rep
+        |  FROM f GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, lang, (rep * 10000) // (n * (n - 1)) AS ic_bp
+        |  FROM ic WHERE n >= 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ic_bp) // COUNT(*) AS BIGINT) AS mean_ic_bp,
+        |       CAST(MIN(ic_bp) AS BIGINT) AS min_ic_bp,
+        |       CAST(MAX(ic_bp) AS BIGINT) AS max_ic_bp
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val head = lower(substring(col("text"), 1, 256))
+      val idx = when(length(col("text")) > 0,
+        expr("sequence(1, least(length(text), 256))")).otherwise(array().cast("array<int>"))
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), head.as("head"), posexplode(idx).as(Seq("z", "i")))
+        .select(col("doc_id"), col("lang"),
+                expr("substring(head, CAST(i AS INT), 1)").as("c"))
+        .filter(col("c") >= "a" && col("c") <= "z")
+      val f = ch.groupBy("doc_id", "lang", "c").agg(count(lit(1)).as("f"))
+      val ic = f.groupBy("doc_id", "lang")
+        .agg(sum(col("f")).as("n"), sum(col("f") * (col("f") - 1)).as("rep"))
+        .filter(col("n") >= 2)
+        .select(col("doc_id"), col("lang"),
+                expr("(rep * 10000) div (n * (n - 1))").as("ic_bp"))
+      ic.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             expr("sum(ic_bp) div count(*)").as("mean_ic_bp"),
+             min(col("ic_bp")).as("min_ic_bp"),
+             max(col("ic_bp")).as("max_ic_bp"))
+        .orderBy("lang")
     }
   )
 }
