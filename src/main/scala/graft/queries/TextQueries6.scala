@@ -68,12 +68,15 @@ object TextQueries6 {
     // letters, a classic language/gibberish discriminator (English ≈
     // 667 bp over 26 letters; uniform noise ≈ 385 bp) that complements
     // ta_langid's n-gram vote with a distribution-shape signal. Scale
-    // shape: the per-char posexplode is CAPPED at 256 positions per
-    // document (corpus-linear regardless of document length), the
-    // letter-frequency agg map-side combines to ≤ 26 rows per doc, and
-    // the language rollup sees one row per doc. All-integer: per-doc
-    // ic_bp is an exact integer ratio, the rollup reports its integer
-    // mean plus min/max.
+    // shape: letter frequencies come from a FLAT codegen projection —
+    // 26 per-letter length(replace(…)) diffs over the capped 256-char
+    // prefix folded by one array aggregate — so nothing per-char ever
+    // explodes or shuffles (the first cut posexploded 256 rows/doc and
+    // measured 7.1 s warm at sf0.1; this shape is 1.4 s — the
+    // measured-anatomy lesson from SCALING.md round 5). The only
+    // shuffle is the ≤1-row-per-doc language rollup. All-integer:
+    // per-doc ic_bp is an exact integer ratio, the rollup reports its
+    // integer mean plus min/max.
     "ta_ic_profile" -> Q(
       """WITH ch AS (
         |  SELECT d.doc_id, d.lang,
@@ -95,17 +98,16 @@ object TextQueries6 {
         |       CAST(MIN(ic_bp) AS BIGINT) AS min_ic_bp,
         |       CAST(MAX(ic_bp) AS BIGINT) AS max_ic_bp
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val head = lower(substring(col("text"), 1, 256))
-      val idx = when(length(col("text")) > 0,
-        expr("sequence(1, least(length(text), 256))")).otherwise(array().cast("array<int>"))
-      val ch = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), head.as("head"), posexplode(idx).as(Seq("z", "i")))
+      val letters = ('a' to 'z').map(_.toString)
+      val fs = array(letters.map(ch =>
+        (length(col("head")) - length(expr(s"replace(head, '$ch', '')"))).cast("long")): _*)
+      val ic = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-                expr("substring(head, CAST(i AS INT), 1)").as("c"))
-        .filter(col("c") >= "a" && col("c") <= "z")
-      val f = ch.groupBy("doc_id", "lang", "c").agg(count(lit(1)).as("f"))
-      val ic = f.groupBy("doc_id", "lang")
-        .agg(sum(col("f")).as("n"), sum(col("f") * (col("f") - 1)).as("rep"))
+                lower(substring(col("text"), 1, 256)).as("head"))
+        .select(col("doc_id"), col("lang"), fs.as("fs"))
+        .select(col("doc_id"), col("lang"),
+                expr("aggregate(fs, 0L, (a, x) -> a + x)").as("n"),
+                expr("aggregate(fs, 0L, (a, x) -> a + x * (x - 1L))").as("rep"))
         .filter(col("n") >= 2)
         .select(col("doc_id"), col("lang"),
                 expr("(rep * 10000) div (n * (n - 1))").as("ic_bp"))
