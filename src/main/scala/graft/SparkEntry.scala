@@ -73,6 +73,7 @@ object SparkEntry {
     graft.queries.SimilarityQueries4.defs ++
     graft.queries.SimilarityQueries5.defs ++
     graft.queries.SimilarityQueries6.defs ++
+    graft.queries.SimilarityQueries7.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++
