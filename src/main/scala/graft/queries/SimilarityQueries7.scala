@@ -39,6 +39,64 @@ object SimilarityQueries7 {
   /** Stage-1 candidate width: how many int8 survivors get exact rerank. */
   private val R = 50
 
+  /** Centered int8 code array from the trained per-dim quantizer —
+    * shared by ss_rerank_int8 and ss_compressed_recall so the code
+    * definition cannot drift. A STATELESS expression (quantizer enters
+    * as literals), so it applies unchanged to a streaming frame — the
+    * VectorIngestStream contract; CompressedRetrievalSpec proves
+    * streamed codes ≡ batch codes. */
+  private[graft] def int8Codes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val stats = SimilarityQueries2.quantStats(Tables.embeddings(s, d), d)
+    val mns = array(stats.map { case (mn, _) => lit(mn) }: _*)
+    val scs = array(stats.map { case (_, sc) => lit(sc) }: _*)
+    transform(col("embedding"), (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val sc = element_at(scs, i + 1)
+      (when(sc === 0, lit(0.0))
+        .otherwise(least(floor((x.cast("double") - mn) / sc), lit(255.0)))
+        .cast("long") - 128L)
+    })
+  }
+
+  /** DuckDB twin of [[int8Codes]] (stats + arrs + codes CTE chain). */
+  private def duckCodes: String =
+    s"""stats AS (
+       |  SELECT j, MIN(CAST(embedding[j] AS DOUBLE)) AS mn,
+       |         MAX(CAST(embedding[j] AS DOUBLE)) AS mx
+       |  FROM embeddings, range(1, ${DIM + 1}) t(j) GROUP BY j),
+       |arrs AS (
+       |  SELECT list(mn ORDER BY j) AS mns,
+       |         list((mx - mn) / CAST(255 AS DOUBLE) ORDER BY j) AS scs
+       |  FROM stats),
+       |codes AS (
+       |  SELECT vec_id, label,
+       |         [CAST(CASE WHEN scs[i] = 0 THEN 0
+       |                    ELSE least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i]),
+       |                               CAST(255 AS DOUBLE)) END AS BIGINT) - 128
+       |          for i in range(1, ${DIM + 1})] AS c
+       |  FROM embeddings, arrs)""".stripMargin
+
+  /** Sign-bit word packers — shared by ss_binary_hamming and
+    * ss_compressed_recall. */
+  private def word(from: Int, until: Int, shiftBase: Int) =
+    expr(s"""aggregate(
+            |  zip_with(slice(embedding, $from, ${until - from + 1}),
+            |           sequence(${from - shiftBase}, ${until - shiftBase}),
+            |           (x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+            |                     ELSE CAST(0 AS BIGINT) END),
+            |  0L, (a, v) -> a + v)""".stripMargin)
+
+  private def duckPk: String =
+    s"""pk AS (
+       |  SELECT vec_id, label, embedding,
+       |         CAST(list_sum([CASE WHEN embedding[i] >= 0
+       |                        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
+       |                        for i in range(1, 33)]) AS BIGINT) AS lo,
+       |         CAST(list_sum([CASE WHEN embedding[i] >= 0
+       |                        THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END
+       |                        for i in range(33, ${DIM + 1})]) AS BIGINT) AS hi
+       |  FROM embeddings)""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // Two-stage int8 → fp32 retrieval. code_j = clamp(floor((x_j−mn_j)/
@@ -49,21 +107,7 @@ object SimilarityQueries7 {
     // top-5 with the stage-1 rank alongside — s1_rank ≠ rank rows are
     // exactly the re-orderings the fp32 pass exists to fix.
     "ss_rerank_int8" -> Q(
-      s"""WITH stats AS (
-         |  SELECT j, MIN(CAST(embedding[j] AS DOUBLE)) AS mn,
-         |         MAX(CAST(embedding[j] AS DOUBLE)) AS mx
-         |  FROM embeddings, range(1, ${DIM + 1}) t(j) GROUP BY j),
-         |arrs AS (
-         |  SELECT list(mn ORDER BY j) AS mns,
-         |         list((mx - mn) / CAST(255 AS DOUBLE) ORDER BY j) AS scs
-         |  FROM stats),
-         |codes AS (
-         |  SELECT vec_id, label,
-         |         [CAST(CASE WHEN scs[i] = 0 THEN 0
-         |                    ELSE least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i]),
-         |                               CAST(255 AS DOUBLE)) END AS BIGINT) - 128
-         |          for i in range(1, ${DIM + 1})] AS c
-         |  FROM embeddings, arrs),
+      s"""WITH $duckCodes,
          |q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
          |s1 AS (
          |  SELECT q.qid, e.vec_id,
@@ -85,18 +129,8 @@ object SimilarityQueries7 {
          |       cosine, CAST(rank AS INTEGER) AS rank
          |FROM r2 WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
-      val stats = SimilarityQueries2.quantStats(Tables.embeddings(s, d), d)
-      val mns = array(stats.map { case (mn, _) => lit(mn) }: _*)
-      val scs = array(stats.map { case (_, sc) => lit(sc) }: _*)
-      val codeArr = transform(col("embedding"), (x, i) => {
-        val mn = element_at(mns, i + 1)
-        val sc = element_at(scs, i + 1)
-        (when(sc === 0, lit(0.0))
-          .otherwise(least(floor((x.cast("double") - mn) / sc), lit(255.0)))
-          .cast("long") - 128L)
-      })
       val codes = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"), codeArr.as("c"))
+        .select(col("vec_id"), col("label"), col("embedding"), int8Codes(s, d).as("c"))
       val q = codes.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("c").as("qc"))
       // stage 1: narrow triples only — c/qc are consumed by the fold,
@@ -133,15 +167,7 @@ object SimilarityQueries7 {
     // vector store owns; its survivors feed the same rerank join as
     // ss_rerank_int8's stage 2.
     "ss_binary_hamming" -> Q(
-      s"""WITH pk AS (
-         |  SELECT vec_id, label, embedding,
-         |         CAST(list_sum([CASE WHEN embedding[i] >= 0
-         |                        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
-         |                        for i in range(1, 33)]) AS BIGINT) AS lo,
-         |         CAST(list_sum([CASE WHEN embedding[i] >= 0
-         |                        THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END
-         |                        for i in range(33, ${DIM + 1})]) AS BIGINT) AS hi
-         |  FROM embeddings),
+      s"""WITH $duckPk,
          |q AS (SELECT vec_id AS qid, embedding AS qv, lo AS qlo, hi AS qhi
          |      FROM pk WHERE vec_id < 10),
          |s1 AS (
@@ -156,13 +182,6 @@ object SimilarityQueries7 {
          |SELECT qid, vec_id, label, hamming, cosine, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
-      def word(from: Int, until: Int, shiftBase: Int) =
-        expr(s"""aggregate(
-                |  zip_with(slice(embedding, $from, ${until - from + 1}),
-                |           sequence(${from - shiftBase}, ${until - shiftBase}),
-                |           (x, i) -> CASE WHEN x >= 0 THEN shiftleft(CAST(1 AS BIGINT), i)
-                |                     ELSE CAST(0 AS BIGINT) END),
-                |  0L, (a, v) -> a + v)""".stripMargin)
       val pk = Tables.embeddings(s, d)
         .withColumn("nrm", nativeNorm(col("embedding")))
         .withColumn("lo", word(1, 32, 1))
@@ -181,6 +200,105 @@ object SimilarityQueries7 {
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 5)
         .orderBy("qid", "rank")
+    },
+
+    // Recall@k of the two COMPRESSED rankings against exact cosine —
+    // the compression/quality tradeoff table. For k ∈ {1,5,10}: hits =
+    // |top-k_method ∩ top-k_exact| summed over the 10 anchors, recall
+    // in integer bp. Rankings are fully deterministic (score desc /
+    // distance asc, vec_id tiebreak), intersections are equi-joins on
+    // (qid, vec_id) between rank-bounded sets — every set is ≤ 10·k
+    // rows, so the comparison stage is constant-size no matter the
+    // corpus; the only corpus-scale work is the three scans themselves.
+    "ss_compressed_recall" -> Q(
+      s"""WITH $duckCodes,
+         |$duckPk,
+         |qe AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qe.qid, e.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qe.qid
+         |           ORDER BY ${duckCosine("e.embedding", "qe.qv")} DESC, e.vec_id) AS rank
+         |  FROM embeddings e, qe WHERE e.vec_id <> qe.qid),
+         |qc AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10),
+         |m_int8 AS (
+         |  SELECT qc.qid, e.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qc.qid
+         |           ORDER BY list_sum([e.c[i] * qc.qc[i] for i in range(1, ${DIM + 1})]) DESC,
+         |                    e.vec_id) AS rank
+         |  FROM codes e, qc WHERE e.vec_id <> qc.qid),
+         |qb AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM pk WHERE vec_id < 10),
+         |m_bin AS (
+         |  SELECT qb.qid, e.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |           ORDER BY bit_count(xor(e.lo, qb.qlo)) + bit_count(xor(e.hi, qb.qhi)),
+         |                    e.vec_id) AS rank
+         |  FROM pk e, qb WHERE e.vec_id <> qb.qid),
+         |meth AS (
+         |  SELECT 'int8' AS method, qid, vec_id, rank FROM m_int8
+         |  UNION ALL SELECT 'binary', qid, vec_id, rank FROM m_bin),
+         |ks AS (SELECT * FROM (VALUES (1),(5),(10)) t(k)),
+         |hits AS (
+         |  SELECT m.method, ks.k, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM meth m JOIN ks ON m.rank <= ks.k
+         |       JOIN exact x ON x.qid = m.qid AND x.vec_id = m.vec_id AND x.rank <= ks.k
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT mm.method, ks.k
+         |         FROM (VALUES ('int8'),('binary')) mm(method) CROSS JOIN ks)
+         |SELECT g.method, g.k, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |       CAST(10 * g.k AS BIGINT) AS possible,
+         |       CAST((COALESCE(h.hits, 0) * 10000) // (10 * g.k) AS BIGINT) AS recall_bp
+         |FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.k = g.k
+         |ORDER BY g.method, g.k""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val qe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val exact = e.crossJoin(broadcast(qe)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("sc"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sc").desc, col("vec_id"))))
+        .filter(col("rank") <= 10).select("qid", "vec_id", "rank")
+
+      val codes = Tables.embeddings(s, d).select(col("vec_id"), int8Codes(s, d).as("c"))
+      val qc = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("c").as("qc"))
+      val mInt8 = codes.crossJoin(broadcast(qc)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                expr("aggregate(zip_with(c, qc, (a, b) -> a * b), 0L, (a, x) -> a + x)").as("sc"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sc").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+
+      val pk = Tables.embeddings(s, d)
+        .withColumn("lo", word(1, 32, 1)).withColumn("hi", word(33, DIM, 33))
+      val qb = pk.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val mBin = pk.crossJoin(broadcast(qb)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+                (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+                 bit_count(col("hi").bitwiseXOR(col("qhi")))).as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+
+      val meth = mInt8.select(lit("int8").as("method"), col("qid"), col("vec_id"), col("rank"))
+        .unionByName(mBin.select(lit("binary").as("method"), col("qid"), col("vec_id"), col("rank")))
+      val ks = { import s.implicits._; broadcast(Seq(1, 5, 10).toDF("k")) }
+      val grid = { import s.implicits._
+        broadcast(Seq("int8", "binary").toDF("method").crossJoin(ks)) }
+      val hits = meth.join(ks, col("rank") <= col("k"))
+        .join(exact.withColumnRenamed("rank", "xrank"), Seq("qid", "vec_id"))
+        .filter(col("xrank") <= col("k"))
+        .groupBy("method", "k")
+        .agg(count(lit(1)).as("hits"))
+      // zero-hit cells must still report (binary@1 IS zero at sf0.001)
+      grid.join(hits, Seq("method", "k"), "left")
+        .select(col("method"), col("k"),
+                coalesce(col("hits"), lit(0L)).as("hits"),
+                (lit(10L) * col("k")).as("possible"),
+                expr("(coalesce(hits, 0) * 10000) div (10 * k)").as("recall_bp"))
+        .orderBy("method", "k")
     }
   )
 }

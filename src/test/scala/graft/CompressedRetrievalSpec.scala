@@ -97,4 +97,46 @@ class CompressedRetrievalSpec extends SparkSpec {
       assert(got1 == exact1, s"qid=$qid exact=$exact1 got=$got1")
     }
   }
+
+  test("ss_compressed_recall: bounds hold and int8 dominates binary at every k") {
+    val rows = SparkEntry.queries("ss_compressed_recall")(spark, dir).collect()
+    def l(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    assert(rows.length == 6) // 2 methods × k ∈ {1,5,10}
+    rows.foreach { r =>
+      assert(l(r, "hits") <= l(r, "possible"))
+      assert(l(r, "recall_bp") >= 0 && l(r, "recall_bp") <= 10000)
+      assert(l(r, "possible") == 10L * r.getInt(r.fieldIndex("k")))
+    }
+    // 8-bit codes carry strictly more signal than 1-bit codes on this
+    // corpus — a measured ordering; a flip means a code builder broke
+    val by = rows.map(r => (r.getString(r.fieldIndex("method")),
+                            r.getInt(r.fieldIndex("k"))) -> l(r, "recall_bp")).toMap
+    Seq(1, 5, 10).foreach(k => assert(by(("int8", k)) >= by(("binary", k)), s"k=$k"))
+  }
+
+  test("int8 codes are stateless: streamed codes == batch codes, vector for vector") {
+    // the VectorIngestStream contract applied to the int8 quantizer —
+    // codes come from literals, so the SAME expression runs on a
+    // parquet stream with no state store and lands identical codes
+    import java.nio.file.Files
+    val streamDir = Files.createTempDirectory("int8-stream").toString
+    Tables.embeddings(spark, dir).write.mode("overwrite").parquet(streamDir)
+    val codeCol = graft.queries.SimilarityQueries7.int8Codes(spark, dir)
+    val q = spark.readStream
+      .schema(Tables.embeddings(spark, dir).schema)
+      .parquet(streamDir)
+      .select(col("vec_id"), codeCol.as("c"))
+      .writeStream.format("memory").queryName("int8_ingest")
+      .option("checkpointLocation", Files.createTempDirectory("int8-ckpt").toString)
+      .start()
+    val streamed =
+      try { q.processAllAvailable()
+            spark.table("int8_ingest").collect()
+              .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap }
+      finally q.stop()
+    val batch = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), codeCol.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(streamed == batch)
+  }
 }
