@@ -52,8 +52,11 @@ object SimilarityQueries7 {
     transform(col("embedding"), (x, i) => {
       val mn = element_at(mns, i + 1)
       val sc = element_at(scs, i + 1)
+      // clamp BOTH ends: a streamed vector can land below the trained
+      // per-dim min, and floor((x−mn)/sc) would escape int8 range
       (when(sc === 0, lit(0.0))
-        .otherwise(least(floor((x.cast("double") - mn) / sc), lit(255.0)))
+        .otherwise(greatest(least(floor((x.cast("double") - mn) / sc), lit(255.0)),
+                            lit(0.0)))
         .cast("long") - 128L)
     })
   }
@@ -71,8 +74,9 @@ object SimilarityQueries7 {
        |codes AS (
        |  SELECT vec_id, label,
        |         [CAST(CASE WHEN scs[i] = 0 THEN 0
-       |                    ELSE least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i]),
-       |                               CAST(255 AS DOUBLE)) END AS BIGINT) - 128
+       |                    ELSE greatest(least(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / scs[i]),
+       |                                        CAST(255 AS DOUBLE)), CAST(0 AS DOUBLE)) END
+       |               AS BIGINT) - 128
        |          for i in range(1, ${DIM + 1})] AS c
        |  FROM embeddings, arrs)""".stripMargin
 
@@ -143,16 +147,19 @@ object SimilarityQueries7 {
                 expr("aggregate(zip_with(c, qc, (a, b) -> a * b), 0L, (a, x) -> a + x)").as("s1"))
         .withColumn("s1_rank", row_number().over(w1))
         .filter(col("s1_rank") <= R)
-      // stage 2: candidate-bounded exact rerank
-      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val qe = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      // stage 2: candidate-bounded exact rerank — norms too are computed
+      // AFTER the join, so the only corpus-wide float work is stage 1's
+      // integer fold (no N-row norm pass hiding in the plan)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+      val qe = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                nativeNorm(col("embedding")).as("qnrm"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
       cand.join(e, "vec_id").join(broadcast(qe), "qid")
         .select(col("qid"), col("vec_id"), col("label"), col("s1"),
                 col("s1_rank").cast("int").as("s1_rank"),
-                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
-                  .as("cosine"))
+                (nativeDot(col("embedding"), col("qv")) /
+                  (nativeNorm(col("embedding")) * col("qnrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w2).cast("int"))
         .filter(col("rank") <= 5)
         .orderBy("qid", "rank")
@@ -182,23 +189,31 @@ object SimilarityQueries7 {
          |SELECT qid, vec_id, label, hamming, cosine, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       FloatDot.register(s)
+      // the scan really is float-free: only (vec_id, label, lo, hi)
+      // enter the pair stage, cosine is computed on the ≤ 5·|q|
+      // survivors after a join back to the corpus
       val pk = Tables.embeddings(s, d)
-        .withColumn("nrm", nativeNorm(col("embedding")))
-        .withColumn("lo", word(1, 32, 1))
-        .withColumn("hi", word(33, DIM, 33))
+        .select(col("vec_id"), col("label"), word(1, 32, 1).as("lo"),
+                word(33, DIM, 33).as("hi"))
       val q = pk.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-                col("nrm").as("qnrm"), col("lo").as("qlo"), col("hi").as("qhi"))
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
       val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))
-      pk.crossJoin(broadcast(q))
+      val cand = pk.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), col("label"),
                 (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-                 bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"),
-                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
-                  .as("cosine"))
+                 bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("hamming"))
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 5)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qe = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                nativeNorm(col("embedding")).as("qnrm"))
+      cand.join(e, "vec_id").join(broadcast(qe), "qid")
+        .select(col("qid"), col("vec_id"), col("label"), col("hamming"),
+                (nativeDot(col("embedding"), col("qv")) /
+                  (nativeNorm(col("embedding")) * col("qnrm"))).as("cosine"),
+                col("rank"))
         .orderBy("qid", "rank")
     },
 

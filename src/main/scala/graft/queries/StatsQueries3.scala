@@ -73,18 +73,22 @@ object StatsQueries3 {
          |  SELECT p0_ppm, p1_ppm, n_exposed_min,
          |         ABS(p1_ppm - p0_ppm) AS delta_ppm,
          |         p0_ppm * (1000000 - p0_ppm) + p1_ppm * (1000000 - p1_ppm) AS var_sum
-         |  FROM p)
+         |  FROM p),
+         |n AS (
+         |  -- the ceiling is computed ONCE; powered references it
+         |  SELECT c.*, CASE WHEN delta_ppm = 0 THEN NULL
+         |              ELSE ($Z_SUM_SQ_E4 * var_sum + 10000 * delta_ppm * delta_ppm - 1)
+         |                   // (10000 * delta_ppm * delta_ppm) END AS n_per_arm
+         |  FROM c)
          |SELECT CAST(p0_ppm AS BIGINT) AS p0_ppm, CAST(p1_ppm AS BIGINT) AS p1_ppm,
          |       CAST(delta_ppm AS BIGINT) AS delta_ppm,
          |       CAST(var_sum AS BIGINT) AS var_sum,
-         |       CAST(CASE WHEN delta_ppm = 0 THEN NULL
-         |                 ELSE ($Z_SUM_SQ_E4 * var_sum + 10000 * delta_ppm * delta_ppm - 1)
-         |                      // (10000 * delta_ppm * delta_ppm) END AS BIGINT) AS n_per_arm,
+         |       CAST(n_per_arm AS BIGINT) AS n_per_arm,
          |       CAST(n_exposed_min AS BIGINT) AS n_exposed_min,
-         |       CAST(CASE WHEN delta_ppm = 0 THEN 0
-         |                 WHEN n_exposed_min >= ($Z_SUM_SQ_E4 * var_sum + 10000 * delta_ppm * delta_ppm - 1)
-         |                      // (10000 * delta_ppm * delta_ppm) THEN 1 ELSE 0 END AS INTEGER) AS powered
-         |FROM c""".stripMargin) { (s, d) =>
+         |       CAST(CASE WHEN n_per_arm IS NULL THEN 0
+         |                 WHEN n_exposed_min >= n_per_arm THEN 1 ELSE 0 END AS INTEGER)
+         |         AS powered
+         |FROM n""".stripMargin) { (s, d) =>
       import graft.functions.Portable.h60
       val pu = Tables.events(s, d)
         .withColumn("variant",
@@ -104,15 +108,14 @@ object StatsQueries3 {
                 (col("p0_ppm") * (lit(1000000L) - col("p0_ppm")) +
                  col("p1_ppm") * (lit(1000000L) - col("p1_ppm"))).as("var_sum"),
                 col("n_exposed_min"))
-        .select(col("p0_ppm"), col("p1_ppm"), col("delta_ppm"), col("var_sum"),
+        .withColumn("n_per_arm",
           when(col("delta_ppm") === 0, lit(null).cast("long"))
             .otherwise(expr(s"($Z_SUM_SQ_E4 * var_sum + 10000 * delta_ppm * delta_ppm - 1)" +
-                            " div (10000 * delta_ppm * delta_ppm)")).as("n_per_arm"),
-          col("n_exposed_min"),
-          when(col("delta_ppm") === 0, 0)
-            .otherwise(when(col("n_exposed_min") >=
-              expr(s"($Z_SUM_SQ_E4 * var_sum + 10000 * delta_ppm * delta_ppm - 1)" +
-                   " div (10000 * delta_ppm * delta_ppm)"), 1).otherwise(0))
+                            " div (10000 * delta_ppm * delta_ppm)")))
+        .select(col("p0_ppm"), col("p1_ppm"), col("delta_ppm"), col("var_sum"),
+          col("n_per_arm"), col("n_exposed_min"),
+          when(col("n_per_arm").isNull, 0)
+            .otherwise(when(col("n_exposed_min") >= col("n_per_arm"), 1).otherwise(0))
             .cast("int").as("powered"))
     },
 
@@ -120,12 +123,16 @@ object StatsQueries3 {
     // (D·Σxy − Σx·Σy) / (D·Σx² − (Σx)²) with x = day_idx rebased to the
     // GLOBAL series start (a shift never changes the slope, and one
     // broadcast scalar beats a per-type min join). num/den are emitted
-    // as exact integers; slope_milli = num·1000 div den (both engines
-    // truncate toward zero — the el_acf negative-numerator guarantee).
-    // Scale shape: the log collapses to the (type × day) grid FIRST
-    // (the only fact-scale pass, map-side combined); the OLS sums run
-    // on ≤ types·days rows. Overflow: x ≤ D, so D·Σxy ≤ D³·y_max ≈
-    // 10¹⁰·y_max — BIGINT-safe through y_max ≈ 10⁸/day (sf1000).
+    // as exact integers; slope_milli uses the split form
+    // (num div den)·1000 + ((num mod den)·1000) div den — identical to
+    // trunc(num·1000/den) under truncate-toward-zero (q·1000 is exact,
+    // |rem| < den) but never forms num·1000, so it stays in BIGINT even
+    // when num itself is near the 10¹⁸ bound (the naive ×1000 would
+    // wrap in Spark and error in DuckDB). Scale shape: the log
+    // collapses to the (type × day) grid FIRST (the only fact-scale
+    // pass, map-side combined); the OLS sums run on ≤ types·days rows.
+    // Overflow: x ≤ D, so D·Σxy ≤ D³·y_max ≈ 10¹⁰·y_max — BIGINT-safe
+    // through y_max ≈ 10⁸/day (sf1000); rem·1000 ≤ den·1000 ≤ 10¹⁶.
     "el_trend_ols" -> Q(
       s"""WITH g AS (
          |  SELECT event_type, epoch_ns(ts)//1000//$US_PER_DAY AS day_idx,
@@ -137,14 +144,17 @@ object StatsQueries3 {
          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_days,
          |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
-         |  FROM x GROUP BY 1)
-         |SELECT event_type, d_days, sy AS total,
-         |       CAST(d_days * sxy - sx * sy AS BIGINT) AS num,
-         |       CAST(d_days * sxx - sx * sx AS BIGINT) AS den,
-         |       CAST(CASE WHEN d_days * sxx - sx * sx = 0 THEN NULL
-         |                 ELSE ((d_days * sxy - sx * sy) * 1000)
-         |                      // (d_days * sxx - sx * sx) END AS BIGINT) AS slope_milli
-         |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+         |  FROM x GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, d_days, sy,
+         |         CAST(d_days * sxy - sx * sy AS BIGINT) AS num,
+         |         CAST(d_days * sxx - sx * sx AS BIGINT) AS den
+         |  FROM a)
+         |SELECT event_type, d_days, sy AS total, num, den,
+         |       CAST(CASE WHEN den = 0 THEN NULL
+         |                 ELSE (num // den) * 1000 + ((num % den) * 1000) // den
+         |            END AS BIGINT) AS slope_milli
+         |FROM b ORDER BY event_type""".stripMargin) { (s, d) =>
       val g = Tables.events(s, d)
         .select(col("event_type"), expr(s"unix_micros(ts) div $US_PER_DAY").as("day_idx"))
         .groupBy("event_type", "day_idx").agg(count(lit(1)).as("y"))
@@ -156,11 +166,11 @@ object StatsQueries3 {
              sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       a.select(col("event_type"), col("d_days"), col("sy").as("total"),
                (col("d_days") * col("sxy") - col("sx") * col("sy")).as("num"),
-               (col("d_days") * col("sxx") - col("sx") * col("sx")).as("den"),
-               when(col("d_days") * col("sxx") - col("sx") * col("sx") === 0,
-                    lit(null).cast("long"))
-                 .otherwise(expr("((d_days * sxy - sx * sy) * 1000) div (d_days * sxx - sx * sx)"))
-                 .as("slope_milli"))
+               (col("d_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("event_type"), col("d_days"), col("total"), col("num"), col("den"),
+                when(col("den") === 0, lit(null).cast("long"))
+                  .otherwise(expr("(num div den) * 1000 + ((num % den) * 1000) div den"))
+                  .as("slope_milli"))
         .orderBy("event_type")
     },
 

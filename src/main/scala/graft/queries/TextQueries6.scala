@@ -78,11 +78,15 @@ object TextQueries6 {
     // per-doc ic_bp is an exact integer ratio, the rollup reports its
     // integer mean plus min/max.
     "ta_ic_profile" -> Q(
-      """WITH ch AS (
-        |  SELECT d.doc_id, d.lang,
-        |         substring(lower(substring(d.text, 1, 256)), CAST(u.i AS INTEGER), 1) AS c
-        |  FROM documents d,
-        |       unnest(range(1, least(length(d.text), 256) + 1)) u(i)),
+      """WITH h AS (
+        |  SELECT doc_id, lang, lower(substring(text, 1, 256)) AS head
+        |  FROM documents),
+        |ch AS (
+        |  -- iterate the LOWERED head's own length: lower() can change
+        |  -- codepoint count (e.g. U+0130), and the Spark side counts
+        |  -- every letter of the lowered head
+        |  SELECT h.doc_id, h.lang, substring(h.head, CAST(u.i AS INTEGER), 1) AS c
+        |  FROM h, unnest(range(1, length(h.head) + 1)) u(i)),
         |f AS (
         |  SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS f
         |  FROM ch WHERE c BETWEEN 'a' AND 'z' GROUP BY 1, 2, 3),
