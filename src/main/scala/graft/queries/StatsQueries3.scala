@@ -221,6 +221,112 @@ object StatsQueries3 {
         .orderBy("c_mktsegment")
     },
 
+    // Distribution drift between the two halves of the log — the
+    // monitoring read an ML feature pipeline alarms on (the integer
+    // sibling of PSI: per-type share deltas in bp; total variation =
+    // Σ|dev|/2, left to the consumer as the exact sum of a column).
+    // The split point is the global time midpoint (one broadcast
+    // scalar); each half's type shares are exact bp. Scale shape: ONE
+    // fact-scale pass (type × half counts, map-side combined), then
+    // type-dim-sized rollups. A type absent from one half reports its
+    // full share as drift — the appear/disappear case is the alarm
+    // that matters most.
+    "el_drift_tv" -> Q(
+      """WITH b AS (
+        |  SELECT MIN(epoch_ns(ts)//1000) AS mn, MAX(epoch_ns(ts)//1000) AS mx
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |         CASE WHEN epoch_ns(ts)//1000 < (b.mn + b.mx) // 2 THEN 0 ELSE 1 END AS half
+        |  FROM events, b),
+        |c AS (
+        |  SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM h GROUP BY 1, 2),
+        |t AS (SELECT half, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT et.event_type, hh.half
+        |  FROM (SELECT DISTINCT event_type FROM c) et
+        |       CROSS JOIN (SELECT DISTINCT half FROM c) hh),
+        |s AS (
+        |  SELECT g.event_type, g.half, COALESCE(c.n, 0) AS n,
+        |         (COALESCE(c.n, 0) * 10000) // t.total AS share_bp
+        |  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.half = g.half
+        |         JOIN t ON t.half = g.half)
+        |SELECT a.event_type,
+        |       CAST(a.n AS BIGINT) AS n_a, CAST(bb.n AS BIGINT) AS n_b,
+        |       CAST(a.share_bp AS BIGINT) AS p_a_bp,
+        |       CAST(bb.share_bp AS BIGINT) AS p_b_bp,
+        |       CAST(a.share_bp - bb.share_bp AS BIGINT) AS dev_bp
+        |FROM s a JOIN s bb ON bb.event_type = a.event_type
+        |WHERE a.half = 0 AND bb.half = 1
+        |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      val b = ev.agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+      val c = ev.crossJoin(broadcast(b))
+        .select(col("event_type"),
+                when(col("tus") < expr("(mn + mx) div 2"), 0).otherwise(1).as("half"))
+        .groupBy("event_type", "half").agg(count(lit(1)).as("n"))
+      val t = c.groupBy("half").agg(sum(col("n")).as("total"))
+      val g = c.select("event_type").distinct()
+        .crossJoin(c.select("half").distinct())
+      val sh = g.join(c, Seq("event_type", "half"), "left")
+        .join(broadcast(t), "half")
+        .select(col("event_type"), col("half"),
+                coalesce(col("n"), lit(0L)).as("n"),
+                expr("(coalesce(n, 0) * 10000) div total").as("share_bp"))
+      val a  = sh.filter(col("half") === 0)
+        .select(col("event_type"), col("n").as("n_a"), col("share_bp").as("p_a_bp"))
+      val bb = sh.filter(col("half") === 1)
+        .select(col("event_type"), col("n").as("n_b"), col("share_bp").as("p_b_bp"))
+      a.join(bb, "event_type")
+        .select(col("event_type"), col("n_a"), col("n_b"), col("p_a_bp"), col("p_b_bp"),
+                (col("p_a_bp") - col("p_b_bp")).as("dev_bp"))
+        .orderBy("event_type")
+    },
+
+    // Freshness / coverage audit per event type — the staleness read an
+    // on-call rotation watches: last event age against the log's own
+    // high-water mark, active-day coverage of the calendar span, mean
+    // daily volume in milli-events. One fact-scale pass (per-type max
+    // + distinct-day count, map-side combined) + a broadcast 1-row
+    // global bound. All integers (µs / bp / milli), exact at any SF.
+    "el_freshness" -> Q(
+      s"""WITH b AS (
+         |  SELECT MAX(epoch_ns(ts)//1000) AS mx,
+         |         MIN(epoch_ns(ts)//1000)//$US_PER_DAY AS d0,
+         |         MAX(epoch_ns(ts)//1000)//$US_PER_DAY AS d1
+         |  FROM events),
+         |p AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(MAX(epoch_ns(ts)//1000) AS BIGINT) AS last_tus,
+         |         CAST(COUNT(DISTINCT epoch_ns(ts)//1000//$US_PER_DAY) AS BIGINT)
+         |           AS days_active
+         |  FROM events GROUP BY 1)
+         |SELECT p.event_type, p.n, p.last_tus,
+         |       CAST(b.mx - p.last_tus AS BIGINT) AS staleness_us,
+         |       p.days_active,
+         |       CAST(b.d1 - b.d0 + 1 AS BIGINT) AS span_days,
+         |       CAST((p.days_active * 10000) // (b.d1 - b.d0 + 1) AS BIGINT) AS coverage_bp,
+         |       CAST((p.n * 1000) // (b.d1 - b.d0 + 1) AS BIGINT) AS mean_daily_milli
+         |FROM p CROSS JOIN b ORDER BY p.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+                expr(s"unix_micros(ts) div $US_PER_DAY").as("day"))
+      val b = ev.agg(max(col("tus")).as("mx"), min(col("day")).as("d0"),
+                     max(col("day")).as("d1"))
+      val p = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("tus")).as("last_tus"),
+             countDistinct(col("day")).as("days_active"))
+      p.crossJoin(broadcast(b))
+        .select(col("event_type"), col("n"), col("last_tus"),
+                (col("mx") - col("last_tus")).as("staleness_us"),
+                col("days_active"),
+                (col("d1") - col("d0") + 1).as("span_days"),
+                expr("(days_active * 10000) div (d1 - d0 + 1)").as("coverage_bp"),
+                expr("(n * 1000) div (d1 - d0 + 1)").as("mean_daily_milli"))
+        .orderBy("event_type")
+    },
+
     // Chi-square-style independence audit of the order priority × status
     // contingency table, on SCALED SHARES so no product ever exceeds
     // BIGINT: per cell, obs_bp2 = O·10⁸ div N (observed share in bp²,

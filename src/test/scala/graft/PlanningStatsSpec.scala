@@ -76,6 +76,45 @@ class PlanningStatsSpec extends SparkSpec {
     assert(rows.length == cells)
   }
 
+  test("el_drift_tv: shares cover each half and absent types report full drift") {
+    val rows = SparkEntry.queries("el_drift_tv")(spark, dir).collect()
+    def l(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    assert(rows.map(l(_, "n_a")).sum + rows.map(l(_, "n_b")).sum ==
+           Tables.events(spark, dir).count())
+    rows.foreach { r =>
+      assert(l(r, "dev_bp") == l(r, "p_a_bp") - l(r, "p_b_bp"))
+      assert(l(r, "p_a_bp") >= 0 && l(r, "p_a_bp") <= 10000)
+      assert(l(r, "p_b_bp") >= 0 && l(r, "p_b_bp") <= 10000)
+      // share 0 implies count 0 and vice versa (the appear/disappear case)
+      assert((l(r, "n_a") == 0) == (l(r, "p_a_bp") == 0) ||
+             l(r, "p_a_bp") == 0) // a tiny type can round to 0 bp
+    }
+    // each half's shares sum to ≤ 10000 (integer truncation) and > 9900
+    assert(rows.map(l(_, "p_a_bp")).sum <= 10000 && rows.map(l(_, "p_a_bp")).sum > 9900)
+    assert(rows.map(l(_, "p_b_bp")).sum <= 10000 && rows.map(l(_, "p_b_bp")).sum > 9900)
+  }
+
+  test("el_freshness: staleness, coverage and volume reconcile with raw scans") {
+    val rows = SparkEntry.queries("el_freshness")(spark, dir).collect()
+    def l(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mx = ev.map(_._2).max
+    val span = mx / 86400000000L - ev.map(_._2).min / 86400000000L + 1
+    assert(rows.map(l(_, "n")).sum == ev.length)
+    rows.foreach { r =>
+      val et = r.getString(r.fieldIndex("event_type"))
+      val mine = ev.filter(_._1 == et).map(_._2)
+      assert(l(r, "last_tus") == mine.max)
+      assert(l(r, "staleness_us") == mx - mine.max)
+      assert(l(r, "span_days") == span)
+      assert(l(r, "days_active") == mine.map(_ / 86400000000L).distinct.length)
+      assert(l(r, "coverage_bp") == l(r, "days_active") * 10000 / span)
+      assert(l(r, "mean_daily_milli") == l(r, "n") * 1000 / span)
+    }
+  }
+
   test("ta_ic_profile: per-language stats bracket and sit in IC range") {
     val rows = SparkEntry.queries("ta_ic_profile")(spark, dir).collect()
     assert(rows.nonEmpty)
