@@ -238,6 +238,65 @@ object ClusterQueries {
              (count(lit(1)) - 1).as("n_dropped"),
              max(length(col("text")).cast("int")).as("max_text_len"))
         .orderBy("cluster_id")
+    },
+
+    // Dedup's composition bias: removing cluster non-representatives
+    // (survivor = min doc id, the cluster label itself) SHIFTS the
+    // source mixture — the curation concern that dedup silently
+    // over-prunes whichever source duplicates most. Per source:
+    // before/after doc counts and shares in exact bp, and the shift.
+    // Scale shape: the cluster labels are the SAME iterative-CC frame
+    // as dd_dup_clusters (candidate-bounded, cached per corpus); the
+    // corpus contributes one count-per-source aggregate; totals are
+    // two broadcast scalars.
+    "dd_dedup_shift" -> Q(
+      s"""WITH RECURSIVE ${DedupQueries.duckCandCte},
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM cand
+         |  UNION
+         |  SELECT db AS src, da AS dst FROM cand),
+         |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS lab FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY doc),
+         |dropped AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dropped
+         |  FROM lab l JOIN documents d ON d.doc_id = l.doc
+         |  WHERE l.doc <> l.cluster_id GROUP BY 1),
+         |src AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents GROUP BY 1),
+         |m AS (
+         |  SELECT s.source, s.n_before, COALESCE(dr.n_dropped, 0) AS n_dropped,
+         |         s.n_before - COALESCE(dr.n_dropped, 0) AS n_after
+         |  FROM src s LEFT JOIN dropped dr ON dr.source = s.source),
+         |t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+         |             CAST(SUM(n_after) AS BIGINT) AS ta FROM m)
+         |SELECT m.source, m.n_before, CAST(m.n_dropped AS BIGINT) AS n_dropped,
+         |       CAST(m.n_after AS BIGINT) AS n_after,
+         |       CAST((m.n_before * 10000) // t.tb AS BIGINT) AS share_before_bp,
+         |       CAST((m.n_after * 10000) // t.ta AS BIGINT) AS share_after_bp,
+         |       CAST((m.n_after * 10000) // t.ta - (m.n_before * 10000) // t.tb AS BIGINT)
+         |         AS shift_bp
+         |FROM m CROSS JOIN t ORDER BY m.source""".stripMargin) { (s, d) =>
+      val docs   = Tables.documents(s, d)
+      val labels = dupClusters(docs, d)
+      val dropped = labels.filter(col("doc") =!= col("lab"))
+        .join(docs, col("doc") === col("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_dropped"))
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val m = src.join(broadcast(dropped), Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+                coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .withColumn("n_after", col("n_before") - col("n_dropped"))
+      val t = m.agg(sum(col("n_before")).as("tb"), sum(col("n_after")).as("ta"))
+      m.crossJoin(broadcast(t))
+        .select(col("source"), col("n_before"), col("n_dropped"), col("n_after"),
+                expr("(n_before * 10000) div tb").as("share_before_bp"),
+                expr("(n_after * 10000) div ta").as("share_after_bp"),
+                expr("(n_after * 10000) div ta - (n_before * 10000) div tb").as("shift_bp"))
+        .orderBy("source")
     }
   )
 }

@@ -115,6 +115,20 @@ class PlanningStatsSpec extends SparkSpec {
     }
   }
 
+  test("dd_dedup_shift: accounting reconciles with the cluster table") {
+    val rows = SparkEntry.queries("dd_dedup_shift")(spark, dir).collect()
+    def l(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    assert(rows.map(l(_, "n_before")).sum == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      assert(l(r, "n_after") == l(r, "n_before") - l(r, "n_dropped"))
+      assert(l(r, "shift_bp") == l(r, "share_after_bp") - l(r, "share_before_bp"))
+    }
+    // total drops = Σ (n_members − 1) over dd_dedup_survivors' clusters
+    val clusterDrops = SparkEntry.queries("dd_dedup_survivors")(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("n_dropped"))).sum
+    assert(rows.map(l(_, "n_dropped")).sum == clusterDrops)
+  }
+
   test("ta_ic_profile: per-language stats bracket and sit in IC range") {
     val rows = SparkEntry.queries("ta_ic_profile")(spark, dir).collect()
     assert(rows.nonEmpty)
