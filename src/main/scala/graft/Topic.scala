@@ -196,10 +196,52 @@ object Topic {
     *   read it (e.g. Cascade.ingestValue's admission check) to avoid a
     *   second footer-stats job per publish.
     */
+  /** Columns the publish paths add — excluded from the event-schema
+    * compatibility check. */
+  private val PublishMetaCols = Set("offset", "producer_id", "producer_seq", "shard")
+
+  /** The topic's schema-evolution contract (checked under the publish
+    * lock, BEFORE any append): additive widening is allowed — a new
+    * column lands and old rows read as null through the merge-aware
+    * consume paths, Kafka-with-registry's BACKWARD shape — while
+    * dropping an existing event column or changing its type errors
+    * LOUDLY. Without this check a mixed-schema parquet log is created
+    * silently, and a later plain read resolves to whichever footer
+    * Spark samples — columns vanish without an error, the exact
+    * silent-loss failure CorruptFileSpec bans for corrupt parts.
+    * Cost: one mergeSchema footer pass over the log per publish (a
+    * production deployment would keep a schema sidecar next to the hwm
+    * sidecar; the footer pass is the simple correct form).
+    */
+  private[graft] def checkSchemaCompatible(spark: SparkSession, topicDir: String,
+                                           incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val (hfs, p) = fs(spark, topicDir)
+    if (!hfs.exists(p)) return
+    val existing =
+      try spark.read.option("mergeSchema", "true").parquet(topicDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return } // empty dir
+    val inc = incoming.fields.map(f => f.name -> f.dataType).toMap
+    existing.fields.filterNot(f => PublishMetaCols(f.name)).foreach { f =>
+      inc.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema incompatible: topic $topicDir has column '${f.name}' " +
+            s"(${f.dataType.simpleString}) which the incoming batch drops — a publish " +
+            "must carry every existing event column (send explicit nulls if the " +
+            "producer retired the field)")
+        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+          s"schema incompatible: column '${f.name}' is ${f.dataType.simpleString} in " +
+            s"topic $topicDir but ${dt.simpleString} in the incoming batch — type " +
+            "changes are rejected (write a new topic and migrate consumers)")
+        case _ => ()
+      }
+    }
+  }
+
   def publish(events: DataFrame, topicDir: String,
               knownHighWaterMark: Option[Long] = None): Unit = {
     val spark = events.sparkSession
     withPublishLock(spark, topicDir) {
+      checkSchemaCompatible(spark, topicDir, events.schema)
       val base = knownHighWaterMark.getOrElse(highWaterMark(spark, topicDir)) + 1L
       assignOffsets(events, base)
         .write.mode(SaveMode.Append).parquet(topicDir)
@@ -243,6 +285,7 @@ object Topic {
     require(seq >= 0, s"producer sequence must be >= 0, got $seq")
     val spark = events.sparkSession
     withPublishLock(spark, topicDir) {
+      checkSchemaCompatible(spark, topicDir, events.schema)
       val (hfs, p) = fs(spark, topicDir)
       val last: Long =
         if (!hfs.exists(p)) -1L
@@ -286,6 +329,7 @@ object Topic {
   def publishPartitioned(events: DataFrame, topicDir: String, shards: Int): Unit = {
     val spark = events.sparkSession
     withPublishLock(spark, topicDir) {
+    checkSchemaCompatible(spark, topicDir, events.schema)
     // per-shard high-water marks so repeated publishes continue each
     // shard's dense ordinal sequence instead of restarting at 0
     val (hfs, p) = fs(spark, topicDir)
@@ -315,7 +359,7 @@ object Topic {
     * moral equivalent of the reference's two index seeks.
     */
   def consume(spark: SparkSession, topicDir: String, from: Long, count: Int = 1): DataFrame =
-    spark.read.parquet(topicDir)
+    spark.read.option("mergeSchema", "true").parquet(topicDir)
       .filter(col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")
 
@@ -330,7 +374,7 @@ object Topic {
     * time — reopen after publishes, exactly like `Cascade.refresh`.
     */
   def openReader(spark: SparkSession, topicDir: String): DataFrame =
-    spark.read.parquet(topicDir)
+    spark.read.option("mergeSchema", "true").parquet(topicDir)
 
   /** Point/batched read through a resident reader from [[openReader]]. */
   def consumeVia(reader: DataFrame, from: Long, count: Int = 1): DataFrame =
@@ -344,7 +388,7 @@ object Topic {
     */
   def consumeShard(spark: SparkSession, topicDir: String, shard: Int,
                    from: Long, count: Int = 1): DataFrame =
-    spark.read.parquet(topicDir)
+    spark.read.option("mergeSchema", "true").parquet(topicDir)
       .filter(col("shard") === shard &&
               col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")
@@ -357,7 +401,9 @@ object Topic {
     */
   def compact(spark: SparkSession, topicDir: String, keyCol: String,
               orderCol: String = "offset"): Unit = withPublishLock(spark, topicDir) {
-    val src = spark.read.parquet(topicDir)
+    // merge-aware: compacting a schema-widened topic must carry the new
+    // column into the rewritten log, not silently drop it
+    val src = spark.read.option("mergeSchema", "true").parquet(topicDir)
     require(src.columns.contains(orderCol),
       s"compact needs ordering column '$orderCol' — raw stream sinks " +
         "(publishStream) carry no offsets; compact those by event_id")
@@ -447,7 +493,8 @@ object Topic {
     require(minEventTime.nonEmpty || maxEvents.nonEmpty,
       "retain needs a policy: minEventTime (time) and/or maxEvents (size)")
     withPublishLock(spark, topicDir) {
-      val src     = spark.read.parquet(topicDir)
+      // merge-aware for the same reason as compact: retention rewrites
+      val src     = spark.read.option("mergeSchema", "true").parquet(topicDir)
       val sharded = src.columns.contains("shard")
       // offset floor from the size policy: hwm - maxEvents + 1, per
       // ordinal sequence (global, or per shard when sharded)
