@@ -55,6 +55,7 @@ object SparkEntry {
     graft.queries.RelationalQueries9.defs ++
     graft.queries.RelationalQueries10.defs ++
     graft.queries.RelationalQueries11.defs ++
+    graft.queries.RelationalQueries12.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

@@ -43,4 +43,23 @@ class SqlUdfSpec extends SparkSpec {
     assert(got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
            expect.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("q79_pipe_syntax: the pipe chain optimizes to the classic form's plan") {
+    val piped = SparkEntry.queries("q79_pipe_syntax")(spark, sf)
+    Tables.orders(spark, sf).createOrReplaceTempView("g_orders")
+    val classic = spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+             SUM(CAST(round(o_totalprice*100) AS BIGINT))
+               div COUNT(*) AS avg_cents
+      FROM g_orders WHERE o_orderstatus <> 'P'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    // same rows AND the same physical operator skeleton — |> is syntax,
+    // not a different engine path
+    assert(piped.collect().toSeq === classic.collect().toSeq)
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case n => n.nodeName }
+        .filterNot(_.contains("WholeStageCodegen"))
+    assert(skeleton(piped) === skeleton(classic))
+  }
 }
