@@ -200,6 +200,48 @@ object Topic {
     * compatibility check. */
   private val PublishMetaCols = Set("offset", "producer_id", "producer_seq", "shard")
 
+  /** Nullability (and field metadata) are a physical artifact of the
+    * writer, not part of the topic's logical type: a column built from
+    * literals round-trips through parquet with `containsNull` flipped
+    * from false to true, and rejecting that re-publish as a "type
+    * change" would break every steady-state producer. Strip those
+    * flags recursively before comparing. */
+  private def logicalType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, logicalType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(logicalType(a.elementType), containsNull = true)
+      case m: MapType => MapType(logicalType(m.keyType), logicalType(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The schema-evolution contract as a pure schema-vs-schema check, so
+    * callers that already hold a merged read of the log (the idempotent
+    * publish path) don't pay a second footer pass. */
+  private[graft] def checkSchemaAgainst(existing: org.apache.spark.sql.types.StructType,
+                                        incoming: org.apache.spark.sql.types.StructType,
+                                        topicDir: String): Unit = {
+    val inc = incoming.fields.map(f => f.name -> f.dataType).toMap
+    existing.fields.filterNot(f => PublishMetaCols(f.name)).foreach { f =>
+      inc.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema incompatible: topic $topicDir has column '${f.name}' " +
+            s"(${f.dataType.simpleString}) which the incoming batch drops — a publish " +
+            "must carry every existing event column (send explicit nulls if the " +
+            "producer retired the field)")
+        case Some(dt) if logicalType(dt) != logicalType(f.dataType) =>
+          throw new IllegalArgumentException(
+            s"schema incompatible: column '${f.name}' is ${f.dataType.simpleString} in " +
+              s"topic $topicDir but ${dt.simpleString} in the incoming batch — type " +
+              "changes are rejected (write a new topic and migrate consumers)")
+        case _ => ()
+      }
+    }
+  }
+
   /** The topic's schema-evolution contract (checked under the publish
     * lock, BEFORE any append): additive widening is allowed — a new
     * column lands and old rows read as null through the merge-aware
@@ -209,33 +251,70 @@ object Topic {
     * silently, and a later plain read resolves to whichever footer
     * Spark samples — columns vanish without an error, the exact
     * silent-loss failure CorruptFileSpec bans for corrupt parts.
-    * Cost: one mergeSchema footer pass over the log per publish (a
-    * production deployment would keep a schema sidecar next to the hwm
-    * sidecar; the footer pass is the simple correct form).
+    * Cost: the merged-schema resolution is served by [[mergedSchema]]'s
+    * listing-keyed cache, so steady-state publishes pay one file
+    * LISTING, not a footer read per log file.
     */
   private[graft] def checkSchemaCompatible(spark: SparkSession, topicDir: String,
-                                           incoming: org.apache.spark.sql.types.StructType): Unit = {
-    val (hfs, p) = fs(spark, topicDir)
-    if (!hfs.exists(p)) return
-    val existing =
-      try spark.read.option("mergeSchema", "true").parquet(topicDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => return } // empty dir
-    val inc = incoming.fields.map(f => f.name -> f.dataType).toMap
-    existing.fields.filterNot(f => PublishMetaCols(f.name)).foreach { f =>
-      inc.get(f.name) match {
-        case None => throw new IllegalArgumentException(
-          s"schema incompatible: topic $topicDir has column '${f.name}' " +
-            s"(${f.dataType.simpleString}) which the incoming batch drops — a publish " +
-            "must carry every existing event column (send explicit nulls if the " +
-            "producer retired the field)")
-        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
-          s"schema incompatible: column '${f.name}' is ${f.dataType.simpleString} in " +
-            s"topic $topicDir but ${dt.simpleString} in the incoming batch — type " +
-            "changes are rejected (write a new topic and migrate consumers)")
-        case _ => ()
+                                           incoming: org.apache.spark.sql.types.StructType): Unit =
+    mergedSchema(spark, topicDir).foreach(checkSchemaAgainst(_, incoming, topicDir))
+
+  /** Merged-schema cache: topicDir → (listing fingerprint, schema).
+    *
+    * The schema-evolution contract makes every consume path merge-aware,
+    * but a NAIVE `mergeSchema=true` read per point read is an
+    * all-footers pass whose cost grows with the number of log files —
+    * O(parts) per call on the hot path. The merged schema only changes
+    * when the file set changes, so we key a process-local cache on a
+    * recursive listing fingerprint (count, max mtime, total bytes):
+    * one cheap metadata listing per read (which planning does anyway),
+    * the footer-merge job only when the log actually changed — including
+    * changes made by OTHER processes, which a publish-invalidated cache
+    * would miss. At 100 TB the same role is played by a schema sidecar
+    * or catalog entry; the fingerprint cache is the offline-exact form.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def listingFingerprint(hfs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path): String = {
+    var n = 0L; var maxM = 0L; var bytes = 0L
+    val it = hfs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += st.getLen
+        if (st.getModificationTime > maxM) maxM = st.getModificationTime
       }
     }
+    s"$n:$maxM:$bytes"
   }
+
+  /** The topic's merged (union-over-footers) schema, or None for a
+    * missing/empty dir. Cached per listing fingerprint — see above. */
+  private[graft] def mergedSchema(spark: SparkSession,
+                                  topicDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val (hfs, p) = fs(spark, topicDir)
+    if (!hfs.exists(p)) return None
+    val fp = listingFingerprint(hfs, p)
+    if (fp.startsWith("0:")) return None // dir with no data files
+    val cached = schemaCache.get(topicDir)
+    if (cached != null && cached._1 == fp) return Some(cached._2)
+    val schema =
+      try spark.read.option("mergeSchema", "true").parquet(topicDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    schemaCache.put(topicDir, (fp, schema))
+    Some(schema)
+  }
+
+  /** Merge-aware read of the topic log WITHOUT a per-call footer pass:
+    * resolve the merged schema through the cache, then read with it
+    * explicitly (files missing a widened column fill it with null —
+    * parquet's standard missing-column semantics, identical to what
+    * `mergeSchema=true` produces). Returns None for missing/empty. */
+  private[graft] def mergedLog(spark: SparkSession, topicDir: String): Option[DataFrame] =
+    mergedSchema(spark, topicDir).map(s => spark.read.schema(s).parquet(topicDir))
 
   def publish(events: DataFrame, topicDir: String,
               knownHighWaterMark: Option[Long] = None): Unit = {
@@ -285,21 +364,22 @@ object Topic {
     require(seq >= 0, s"producer sequence must be >= 0, got $seq")
     val spark = events.sparkSession
     withPublishLock(spark, topicDir) {
-      checkSchemaCompatible(spark, topicDir, events.schema)
-      val (hfs, p) = fs(spark, topicDir)
-      val last: Long =
-        if (!hfs.exists(p)) -1L
-        else try {
-          val log = spark.read.option("mergeSchema", "true").parquet(topicDir)
-          if (!log.columns.contains("producer_id")) -1L
-          else {
-            val r = log.filter(col("producer_id") === producerId)
-              .agg(max(col("producer_seq"))).head()
-            if (r.isNullAt(0)) -1L else r.getLong(0)
-          }
-        } catch { // existing-but-empty dir, same fallback as highWaterMark
-          case _: org.apache.spark.sql.AnalysisException => -1L
-        }
+      // ONE merged read serves both the dup check and the schema check
+      // (missing/empty dir → None, same fallback as highWaterMark).
+      val logOpt = mergedLog(spark, topicDir)
+      val last: Long = logOpt match {
+        case Some(log) if log.columns.contains("producer_id") =>
+          val r = log.filter(col("producer_id") === producerId)
+            .agg(max(col("producer_seq"))).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        case _ => -1L
+      }
+      // Dup check FIRST: an at-least-once retry of an ALREADY-COMMITTED
+      // batch must be dropped-with-false even if the topic was widened
+      // since that batch's schema — the retrying producer did nothing
+      // wrong, and crashing it on a batch the log already holds would
+      // break the exact contract this method exists to provide. The
+      // schema contract gates only batches that will actually append.
       if (seq <= last) {
         System.err.println(
           s"[graft] idempotent publish: duplicate batch dropped " +
@@ -311,6 +391,7 @@ object Topic {
             s"got $seq, committed through $last — a batch in between was " +
             "never committed; re-send from seq " + (last + 1))
       } else {
+        logOpt.foreach(log => checkSchemaAgainst(log.schema, events.schema, topicDir))
         val base = highWaterMark(spark, topicDir) + 1L
         assignOffsets(events, base)
           .withColumn("producer_id", lit(producerId))
@@ -359,9 +440,17 @@ object Topic {
     * moral equivalent of the reference's two index seeks.
     */
   def consume(spark: SparkSession, topicDir: String, from: Long, count: Int = 1): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(topicDir)
+    mergedRead(spark, topicDir)
       .filter(col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")
+
+  /** Merge-aware read for the point-read paths: served by the
+    * fingerprint-keyed schema cache, so a hot consumer pays one file
+    * listing per call instead of an all-footers merge pass (the listing
+    * happens during planning regardless). Errors like a plain read on a
+    * missing dir. */
+  private def mergedRead(spark: SparkSession, topicDir: String): DataFrame =
+    mergedLog(spark, topicDir).getOrElse(spark.read.parquet(topicDir))
 
   /** A RESIDENT reader over a topic: resolve the parquet relation (file
     * listing + schema) ONCE and serve every subsequent point/batch read
@@ -374,7 +463,7 @@ object Topic {
     * time — reopen after publishes, exactly like `Cascade.refresh`.
     */
   def openReader(spark: SparkSession, topicDir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(topicDir)
+    mergedRead(spark, topicDir)
 
   /** Point/batched read through a resident reader from [[openReader]]. */
   def consumeVia(reader: DataFrame, from: Long, count: Int = 1): DataFrame =
@@ -388,7 +477,7 @@ object Topic {
     */
   def consumeShard(spark: SparkSession, topicDir: String, shard: Int,
                    from: Long, count: Int = 1): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(topicDir)
+    mergedRead(spark, topicDir)
       .filter(col("shard") === shard &&
               col("offset") >= from && col("offset") < from + count)
       .orderBy("offset")

@@ -135,9 +135,14 @@ object EventStream {
 
   /** Durable publish (R10): append to the topic dir, exactly-once via the
     * checkpoint (the reference's events.log + index.table, minus the
-    * data-loss bugs). */
+    * data-loss bugs). The topic's schema-evolution contract is enforced
+    * ONCE at start — a streaming query's schema is fixed for its
+    * lifetime, so the one check covers every micro-batch; without it
+    * this sink would be the hole through which a dropped/retyped column
+    * silently corrupts the log that Topic.publish rejects loudly. */
   def publishStream(events: DataFrame, topicDir: String, checkpointDir: String,
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.Topic.checkSchemaCompatible(events.sparkSession, topicDir, events.schema)
     events.writeStream
       .format("parquet")
       .option("path", topicDir)
@@ -145,6 +150,7 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .start()
+  }
 
   /** Stream-static enrichment: the event stream joined to a broadcast
     * dimension (events.user_id ↔ customer.c_custkey). The static side is

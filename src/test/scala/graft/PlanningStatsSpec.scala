@@ -85,9 +85,11 @@ class PlanningStatsSpec extends SparkSpec {
       assert(l(r, "dev_bp") == l(r, "p_a_bp") - l(r, "p_b_bp"))
       assert(l(r, "p_a_bp") >= 0 && l(r, "p_a_bp") <= 10000)
       assert(l(r, "p_b_bp") >= 0 && l(r, "p_b_bp") <= 10000)
-      // share 0 implies count 0 and vice versa (the appear/disappear case)
-      assert((l(r, "n_a") == 0) == (l(r, "p_a_bp") == 0) ||
-             l(r, "p_a_bp") == 0) // a tiny type can round to 0 bp
+      // zero count FORCES zero share (the appear/disappear case); the
+      // converse doesn't hold — a tiny type can round to 0 bp — so the
+      // testable invariant is exactly one-directional
+      assert(l(r, "n_a") > 0 || l(r, "p_a_bp") == 0)
+      assert(l(r, "n_b") > 0 || l(r, "p_b_bp") == 0)
     }
     // each half's shares sum to ≤ 10000 (integer truncation) and > 9900
     assert(rows.map(l(_, "p_a_bp")).sum <= 10000 && rows.map(l(_, "p_a_bp")).sum > 9900)
