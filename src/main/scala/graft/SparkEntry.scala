@@ -56,6 +56,7 @@ object SparkEntry {
     graft.queries.RelationalQueries10.defs ++
     graft.queries.RelationalQueries11.defs ++
     graft.queries.RelationalQueries12.defs ++
+    graft.queries.RelationalQueries13.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
