@@ -57,6 +57,7 @@ object SparkEntry {
     graft.queries.RelationalQueries11.defs ++
     graft.queries.RelationalQueries12.defs ++
     graft.queries.RelationalQueries13.defs ++
+    graft.queries.RelationalQueries14.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
