@@ -487,9 +487,27 @@ object Topic {
     * per key (by offset), rewriting the topic in place. One window over
     * the key partitioning; at scale this is the periodic compaction job,
     * not a per-read path.
+    *
+    * TOMBSTONES (Kafka's delete-record semantics): pass `tombstoneCol`
+    * naming a boolean column; a published row with it true is a delete
+    * marker for its key. Kafka's two-phase lifecycle is preserved:
+    *
+    *   - by default a winning tombstone is KEPT in the compacted log
+    *     (consumers that replay from the start must SEE the delete —
+    *     dropping it immediately would resurrect the key's older value
+    *     in any downstream cache built before this compaction);
+    *   - `dropTombstones = true` is the post-retention pass
+    *     (delete.retention.ms elapsed): a key whose winner is a
+    *     tombstone vanishes entirely.
+    *
+    * A tombstone only wins by the SAME ordering as any other record —
+    * a late value published after the tombstone revives the key,
+    * exactly Kafka's behavior.
     */
   def compact(spark: SparkSession, topicDir: String, keyCol: String,
-              orderCol: String = "offset"): Unit = withPublishLock(spark, topicDir) {
+              orderCol: String = "offset",
+              tombstoneCol: Option[String] = None,
+              dropTombstones: Boolean = false): Unit = withPublishLock(spark, topicDir) {
     // merge-aware: compacting a schema-widened topic must carry the new
     // column into the rewritten log, not silently drop it
     val src = spark.read.option("mergeSchema", "true").parquet(topicDir)
@@ -505,11 +523,16 @@ object Topic {
     val w =
       if (sharded) Window.partitionBy(col(keyCol), col("shard")).orderBy(col(orderCol).desc)
       else Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
-    val compacted = src
+    tombstoneCol.foreach(t => require(src.columns.contains(t),
+      s"compact: tombstone column '$t' not present in topic $topicDir"))
+    val winners = src
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-      .sortWithinPartitions(orderCol)
+    val compacted = (tombstoneCol match {
+      case Some(t) if dropTombstones => winners.filter(!coalesce(col(t), lit(false)))
+      case _ => winners
+    }).sortWithinPartitions(orderCol)
     val tmp = topicDir + ".compact.tmp"
     val writer = compacted.write.mode(SaveMode.Overwrite)
     (if (sharded) writer.partitionBy("shard") else writer).parquet(tmp)

@@ -232,6 +232,41 @@ class TopicSpec extends SparkSpec {
     assert(offsets === (0L until 40L), "post-recovery offsets not dense")
   }
 
+  test("tombstones: kept by default, dropped on the retention pass, revivable") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, tomb: Boolean) =
+      (id, java.sql.Timestamp.valueOf(f"2026-01-01 00:00:${id % 60}%02d"),
+       user, if (tomb) "del" else "set", id * 1.0, tomb)
+    val dir = tmpDir()
+    // u1: value then tombstone (deleted); u2: value only (lives);
+    // u3: tombstone then LATER value (revived — Kafka's late-write rule)
+    Topic.publish(Seq(ev(0, 1, false), ev(1, 2, false), ev(2, 3, true))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "deleted"), dir)
+    Topic.publish(Seq(ev(3, 1, true), ev(4, 3, false))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "deleted"), dir)
+
+    // phase 1: compaction KEEPS the winning tombstone (replaying
+    // consumers must see the delete)
+    Topic.compact(spark, dir, "user_id", tombstoneCol = Some("deleted"))
+    val p1 = Topic.openReader(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("user_id")) ->
+                r.getBoolean(r.fieldIndex("deleted"))).toMap
+    assert(p1 == Map(1L -> true, 2L -> false, 3L -> false),
+      s"u1 must survive as a tombstone, u3's late value must revive it: $p1")
+
+    // phase 2: the post-retention pass removes tombstoned keys entirely
+    Topic.compact(spark, dir, "user_id", tombstoneCol = Some("deleted"),
+                  dropTombstones = true)
+    val p2 = Topic.openReader(spark, dir).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(p2 == Set(2L, 3L), s"u1 must vanish after the retention pass: $p2")
+
+    // surviving rows are still point-readable by their original offsets
+    val off3 = Topic.openReader(spark, dir)
+      .filter(col("user_id") === 3).select("offset").head.getLong(0)
+    assert(Topic.consume(spark, dir, off3).select("user_id").head.getLong(0) == 3L)
+  }
+
   test("lock is released after publish and compact") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sf).limit(10)
