@@ -47,6 +47,36 @@ object RelationalQueries15 {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       eager(s, d)
+    },
+
+    "q83_bfs_reach" -> Q(
+      s"""WITH sets AS (
+         |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cust, COUNT(*) AS dc FROM sets GROUP BY cust),
+         |w AS (
+         |  SELECT a.supp AS s_a, b.supp AS s_b
+         |  FROM sets a JOIN sets b ON a.cust = b.cust AND a.supp < b.supp
+         |  JOIN d ON a.cust = d.cust AND d.dc <= 40),
+         |e0 AS (
+         |  SELECT s_a, s_b FROM (
+         |    SELECT s_a, s_b, COUNT(*) AS ns FROM w GROUP BY s_a, s_b
+         |    ORDER BY ns DESC, s_a, s_b LIMIT 5000)),
+         |e AS (SELECT s_a AS u, s_b AS v FROM e0
+         |      UNION ALL SELECT s_b, s_a FROM e0),
+         |src AS (SELECT MIN(s_a) AS s FROM e0),
+         |bfs AS (
+         |  WITH RECURSIVE walk(node, dist) AS (
+         |    SELECT s, CAST(0 AS BIGINT) FROM src
+         |    UNION
+         |    SELECT e.v, walk.dist + 1 FROM walk JOIN e ON e.u = walk.node
+         |    WHERE walk.dist < 4)
+         |  SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+         |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |       CAST(SUM(node) AS BIGINT) AS sum_ids
+         |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+      bfs(s, d)
     }
   )
 
@@ -86,4 +116,58 @@ object RelationalQueries15 {
            sum(col("q")).as("sum_qty"),
            sum(col("cents")).as("revenue_cents"))
       .orderBy("o_orderpriority")
+
+  private val BfsRounds = 4
+
+  /** `q83_bfs_reach` — single-source shortest paths, bounded rounds:
+    * the frontier-expansion primitive (hop distance from a seed)
+    * missing next to rank/components/k-core/triangles/label-prop in
+    * the graph family. Source = the minimum node id of the q57 top-K
+    * support graph; output = nodes per hop distance 0..4 with an id
+    * checksum.
+    *
+    * Scale discipline: the classic BFS trade. Each round joins ONLY
+    * the newest frontier (dist = r−1) against the edge list and
+    * re-minimizes — visited nodes never re-expand, every round's frame
+    * is localCheckpointed so lineage stays flat (the
+    * dd_dup_clusters/q50 iterative discipline), and rounds are a
+    * bounded parameter like IVF's nprobe. The oracle is a recursive
+    * CTE with UNION (not UNION ALL) dedup, so neither engine ever
+    * materializes the path-count explosion a 4-hop expansion of a
+    * dense graph would produce. */
+  private[graft] def bfs(s: SparkSession, d: String): DataFrame = {
+    val e0 = RelationalQueries10.coSupplyCounts(s, d)
+      .orderBy(col("ns").desc, col("s_a"), col("s_b")).limit(5000)
+      .select("s_a", "s_b")
+    // undirected: both directions, checkpointed once (≤ 2K rows)
+    val e = e0.select(col("s_a").as("u"), col("s_b").as("v"))
+      .union(e0.select(col("s_b").as("u"), col("s_a").as("v")))
+      .localCheckpoint(true)
+    // the seed is a 1-value control-plane read (s_a < s_b always, so
+    // min(s_a) is the minimum node), same budget as a trained artifact
+    val src = e0.agg(min(col("s_a"))).head.getLong(0)
+    bfsFrom(e, src, BfsRounds)
+  }
+
+  /** The round loop itself, graph-agnostic so the spec can drive it on
+    * constructed chains/stars where depth actually exceeds 1 (the
+    * corpus support graph is near-complete at test SFs — every node is
+    * one hop from the seed, which exercises nothing). `edges` must be
+    * directed pairs (u, v) with both directions present for an
+    * undirected walk. */
+  private[graft] def bfsFrom(e: DataFrame, src: Long, rounds: Int): DataFrame = {
+    var reached = e.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist"))
+    for (r <- 1 to rounds) {
+      val frontier = reached.filter(col("dist") === (r - 1))
+      val expanded = frontier.join(e, frontier("node") === e("u"))
+        .select(e("v").as("node"), lit(r.toLong).as("dist"))
+      reached = reached.union(expanded)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    reached.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_ids"))
+      .orderBy("dist")
+  }
 }
