@@ -77,6 +77,55 @@ object RelationalQueries15 {
          |       CAST(SUM(node) AS BIGINT) AS sum_ids
          |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
       bfs(s, d)
+    },
+
+    // ---- Spark 4 SQL scripting (SPARK-48338) + session variables: the
+    // control-flow surface, covered the same way q79 covered pipe
+    // syntax — prove it's SYNTAX driving Catalyst queries, not a
+    // second engine path. The scripted task: capacity planning — find
+    // the smallest power-of-two daily-volume cap exceeded on at most
+    // 5% of days. ONE fact pass collects the ≤366-row daily histogram
+    // into an ARRAY session variable; the WHILE loop then iterates
+    // driver-side over that array (HOF filter per probe), so the loop
+    // costs nothing at any SF. The oracle finds the same cap
+    // declaratively (min over a generated cap ladder) — equivalence of
+    // the imperative and declarative forms is exactly the point.
+    "q84_sql_script" -> Q(
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts)//1000//86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |caps AS (SELECT CAST(1 AS BIGINT) << k AS cap
+        |         FROM generate_series(0, 40) t(k)),
+        |ov AS (SELECT c.cap,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM daily
+        |               WHERE n > c.cap) AS n_over
+        |       FROM caps c),
+        |best AS (SELECT MIN(cap) AS cap FROM ov, tot WHERE n_over * 20 <= nd)
+        |SELECT b.cap, t.nd AS n_days,
+        |       (SELECT n_over FROM ov WHERE ov.cap = b.cap) AS n_over,
+        |       ((SELECT n_over FROM ov WHERE ov.cap = b.cap) * 10000) // t.nd
+        |         AS over_bp
+        |FROM best b, tot t""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("ev_script")
+      s.sql("""
+        BEGIN
+          DECLARE days ARRAY<BIGINT>;
+          DECLARE cap BIGINT DEFAULT 1;
+          SET days = (SELECT collect_list(n) FROM (
+            SELECT unix_micros(ts) div 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ev_script GROUP BY 1));
+          WHILE size(filter(days, x -> x > cap)) * 20 > size(days) DO
+            SET cap = cap * 2;
+          END WHILE;
+          SELECT cap,
+                 CAST(size(days) AS BIGINT) AS n_days,
+                 CAST(size(filter(days, x -> x > cap)) AS BIGINT) AS n_over,
+                 CAST(CAST(size(filter(days, x -> x > cap)) AS BIGINT) * 10000
+                      div size(days) AS BIGINT) AS over_bp;
+        END""")
     }
   )
 

@@ -62,4 +62,30 @@ class SqlUdfSpec extends SparkSpec {
         .filterNot(_.contains("WholeStageCodegen"))
     assert(skeleton(piped) === skeleton(classic))
   }
+
+  test("q84_sql_script: the scripted WHILE search finds the minimal valid cap") {
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q84_sql_script")(spark, dir).head()
+    def g(c: String) = r.getLong(r.fieldIndex(c))
+    val cap = g("cap")
+    assert((cap & (cap - 1)) == 0 && cap >= 1, s"cap $cap must be a power of two")
+    assert(g("over_bp") <= 500, "at most 5% of days may exceed the cap")
+    // MINIMALITY: the next cap down must violate the 5% rule (unless
+    // cap is already 1) — recomputed from the raw daily histogram
+    if (cap > 1) {
+      import org.apache.spark.sql.functions._
+      val daily = Tables.events(spark, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val nd = daily.count()
+      val overAtHalf = daily.filter(col("n") > cap / 2).count()
+      assert(overAtHalf * 20 > nd,
+        s"cap/2 = ${cap / 2} already satisfies the rule — the loop overshot")
+    }
+    // session variables survive outside scripting: the other half of
+    // the Spark 4 variable surface (DECLARE/SET VAR at session scope)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_probe BIGINT DEFAULT 3")
+    spark.sql("SET VAR graft_probe = graft_probe * 14")
+    assert(spark.sql("SELECT graft_probe AS v").head.getLong(0) == 42L)
+  }
 }
