@@ -89,6 +89,7 @@ object SparkEntry {
     graft.queries.StatsQueries.defs ++
     graft.queries.StatsQueries2.defs ++
     graft.queries.StatsQueries3.defs ++
+    graft.queries.StatsQueries4.defs ++
     graft.queries.AnnotationQueries.defs ++
     graft.queries.AuditQueries.defs ++
     graft.queries.AuditQueries2.defs ++

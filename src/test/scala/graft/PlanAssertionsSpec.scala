@@ -162,7 +162,10 @@ class PlanAssertionsSpec extends SparkSpec {
     "ss_hybrid_rrf",
     // running CUSUM over the daily grid: input bounded by calendar days
     // (the log collapses to ≤366 rows before the window)
-    "el_changepoint_cusum")
+    "el_changepoint_cusum",
+    // rank-prefix window over the discretized dollar grid: LEAST(·,1024)
+    // bounds the window input at 1026 rows in the query's semantics
+    "el_mann_whitney")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
