@@ -59,6 +59,7 @@ object SparkEntry {
     graft.queries.RelationalQueries13.defs ++
     graft.queries.RelationalQueries14.defs ++
     graft.queries.RelationalQueries15.defs ++
+    graft.queries.RelationalQueries16.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

@@ -1,0 +1,240 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native as-of join: for every left row, the single right row with the
+  * greatest `rightTime <= leftTime` among rows sharing the join key — the
+  * point-in-time lookup under snapshot enrichment (`el_asof_snapshot`),
+  * trade-to-quote alignment, and slowly-changing-dimension reads.
+  *
+  * This is the repo's one whole-operator extension (preference ladder (c)
+  * in SURVEY.md §4.2: custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * behind `experimental.extraStrategies`), shipped because the composed
+  * alternatives genuinely pay at scale:
+  *
+  *   - inequality-join + per-left aggregate (`q19_asof_join`) EXPANDS: a
+  *     left row with m time-eligible right rows materializes m joined rows
+  *     before the aggregate collapses them. At 100 TB a hot key's history
+  *     multiplies the shuffle.
+  *   - union + window `last(ignoreNulls)` (`el_asof_snapshot`,
+  *     `q74_asof_forward`) is linear but pays a union of both inputs into
+  *     ONE shuffle+sort of combined width (every column of both sides,
+  *     null-padded) and a window pass.
+  *
+  * [[AsOfJoinExec]] instead declares `ClusteredDistribution` on each key
+  * set and per-partition `(key, time)` ordering, then streams a single
+  * forward merge: one shuffle per side at native row width, zero row
+  * expansion, O(1) state (the last matching right row). Sorting is
+  * delegated to `EnsureRequirements`, so AQE, whole-stage-codegen'd sorts,
+  * and reuse of an already-clustered child all apply for free — a child
+  * pre-bucketed on the key skips its shuffle entirely.
+  *
+  * Left-outer semantics, SQL null discipline: a null key or null left time
+  * never matches (`x <= NULL` is unknown), and null right times are
+  * dropped. Ties on `rightTime` resolve to the row sorting LAST under
+  * `rightTieBreak` — callers pass a unique column to make results
+  * deterministic (the oracle's `ROW_NUMBER ... ORDER BY time DESC,
+  * tiebreak DESC` picks the same row).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types must align: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must align: ${leftTime.dataType} vs ${rightTime.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; inert on every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotent runtime injection (the `ApproxDistinctRewrite.install`
+    * dual); `GraftExtensions` is the build-time path. */
+  def install(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.contains(this))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ this
+  }
+}
+
+/** Co-partitioned streamed-merge as-of join (left outer).
+  *
+  * Both children arrive clustered on their key set and sorted by
+  * `(keys, time[, tiebreak])` ascending NULLS FIRST; each partition is then
+  * a single forward pass holding one buffered right row and the last
+  * time-eligible match. Guarantees relied on, in order:
+  *   1. left rows within a key arrive time-ascending, so the eligible
+  *      right frontier only moves forward;
+  *   2. right null-time rows sort first within a key and are dropped on
+  *      first contact;
+  *   3. `last` is reset whenever the left key changes, so a match can
+  *      never leak across keys.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+  // one left row out per left row in, in left order: both properties of the
+  // merge, advertised so a downstream sort/agg on the same key elides.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val (lOut, rOut) = (left.output, right.output)
+    val outAttrs = output
+    val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      if (!lIter.hasNext) Iterator.empty
+      else new Iterator[InternalRow] {
+        private val lKeyProj = UnsafeProjection.create(lk, lOut)
+        private val rKeyProj = UnsafeProjection.create(rk, rOut)
+        private val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+        private val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+        private val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        private val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rOut.size)
+        // parents require UnsafeRow output: flatten the JoinedRow view.
+        // Project onto `output` (right side nullability widened), bound by
+        // exprId to the raw child attributes, so null right rows null-check.
+        private val resultProj =
+          UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+
+        // right lookahead; projections reuse buffers, so retained keys copy
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTime: InternalRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow).copy()
+            rTime = rTimeProj(rRow).copy()
+          } else { rRow = null; rKey = null; rTime = null }
+        advanceRight()
+
+        // last time-eligible right row, valid only while lastKey holds
+        private var last: InternalRow = _
+        private var lastKey: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          var matched: InternalRow = null
+          if (!lKey.anyNull) {
+            if (lastKey == null || keyOrd.compare(lastKey, lKey) != 0) {
+              last = null; lastKey = null
+            }
+            // discard right rows sorting strictly before this key
+            // (null-key rows sort first and can never match)
+            while (rRow != null && (rKey.anyNull || keyOrd.compare(rKey, lKey) < 0)) {
+              advanceRight()
+            }
+            val lTime = lTimeProj(l)
+            if (!lTime.isNullAt(0)) {
+              var scan = true
+              while (scan && rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+                if (rTime.isNullAt(0)) advanceRight() // unmatchable, drop
+                else if (timeOrd.compare(rTime, lTime) <= 0) {
+                  last = rRow.copy(); lastKey = rKey
+                  advanceRight()
+                } else scan = false
+              }
+              if (last != null) matched = last
+            }
+          }
+          numOut += 1
+          if (matched != null) { numMatched += 1; resultProj(joined(l, matched)) }
+          else resultProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** User-facing entry point. */
+object AsOf {
+
+  /** Left-outer as-of join of `left` to `right` on equal `leftOn`/`rightOn`
+    * keys, matching the right row with the greatest `rightTime <=
+    * leftTime`; `rightTieBreak` makes equal-time picks deterministic
+    * (largest wins). Installs [[AsOfJoinStrategy]] on the session on first
+    * use. Column name collisions across sides are the caller's to avoid
+    * (select/alias first), same as `Dataset.join`.
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Seq[String],
+      rightOn: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    AsOfJoinStrategy.install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(p: LogicalPlan, side: String)(n: String): Attribute =
+      p.output.find(a => resolver(a.name, n)).getOrElse(throw new IllegalArgumentException(
+        s"as-of $side column '$n' not in ${p.output.map(_.name).mkString("[", ", ", "]")}"))
+    SqlBridge.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      leftOn.map(attr(lPlan, "left")), rightOn.map(attr(rPlan, "right")),
+      attr(lPlan, "left")(leftTime), attr(rPlan, "right")(rightTime),
+      rightTieBreak.map(attr(rPlan, "right"))))
+  }
+}

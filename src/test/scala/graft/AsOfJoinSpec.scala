@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native as-of join ([[graft.plans.AsOfJoinExec]]) against a composed
+  * join+window reference implementation, on crafted edge cases and a seeded
+  * random sweep; plus the physical-plan contract (exec node present, one
+  * exchange per side, no row-expanding join, no window).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Composed reference: inequality left join, keep the row with the
+    * greatest (time, tiebreak) per left row — the semantics the native
+    * operator must reproduce, written the expensive expanding way. */
+  private def composed(left: DataFrame, right: DataFrame): DataFrame = {
+    val j = left.join(right,
+      col("k") === col("rk") && col("rt").isNotNull && col("rt") <= col("t"),
+      "left")
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+    j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private def native(left: DataFrame, right: DataFrame): DataFrame =
+    AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select("lid", "rid", "rv").collect()
+      .map(r => (0 until 3).map(i => if (r.isNullAt(i)) "∅" else r.get(i).toString).mkString("|"))
+      .sorted.toSeq
+
+  test("edge cases: nulls, ties, unmatched, key gaps") {
+    val left = Seq(
+      (1L, Some(10L), Some(100L)),  // matches rid=2 (rt=90 beats rt=50)
+      (2L, Some(10L), Some(90L)),   // exact-time match rid=2
+      (3L, Some(10L), Some(40L)),   // before all right rows -> null
+      (4L, Some(10L), None),        // null left time -> null
+      (5L, None, Some(100L)),       // null left key -> null
+      (6L, Some(20L), Some(100L)),  // tie rt=60 twice -> larger rid=6
+      (7L, Some(30L), Some(100L)),  // key with no right rows -> null
+      (8L, Some(40L), Some(100L))   // key whose right rows are all later -> null
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (1L, Some(10L), Some(50L), "a"),
+      (2L, Some(10L), Some(90L), "b"),
+      (3L, Some(10L), None, "nullts"),    // null right time: never matches
+      (4L, Some(10L), Some(120L), "late"),
+      (5L, Some(20L), Some(60L), "t1"),
+      (6L, Some(20L), Some(60L), "t2"),   // time tie, larger rid wins
+      (7L, None, Some(10L), "nullkey"),
+      (8L, Some(40L), Some(200L), "later")
+    ).toDF("rid", "rk", "rt", "rv")
+
+    val got = sortedRows(native(left, right))
+    val want = sortedRows(composed(left, right))
+    assert(got === want)
+    assert(got === Seq(
+      "1|2|b", "2|2|b", "3|∅|∅", "4|∅|∅", "5|∅|∅", "6|6|t2", "7|∅|∅", "8|∅|∅"))
+  }
+
+  test("seeded random sweep matches the composed reference") {
+    val rnd = new scala.util.Random(42)
+    def time(): Option[Long] = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000).toLong)
+    def key(): Option[Long] = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong)
+    val left = (1L to 3000L).map(i => (i, key(), time())).toDF("lid", "k", "t")
+    val right = (1L to 1500L).map(i => (i, key(), time(), s"v$i")).toDF("rid", "rk", "rt", "rv")
+    // skew the partitioning going in: the exec must re-cluster both sides
+    val gotDf = native(left.repartition(7), right.repartition(3, col("rv")))
+    assert(sortedRows(gotDf) === sortedRows(composed(left, right)))
+    assert(gotDf.count() === 3000L) // left-outer: exactly one row per left row
+  }
+
+  test("plan: native exec, one exchange per side, no expanding join, no window") {
+    val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
+    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+    // formatted explain renders the post-EnsureRequirements plan exactly once
+    // (executedPlan.toString under AQE repeats it as Current + Initial)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("AsOfJoin")) // SparkPlan.nodeName strips "Exec"
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window") && !plan.contains("Union"))
+  }
+
+  test("pre-clustered child skips its shuffle") {
+    val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
+      .repartition(4, col("k"))
+    val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
+      .repartition(4, col("rk"))
+    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // the two user REPARTITION exchanges are the only ones — the as-of
+    // join itself added none (ClusteredDistribution already satisfied)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2)
+    assert("REPARTITION".r.findAllIn(plan).size === 2)
+    assert(!plan.contains("ENSURE_REQUIREMENTS"))
+  }
+}
