@@ -198,7 +198,7 @@ object Topic {
     */
   /** Columns the publish paths add — excluded from the event-schema
     * compatibility check. */
-  private val PublishMetaCols = Set("offset", "producer_id", "producer_seq", "shard")
+  private val PublishMetaCols = Set("offset", "producer_id", "producer_seq", "shard", "txn_id")
 
   /** Nullability (and field metadata) are a physical artifact of the
     * writer, not part of the topic's logical type: a column built from
