@@ -339,10 +339,67 @@ final class Cascade(spark: SparkSession, root: String) {
   }
 
   /** Publish into an open transaction: rows are durably appended (dense
-    * offsets as always) but invisible to `readCommitted` until commit. */
+    * offsets as always) but invisible to `readCommitted` until commit.
+    *
+    * The assigned offset range is recorded in the open marker BEFORE the
+    * data lands (one "range topic first last" line per publish), which is
+    * what makes [[lastStableOffset]] a pure metadata read. The ordering is
+    * the crash-safe direction: a writer that dies between the two leaves a
+    * rowless range — LSO stays conservative until `recoverTxns` aborts the
+    * orphan — whereas data-before-marker could let a consumer conclude
+    * fate-decided for offsets a still-open transaction holds. */
   def publishTxn(txnId: String, topic: String, events: DataFrame): Unit = {
     require(txnStates(txnId) == Set("open"), s"transaction $txnId is not open")
-    Topic.publish(events.withColumn("txn_id", lit(txnId)), dir(topic))
+    val tagged = events.withColumn("txn_id", lit(txnId))
+    val d = dir(topic)
+    Topic.withPublishLock(spark, d) {
+      Topic.checkSchemaCompatible(spark, d, tagged.schema)
+      val base = Topic.highWaterMark(spark, d) + 1L
+      val n = tagged.count()
+      if (n > 0) {
+        appendMarkerLine(txnId, s"range $topic $base ${base + n - 1}")
+        Topic.assignOffsets(tagged, base)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d)
+      }
+    }
+  }
+
+  /** Append a line to the open marker via tmp+rename (single-coordinator
+    * assumption, same as the staged-offsets file). */
+  private def appendMarkerLine(txnId: String, line: String): Unit = {
+    val (hfs, _) = Topic.fs(spark, root)
+    val p = txnPath(txnId, "open")
+    val in = hfs.open(p)
+    val existing = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = hfs.create(tmp, true)
+    try out.writeBytes(existing + line + "\n") finally out.close()
+    hfs.delete(p, false)
+    if (!hfs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to record txn range for $txnId")
+  }
+
+  /** Kafka's LAST STABLE OFFSET for a topic: the offset below which every
+    * row's fate is decided (committed, aborted, or non-transactional) —
+    * the hwm when nothing is open, else one before the first offset any
+    * open transaction holds there. A read-committed consumer that must
+    * never skip offsets a pending transaction could later reveal reads
+    * only up to this bound. Pure metadata: open markers carry their
+    * ranges, so no log scan at any topic size. */
+  def lastStableOffset(topic: String): Long = {
+    requireTopic(topic)
+    val (hfs, _) = Topic.fs(spark, root)
+    val openFirsts = listTxns("open").flatMap { id =>
+      val in = hfs.open(txnPath(id, "open"))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split('\n').collect {
+        case l if l.startsWith("range ") =>
+          val Array(_, t, first, _) = l.split(' ')
+          (t, first.toLong)
+      }.collect { case (t, first) if t == topic => first }
+    }
+    if (openFirsts.isEmpty) Topic.highWaterMark(spark, dir(topic))
+    else openFirsts.min - 1L
   }
 
   /** Stage a consumer-group offset commit inside the transaction

@@ -103,4 +103,43 @@ class TxnSpec extends SparkSpec {
     c.publish("plain", ev(0, 7))
     assert(c.readCommitted("plain").count() === 7)
   }
+
+  test("plain publish after a txn publish: txn_id is publish metadata, not schema") {
+    // regression: the schema-evolution contract must not demand that a
+    // non-transactional producer carry the txn_id column a transactional
+    // write introduced — it is publish metadata like offset/producer_id
+    val c = new Cascade(spark, freshRoot())
+    c.beginTxn("w")
+    c.publishTxn("w", "t", ev(0, 5))
+    c.commitTxn("w")
+    c.publish("t", ev(5, 8)) // must not throw "drops column txn_id"
+    assert(c.readCommitted("t").count() === 8)
+    val offs = c.readCommitted("t").select("offset").collect().map(_.getLong(0)).sorted
+    assert(offs === (0L until 8L).toArray)
+  }
+
+  test("last stable offset: metadata-only, tracks open ranges per topic") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("t", ev(0, 10)) // offsets 0..9
+    assert(c.lastStableOffset("t") === 9L)
+
+    c.beginTxn("x")
+    c.publishTxn("x", "t", ev(10, 16)) // offsets 10..15, open
+    c.publish("t", ev(16, 20))         // offsets 16..19, non-txn after it
+    // hwm is 19 but fate is undecided from offset 10 up
+    assert(Topic.highWaterMark(spark, s"${c.rootDir}/t") === 19L)
+    assert(c.lastStableOffset("t") === 9L)
+    // an open txn on ANOTHER topic does not hold this topic's LSO back
+    c.beginTxn("y")
+    c.publishTxn("y", "other", ev(0, 3))
+    assert(c.lastStableOffset("t") === 9L)
+    assert(c.lastStableOffset("other") === -1L)
+
+    c.commitTxn("x")
+    assert(c.lastStableOffset("t") === 19L)
+    // TTL-abort resolves the other topic too
+    Thread.sleep(20)
+    assert(c.recoverTxns(ttlMs = 5L)._1 === Seq("y"))
+    assert(c.lastStableOffset("other") === 2L)
+  }
 }
