@@ -8,12 +8,17 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Native as-of join: for every left row, the single right row with the
-  * greatest `rightTime <= leftTime` among rows sharing the join key — the
-  * point-in-time lookup under snapshot enrichment (`el_asof_snapshot`),
-  * trade-to-quote alignment, and slowly-changing-dimension reads.
+/** Native as-of join: for every left row, the single right row sharing the
+  * join key that is nearest in time — BACKWARD (default): the greatest
+  * `rightTime <= leftTime` (point-in-time lookups: snapshot enrichment,
+  * trade-to-quote, SCD reads); FORWARD: the smallest `rightTime >=
+  * leftTime` (the `q74_asof_forward` direction: next-action attribution).
+  * An optional TOLERANCE bounds the match distance (pandas `merge_asof`
+  * / kdb window-join parity): a right row farther than `tolerance` time
+  * units from the left row does not match.
   *
   * This is the repo's one whole-operator extension (preference ladder (c)
   * in SURVEY.md §4.2: custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
@@ -32,17 +37,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[AsOfJoinExec]] instead declares `ClusteredDistribution` on each key
   * set and per-partition `(key, time)` ordering, then streams a single
   * forward merge: one shuffle per side at native row width, zero row
-  * expansion, O(1) state (the last matching right row). Sorting is
-  * delegated to `EnsureRequirements`, so AQE, whole-stage-codegen'd sorts,
-  * and reuse of an already-clustered child all apply for free — a child
-  * pre-bucketed on the key skips its shuffle entirely.
+  * expansion, O(1) state. Sorting is delegated to `EnsureRequirements`, so
+  * AQE, whole-stage-codegen'd sorts, and reuse of an already-clustered
+  * child all apply for free — a child pre-bucketed on the key skips its
+  * shuffle entirely.
   *
   * Left-outer semantics, SQL null discipline: a null key or null left time
   * never matches (`x <= NULL` is unknown), and null right times are
-  * dropped. Ties on `rightTime` resolve to the row sorting LAST under
-  * `rightTieBreak` — callers pass a unique column to make results
-  * deterministic (the oracle's `ROW_NUMBER ... ORDER BY time DESC,
-  * tiebreak DESC` picks the same row).
+  * dropped. Equal-time ties resolve deterministically through
+  * `rightTieBreak` (callers pass a unique column): backward picks the row
+  * sorting LAST (oracle: `ROW_NUMBER ... ORDER BY time DESC, tiebreak
+  * DESC`), forward the row sorting FIRST (`... time ASC, tiebreak ASC`).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -51,11 +56,17 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"as-of key types must align: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types must align: ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(tolerance.forall(_ >= 0), s"as-of tolerance must be >= 0, got $tolerance")
+  require(tolerance.isEmpty || AsOfJoinExec.timeReader(leftTime.dataType).isDefined,
+    s"as-of tolerance needs an integral/timestamp/date time column, " +
+      s"got ${leftTime.dataType.simpleString}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,8 +79,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; inert on every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 
@@ -81,18 +92,30 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Co-partitioned streamed-merge as-of join (left outer).
+object AsOfJoinExec {
+  /** Physical long view of a time value for tolerance arithmetic, by the
+    * column's Catalyst internal representation (µs for timestamps, days
+    * for dates). None = type unsupported for tolerance. */
+  private[plans] def timeReader(dt: DataType): Option[InternalRow => Long] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(_.getLong(0))
+    case IntegerType | DateType => Some(_.getInt(0).toLong)
+    case _ => None
+  }
+}
+
+/** Co-partitioned streamed-merge as-of join (left outer, both directions).
   *
   * Both children arrive clustered on their key set and sorted by
   * `(keys, time[, tiebreak])` ascending NULLS FIRST; each partition is then
-  * a single forward pass holding one buffered right row and the last
-  * time-eligible match. Guarantees relied on, in order:
+  * a single forward pass. Guarantees relied on, in order:
   *   1. left rows within a key arrive time-ascending, so the eligible
   *      right frontier only moves forward;
   *   2. right null-time rows sort first within a key and are dropped on
   *      first contact;
-  *   3. `last` is reset whenever the left key changes, so a match can
-  *      never leak across keys.
+  *   3. backward: the buffered `last` match is reset whenever the left key
+  *      changes, so a match can never leak across keys; forward: the
+  *      candidate is the CURRENT (unconsumed) right row, key-checked at
+  *      emit.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -100,6 +123,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -134,6 +159,7 @@ case class AsOfJoinExec(
     val (lOut, rOut) = (left.output, right.output)
     val outAttrs = output
     val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
+    val (fwd, tol) = (forward, tolerance)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
@@ -144,6 +170,9 @@ case class AsOfJoinExec(
         private val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
         private val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         private val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+        // tolerance is pre-validated against the time type in the plan node
+        private val timeAsLong: InternalRow => Long =
+          AsOfJoinExec.timeReader(timeType).getOrElse(_ => 0L)
         private val joined = new JoinedRow
         private val nullRight = new GenericInternalRow(rOut.size)
         // parents require UnsafeRow output: flatten the JoinedRow view.
@@ -164,9 +193,10 @@ case class AsOfJoinExec(
           } else { rRow = null; rKey = null; rTime = null }
         advanceRight()
 
-        // last time-eligible right row, valid only while lastKey holds
+        // backward state: last time-eligible right row for the current key
         private var last: InternalRow = _
         private var lastKey: InternalRow = _
+        private var lastTime: InternalRow = _
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -176,7 +206,7 @@ case class AsOfJoinExec(
           var matched: InternalRow = null
           if (!lKey.anyNull) {
             if (lastKey == null || keyOrd.compare(lastKey, lKey) != 0) {
-              last = null; lastKey = null
+              last = null; lastKey = null; lastTime = null
             }
             // discard right rows sorting strictly before this key
             // (null-key rows sort first and can never match)
@@ -185,15 +215,34 @@ case class AsOfJoinExec(
             }
             val lTime = lTimeProj(l)
             if (!lTime.isNullAt(0)) {
-              var scan = true
-              while (scan && rRow != null && keyOrd.compare(rKey, lKey) == 0) {
-                if (rTime.isNullAt(0)) advanceRight() // unmatchable, drop
-                else if (timeOrd.compare(rTime, lTime) <= 0) {
-                  last = rRow.copy(); lastKey = rKey
+              if (!fwd) {
+                // BACKWARD: consume rights with time <= lTime, keep the last
+                var scan = true
+                while (scan && rRow != null && keyOrd.compare(rKey, lKey) == 0) {
+                  if (rTime.isNullAt(0)) advanceRight() // unmatchable, drop
+                  else if (timeOrd.compare(rTime, lTime) <= 0) {
+                    last = rRow.copy(); lastKey = rKey; lastTime = rTime
+                    advanceRight()
+                  } else scan = false
+                }
+                if (last != null && tol.forall(t =>
+                    timeAsLong(lTime) - timeAsLong(lastTime) <= t)) {
+                  matched = last
+                }
+              } else {
+                // FORWARD: drop rights strictly before lTime (safe: later
+                // left rows of this key have times >= lTime); the candidate
+                // is the first remaining same-key row, NOT consumed — it
+                // may also match subsequent left rows.
+                while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                       (rTime.isNullAt(0) || timeOrd.compare(rTime, lTime) < 0)) {
                   advanceRight()
-                } else scan = false
+                }
+                if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                    tol.forall(t => timeAsLong(rTime) - timeAsLong(lTime) <= t)) {
+                  matched = rRow
+                }
               }
-              if (last != null) matched = last
             }
           }
           numOut += 1
@@ -209,9 +258,12 @@ case class AsOfJoinExec(
 object AsOf {
 
   /** Left-outer as-of join of `left` to `right` on equal `leftOn`/`rightOn`
-    * keys, matching the right row with the greatest `rightTime <=
-    * leftTime`; `rightTieBreak` makes equal-time picks deterministic
-    * (largest wins). Installs [[AsOfJoinStrategy]] on the session on first
+    * keys. Backward (default): match the right row with the greatest
+    * `rightTime <= leftTime`; `forward = true`: the smallest `rightTime >=
+    * leftTime`. `tolerance` (in the time column's internal units — µs for
+    * timestamps, days for dates) bounds the match distance. `rightTieBreak`
+    * makes equal-time picks deterministic (backward: largest wins; forward:
+    * smallest wins). Installs [[AsOfJoinStrategy]] on the session on first
     * use. Column name collisions across sides are the caller's to avoid
     * (select/alias first), same as `Dataset.join`.
     */
@@ -222,7 +274,9 @@ object AsOf {
       rightOn: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     AsOfJoinStrategy.install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -235,6 +289,6 @@ object AsOf {
       lPlan, rPlan,
       leftOn.map(attr(lPlan, "left")), rightOn.map(attr(rPlan, "right")),
       attr(lPlan, "left")(leftTime), attr(rPlan, "right")(rightTime),
-      rightTieBreak.map(attr(rPlan, "right"))))
+      rightTieBreak.map(attr(rPlan, "right")), forward, tolerance))
   }
 }

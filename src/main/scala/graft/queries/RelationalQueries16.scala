@@ -52,5 +52,68 @@ object RelationalQueries16 {
         .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
           col("o_totalprice").as("last_order_price"), col("ots").as("last_order_ts"))
         .orderBy("event_id")
+    },
+
+    // The TOLERANCE variant (pandas merge_asof / kdb window-join parity):
+    // same backward lookup, but an order more than 30 days old does not
+    // match — the staleness bound every feature-store read wants. Same
+    // plan as q85 (the bound is evaluated inside the streamed merge, zero
+    // extra passes); the oracle adds the distance predicate to the
+    // expanding-join formulation.
+    "q86_asof_tolerance" -> Q(
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |         o_totalprice
+        |  FROM orders),
+        |j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.ots,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.ots DESC, o.o_orderkey DESC) AS rn
+        |  FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.ots <= e.ts
+        |                     AND epoch_us(e.ts) - epoch_us(o.ots) <= 2592000000000)
+        |SELECT event_id, o_orderkey AS last_orderkey,
+        |       o_totalprice AS last_order_price, ots AS last_order_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"), col("o_totalprice"))
+      AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "ots",
+          rightTieBreak = Seq("o_orderkey"), tolerance = Some(2592000000000L))
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_order_price"), col("ots").as("last_order_ts"))
+        .orderBy("event_id")
+    },
+
+    // The FORWARD direction natively (q74_asof_forward composes it with a
+    // join+aggregate): each event's NEXT order at-or-after the event time.
+    // Equal-time ties resolve to the SMALLEST o_orderkey (forward's
+    // first-in-sort-order contract, mirrored in the oracle's ASC window).
+    "q87_asof_forward_native" -> Q(
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |         o_totalprice
+        |  FROM orders),
+        |j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.ots,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.ots ASC, o.o_orderkey ASC) AS rn
+        |  FROM e LEFT JOIN o ON e.user_id = o.o_custkey AND o.ots >= e.ts)
+        |SELECT event_id, o_orderkey AS next_orderkey,
+        |       o_totalprice AS next_order_price, ots AS next_order_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ots"), col("o_totalprice"))
+      AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "ots",
+          rightTieBreak = Seq("o_orderkey"), forward = true)
+        .select(col("event_id"), col("o_orderkey").as("next_orderkey"),
+          col("o_totalprice").as("next_order_price"), col("ots").as("next_order_ts"))
+        .orderBy("event_id")
     })
 }

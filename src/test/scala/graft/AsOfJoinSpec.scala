@@ -74,6 +74,80 @@ class AsOfJoinSpec extends SparkSpec {
     assert(gotDf.count() === 3000L) // left-outer: exactly one row per left row
   }
 
+  /** Composed forward reference: smallest (rt, rid) with rt >= t. */
+  private def composedFwd(left: DataFrame, right: DataFrame): DataFrame = {
+    val j = left.join(right,
+      col("k") === col("rk") && col("rt").isNotNull && col("rt") >= col("t"),
+      "left")
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("rt").asc_nulls_last, col("rid").asc_nulls_last)
+    j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  test("forward direction: crafted ties and a seeded sweep match the composed form") {
+    val left = Seq(
+      (1L, Some(10L), Some(50L)),   // next is rt=60 tie -> SMALLEST rid=5
+      (2L, Some(10L), Some(60L)),   // exact-time match, same tie rule
+      (3L, Some(10L), Some(300L)),  // after all right rows -> null
+      (4L, Some(10L), None),        // null left time -> null
+      (5L, Some(20L), Some(10L))    // key with no right rows -> null
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (5L, Some(10L), Some(60L), "t1"),
+      (6L, Some(10L), Some(60L), "t2"),
+      (7L, Some(10L), Some(90L), "later"),
+      (8L, Some(10L), None, "nullts")
+    ).toDF("rid", "rk", "rt", "rv")
+    val got = sortedRows(
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true))
+    assert(got === sortedRows(composedFwd(left, right)))
+    assert(got === Seq("1|5|t1", "2|5|t1", "3|∅|∅", "4|∅|∅", "5|∅|∅"))
+
+    val rnd = new scala.util.Random(7)
+    def time(): Option[Long] = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000).toLong)
+    val bl = (1L to 2500L).map(i => (i, Some(rnd.nextInt(40).toLong), time())).toDF("lid", "k", "t")
+    val br = (1L to 1200L).map(i => (i, Some(rnd.nextInt(40).toLong), time(), s"v$i")).toDF("rid", "rk", "rt", "rv")
+    assert(sortedRows(
+      AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true))
+      === sortedRows(composedFwd(bl, br)))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 130L)).toDF("lid", "k", "t")
+    val right = Seq((1L, 1L, 90L, "a"), (2L, 1L, 135L, "b")).toDF("rid", "rk", "rt", "rv")
+    def bk(tol: Option[Long]) = sortedRows(
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), tolerance = tol))
+    def fw(tol: Option[Long]) = sortedRows(AsOf.join(
+      left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true, tolerance = tol))
+    assert(bk(None) === Seq("1|1|a", "2|1|a"))
+    assert(bk(Some(10L)) === Seq("1|1|a", "2|∅|∅"))  // 130-90=40 > 10
+    assert(bk(Some(40L)) === Seq("1|1|a", "2|1|a"))  // boundary inclusive
+    assert(fw(None) === Seq("1|2|b", "2|2|b"))
+    assert(fw(Some(5L)) === Seq("1|∅|∅", "2|2|b"))   // 135-100=35 > 5
+    // tolerance vs the composed form on the random fixture
+    val rnd = new scala.util.Random(11)
+    val bl = (1L to 2000L).map(i => (i, Some(rnd.nextInt(30).toLong), Some(rnd.nextInt(500).toLong))).toDF("lid", "k", "t")
+    val br = (1L to 900L).map(i => (i, Some(rnd.nextInt(30).toLong), Some(rnd.nextInt(500).toLong), s"v$i")).toDF("rid", "rk", "rt", "rv")
+    val tol = 25L
+    val want = {
+      val j = bl.join(br, col("k") === col("rk") && col("rt") <= col("t")
+        && col("t") - col("rt") <= tol, "left")
+      val w = Window.partitionBy(col("lid"))
+        .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    assert(sortedRows(AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+      tolerance = Some(tol))) === sortedRows(want))
+  }
+
+  test("tolerance rejects a non-temporal time column type") {
+    val left = Seq((1L, 1L, "x")).toDF("lid", "k", "t")
+    val right = Seq((1L, 1L, "y", "v")).toDF("rid", "rk", "rt", "rv")
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), tolerance = Some(1L))
+    }
+  }
+
   test("plan: native exec, one exchange per side, no expanding join, no window") {
     val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
     val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
