@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.SqlBridge
@@ -58,7 +58,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     s"as-of key types must align: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
@@ -76,11 +77,22 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; inert on every other node. */
+/** Plans [[AsOfJoinPlan]]; inert on every other node. Physical choice
+  * mirrors equi-join planning: a right side under
+  * `spark.sql.autoBroadcastJoinThreshold` (by logical stats) goes to
+  * [[BroadcastAsOfJoinExec]] — no shuffle or sort on EITHER side — unless
+  * the plan pins `broadcastRight`; everything else gets the co-partitioned
+  * streamed merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fwd, tol, bc) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val doBroadcast = bc.getOrElse(
+        threshold >= 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+      if (doBroadcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tb, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 
@@ -254,6 +266,142 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: the small-dimension physical choice. The right
+  * side arrives whole on every executor (`BroadcastDistribution` with
+  * `IdentityBroadcastMode` — the `BroadcastNestedLoopJoin` transport);
+  * each task indexes it once into key → time-sorted rows, then streams
+  * the left side UNSHUFFLED and UNSORTED, answering each row by binary
+  * search. For a 100 TB fact enriched against a snapshot dimension this
+  * is the plan that matters: zero exchanges and zero sorts on the fact
+  * side, exactly the BroadcastHashJoin-vs-SortMergeJoin trade applied to
+  * point-in-time lookup. Output partitioning/ordering of the left side
+  * pass straight through.
+  *
+  * The per-task index build is O(|right| · log |right|) — bounded by the
+  * broadcast threshold, the same cost class as BroadcastHashJoin's
+  * per-executor HashedRelation deserialization. Match semantics, null
+  * discipline, direction, tie-breaks, and tolerance are IDENTICAL to
+  * [[AsOfJoinExec]] (AsOfJoinSpec drives both execs through the same
+  * cases).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val (lOut, rOut) = (left.output, right.output)
+    val outAttrs = output
+    val (lk, rk, lt, rt, tb) = (leftKeys, rightKeys, leftTime, rightTime, rightTieBreak)
+    val (fwd, tol) = (forward, tolerance)
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      // sort groups by (time, tiebreaks): backward's "last <=" then picks
+      // the largest tiebreak on a time tie, forward's "first >=" the
+      // smallest — same contracts as the streamed merge's child ordering
+      val rSortProj = UnsafeProjection.create(rt +: tb, rOut)
+      val sortOrd = RowOrdering.createNaturalAscendingOrdering(
+        (rt +: tb).map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val timeAsLong: InternalRow => Long =
+        AsOfJoinExec.timeReader(timeType).getOrElse(_ => 0L)
+
+      // key -> rows sorted by (time, tiebreak); null keys/times dropped
+      val index = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val k = rKeyProj(row)
+        val t = rTimeProj(row)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var g = index.get(k)
+          if (g == null) {
+            g = scala.collection.mutable.ArrayBuffer.empty
+            index.put(k.copy(), g)
+          }
+          g += ((t.copy(), row))
+        }
+      }
+      index.values().forEach { g =>
+        val sorted = g.map { case (_, row) =>
+          (rSortProj(row).copy(): InternalRow, row)
+        }.sortBy(_._1)(sortOrd)
+        g.clear()
+        sorted.foreach { case (_, row) => g += ((rTimeProj(row).copy(), row)) }
+      }
+
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      val resultProj =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        var matched: InternalRow = null
+        if (!lKey.anyNull) {
+          val g = index.get(lKey)
+          if (g != null) {
+            val lTime = lTimeProj(l)
+            if (!lTime.isNullAt(0)) {
+              // binary search over times: lo = first index with time >= lTime
+              var lo = 0; var hi = g.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(g(mid)._1, lTime) < 0) lo = mid + 1 else hi = mid
+              }
+              if (!fwd) {
+                // last row with time <= lTime: scan the equal-time run up
+                var i = lo
+                while (i < g.length && timeOrd.compare(g(i)._1, lTime) == 0) i += 1
+                if (i > 0 && tol.forall(t =>
+                    timeAsLong(lTime) - timeAsLong(g(i - 1)._1) <= t)) {
+                  matched = g(i - 1)._2
+                }
+              } else if (lo < g.length && tol.forall(t =>
+                  timeAsLong(g(lo)._1) - timeAsLong(lTime) <= t)) {
+                matched = g(lo)._2
+              }
+            }
+          }
+        }
+        numOut += 1
+        if (matched != null) { numMatched += 1; resultProj(joined(l, matched)) }
+        else resultProj(joined(l, nullRight))
+      }
+    }
+  }
+}
+
 /** User-facing entry point. */
 object AsOf {
 
@@ -276,7 +424,8 @@ object AsOf {
       rightTime: String,
       rightTieBreak: Seq[String] = Nil,
       forward: Boolean = false,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     AsOfJoinStrategy.install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -289,6 +438,6 @@ object AsOf {
       lPlan, rPlan,
       leftOn.map(attr(lPlan, "left")), rightOn.map(attr(rPlan, "right")),
       attr(lPlan, "left")(leftTime), attr(rPlan, "right")(rightTime),
-      rightTieBreak.map(attr(rPlan, "right")), forward, tolerance))
+      rightTieBreak.map(attr(rPlan, "right")), forward, tolerance, broadcastRight))
   }
 }

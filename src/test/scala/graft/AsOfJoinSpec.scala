@@ -5,13 +5,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The native as-of join ([[graft.plans.AsOfJoinExec]]) against a composed
-  * join+window reference implementation, on crafted edge cases and a seeded
-  * random sweep; plus the physical-plan contract (exec node present, one
-  * exchange per side, no row-expanding join, no window).
+/** The native as-of join against a composed join+window reference
+  * implementation, on crafted edge cases and a seeded random sweep; plus
+  * the physical-plan contract (exec node present, one exchange per side,
+  * no row-expanding join, no window). Every semantic case runs through
+  * BOTH physical forms — the co-partitioned streamed merge
+  * ([[graft.plans.AsOfJoinExec]]) and the broadcast-index variant
+  * ([[graft.plans.BroadcastAsOfJoinExec]]) — by pinning `broadcastRight`,
+  * so the two execs are proven interchangeable on the same fixtures.
   */
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Both physical forms, pinned: Some(false) = streamed merge,
+    * Some(true) = broadcast index. */
+  private val bothExecs: Seq[Option[Boolean]] = Seq(Some(false), Some(true))
 
   /** Composed reference: inequality left join, keep the row with the
     * greatest (time, tiebreak) per left row — the semantics the native
@@ -25,8 +33,10 @@ class AsOfJoinSpec extends SparkSpec {
     j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  private def native(left: DataFrame, right: DataFrame): DataFrame =
-    AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+  private def native(left: DataFrame, right: DataFrame,
+      bc: Option[Boolean]): DataFrame =
+    AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+      broadcastRight = bc)
 
   private def sortedRows(df: DataFrame): Seq[String] =
     df.select("lid", "rid", "rv").collect()
@@ -55,11 +65,13 @@ class AsOfJoinSpec extends SparkSpec {
       (8L, Some(40L), Some(200L), "later")
     ).toDF("rid", "rk", "rt", "rv")
 
-    val got = sortedRows(native(left, right))
     val want = sortedRows(composed(left, right))
-    assert(got === want)
-    assert(got === Seq(
-      "1|2|b", "2|2|b", "3|∅|∅", "4|∅|∅", "5|∅|∅", "6|6|t2", "7|∅|∅", "8|∅|∅"))
+    for (bc <- bothExecs) {
+      val got = sortedRows(native(left, right, bc))
+      assert(got === want, s"broadcastRight=$bc")
+      assert(got === Seq(
+        "1|2|b", "2|2|b", "3|∅|∅", "4|∅|∅", "5|∅|∅", "6|6|t2", "7|∅|∅", "8|∅|∅"))
+    }
   }
 
   test("seeded random sweep matches the composed reference") {
@@ -68,10 +80,14 @@ class AsOfJoinSpec extends SparkSpec {
     def key(): Option[Long] = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong)
     val left = (1L to 3000L).map(i => (i, key(), time())).toDF("lid", "k", "t")
     val right = (1L to 1500L).map(i => (i, key(), time(), s"v$i")).toDF("rid", "rk", "rt", "rv")
-    // skew the partitioning going in: the exec must re-cluster both sides
-    val gotDf = native(left.repartition(7), right.repartition(3, col("rv")))
-    assert(sortedRows(gotDf) === sortedRows(composed(left, right)))
-    assert(gotDf.count() === 3000L) // left-outer: exactly one row per left row
+    val want = sortedRows(composed(left, right))
+    for (bc <- bothExecs) {
+      // skew the partitioning going in: the merge must re-cluster both
+      // sides; the broadcast form must index across partitions correctly
+      val gotDf = native(left.repartition(7), right.repartition(3, col("rv")), bc)
+      assert(sortedRows(gotDf) === want, s"broadcastRight=$bc")
+      assert(gotDf.count() === 3000L) // left-outer: exactly one row per left row
+    }
   }
 
   /** Composed forward reference: smallest (rt, rid) with rt >= t. */
@@ -98,46 +114,52 @@ class AsOfJoinSpec extends SparkSpec {
       (7L, Some(10L), Some(90L), "later"),
       (8L, Some(10L), None, "nullts")
     ).toDF("rid", "rk", "rt", "rv")
-    val got = sortedRows(
-      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true))
-    assert(got === sortedRows(composedFwd(left, right)))
-    assert(got === Seq("1|5|t1", "2|5|t1", "3|∅|∅", "4|∅|∅", "5|∅|∅"))
-
+    val wantCrafted = sortedRows(composedFwd(left, right))
     val rnd = new scala.util.Random(7)
     def time(): Option[Long] = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(1000).toLong)
     val bl = (1L to 2500L).map(i => (i, Some(rnd.nextInt(40).toLong), time())).toDF("lid", "k", "t")
     val br = (1L to 1200L).map(i => (i, Some(rnd.nextInt(40).toLong), time(), s"v$i")).toDF("rid", "rk", "rt", "rv")
-    assert(sortedRows(
-      AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true))
-      === sortedRows(composedFwd(bl, br)))
+    val wantSweep = sortedRows(composedFwd(bl, br))
+    for (bc <- bothExecs) {
+      val got = sortedRows(AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        Seq("rid"), forward = true, broadcastRight = bc))
+      assert(got === wantCrafted, s"broadcastRight=$bc")
+      assert(got === Seq("1|5|t1", "2|5|t1", "3|∅|∅", "4|∅|∅", "5|∅|∅"))
+      assert(sortedRows(AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt",
+        Seq("rid"), forward = true, broadcastRight = bc)) === wantSweep,
+        s"broadcastRight=$bc")
+    }
   }
 
   test("tolerance bounds the match distance in both directions") {
     val left = Seq((1L, 1L, 100L), (2L, 1L, 130L)).toDF("lid", "k", "t")
     val right = Seq((1L, 1L, 90L, "a"), (2L, 1L, 135L, "b")).toDF("rid", "rk", "rt", "rv")
-    def bk(tol: Option[Long]) = sortedRows(
-      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), tolerance = tol))
-    def fw(tol: Option[Long]) = sortedRows(AsOf.join(
-      left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true, tolerance = tol))
-    assert(bk(None) === Seq("1|1|a", "2|1|a"))
-    assert(bk(Some(10L)) === Seq("1|1|a", "2|∅|∅"))  // 130-90=40 > 10
-    assert(bk(Some(40L)) === Seq("1|1|a", "2|1|a"))  // boundary inclusive
-    assert(fw(None) === Seq("1|2|b", "2|2|b"))
-    assert(fw(Some(5L)) === Seq("1|∅|∅", "2|2|b"))   // 135-100=35 > 5
     // tolerance vs the composed form on the random fixture
     val rnd = new scala.util.Random(11)
     val bl = (1L to 2000L).map(i => (i, Some(rnd.nextInt(30).toLong), Some(rnd.nextInt(500).toLong))).toDF("lid", "k", "t")
     val br = (1L to 900L).map(i => (i, Some(rnd.nextInt(30).toLong), Some(rnd.nextInt(500).toLong), s"v$i")).toDF("rid", "rk", "rt", "rv")
     val tol = 25L
-    val want = {
+    val wantSweep = sortedRows {
       val j = bl.join(br, col("k") === col("rk") && col("rt") <= col("t")
         && col("t") - col("rt") <= tol, "left")
       val w = Window.partitionBy(col("lid"))
         .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
       j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }
-    assert(sortedRows(AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
-      tolerance = Some(tol))) === sortedRows(want))
+    for (bc <- bothExecs) {
+      def bk(tol: Option[Long]) = sortedRows(AsOf.join(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), tolerance = tol, broadcastRight = bc))
+      def fw(tol: Option[Long]) = sortedRows(AsOf.join(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), forward = true, tolerance = tol,
+        broadcastRight = bc))
+      assert(bk(None) === Seq("1|1|a", "2|1|a"), s"broadcastRight=$bc")
+      assert(bk(Some(10L)) === Seq("1|1|a", "2|∅|∅"))  // 130-90=40 > 10
+      assert(bk(Some(40L)) === Seq("1|1|a", "2|1|a"))  // boundary inclusive
+      assert(fw(None) === Seq("1|2|b", "2|2|b"))
+      assert(fw(Some(5L)) === Seq("1|∅|∅", "2|2|b"))   // 135-100=35 > 5
+      assert(sortedRows(AsOf.join(bl, br, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+        tolerance = Some(tol), broadcastRight = bc)) === wantSweep, s"broadcastRight=$bc")
+    }
   }
 
   test("tolerance rejects a non-temporal time column type") {
@@ -151,7 +173,8 @@ class AsOfJoinSpec extends SparkSpec {
   test("plan: native exec, one exchange per side, no expanding join, no window") {
     val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
     val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
-    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+      broadcastRight = Some(false))
     // formatted explain renders the post-EnsureRequirements plan exactly once
     // (executedPlan.toString under AQE repeats it as Current + Initial)
     val plan = df.queryExecution.explainString(
@@ -167,7 +190,8 @@ class AsOfJoinSpec extends SparkSpec {
       .repartition(4, col("k"))
     val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
       .repartition(4, col("rk"))
-    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"))
+    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+      broadcastRight = Some(false))
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     // the two user REPARTITION exchanges are the only ones — the as-of
@@ -175,5 +199,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2)
     assert("REPARTITION".r.findAllIn(plan).size === 2)
     assert(!plan.contains("ENSURE_REQUIREMENTS"))
+  }
+
+  test("broadcast plan: zero shuffles, zero sorts, broadcast exchange on the right") {
+    val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
+    val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", Seq("rid"),
+      broadcastRight = Some(true))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastAsOfJoin"))
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("Exchange hashpartitioning")) // the whole point
+    assert(!plan.contains("Sort ")) // left streams unsorted; right sorts in-index
+    // left partitioning passes through: a small right never reshapes the fact
+    assert(df.rdd.getNumPartitions === left.rdd.getNumPartitions)
+  }
+
+  test("auto choice: small right broadcasts by stats, pinned false shuffles, " +
+      "threshold -1 disables") {
+    val left = (1L to 100L).map(i => (i, i % 10, i * 2)).toDF("lid", "k", "t")
+    val right = (1L to 50L).map(i => (i, i % 10, i * 3, s"v$i")).toDF("rid", "rk", "rt", "rv")
+    def planOf(bc: Option[Boolean]) = AsOf.join(left, right,
+      Seq("k"), Seq("rk"), "t", "rt", Seq("rid"), broadcastRight = bc)
+      .queryExecution.executedPlan.toString
+    // a 50-row LocalRelation sits far below autoBroadcastJoinThreshold
+    assert(planOf(None).contains("BroadcastAsOfJoin"))
+    assert(!planOf(Some(false)).contains("BroadcastAsOfJoin"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(!planOf(None).contains("BroadcastAsOfJoin"))
+    } finally spark.conf.set(key, prior)
   }
 }
