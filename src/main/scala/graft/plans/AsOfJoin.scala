@@ -277,13 +277,43 @@ case class AsOfJoinExec(
   * point-in-time lookup. Output partitioning/ordering of the left side
   * pass straight through.
   *
-  * The per-task index build is O(|right| · log |right|) — bounded by the
-  * broadcast threshold, the same cost class as BroadcastHashJoin's
-  * per-executor HashedRelation deserialization. Match semantics, null
-  * discipline, direction, tie-breaks, and tolerance are IDENTICAL to
+  * The index build is O(|right| · log |right|) — bounded by the broadcast
+  * threshold, the same cost class as BroadcastHashJoin's per-executor
+  * HashedRelation deserialization — and built ONCE PER EXECUTOR, not per
+  * task: a per-JVM cache weakly keyed on the broadcast row array (so the
+  * entry dies with the broadcast) hands every task of this plan the same
+  * immutable index. At 1000 executors × many fact partitions each, the
+  * per-task rebuild would dominate; the cache makes it one build per
+  * executor, exactly BroadcastHashJoin's amortization. Match semantics,
+  * null discipline, direction, tie-breaks, and tolerance are IDENTICAL to
   * [[AsOfJoinExec]] (AsOfJoinSpec drives both execs through the same
   * cases).
   */
+object BroadcastAsOfJoinExec {
+  /** Per-JVM (= per-executor) index cache. Weakly keyed on the broadcast
+    * row array, so an entry's lifetime is exactly the broadcast's: when
+    * Spark unpersists/GCs the broadcast value, the index goes with it.
+    * The inner map is keyed by plan id — two different as-of joins
+    * sharing one broadcast dimension index it separately (their key/time
+    * expressions differ). Memory is bounded by the broadcast threshold,
+    * the same budget BroadcastHashJoin's HashedRelation occupies. */
+  private val cache = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[Int, AnyRef]]()
+
+  private[plans] def cachedIndex[T <: AnyRef](key: AnyRef, planId: Int)(build: => T): T = {
+    val inner = cache.synchronized {
+      var m = cache.get(key)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
+        cache.put(key, m)
+      }
+      m
+    }
+    // computeIfAbsent: exactly one task builds; concurrent tasks wait
+    inner.computeIfAbsent(planId, _ => build).asInstanceOf[T]
+  }
+}
+
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -315,47 +345,51 @@ case class BroadcastAsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val numOut = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val (lOut, rOut) = (left.output, right.output)
     val outAttrs = output
     val (lk, rk, lt, rt, tb) = (leftKeys, rightKeys, leftTime, rightTime, rightTieBreak)
     val (fwd, tol) = (forward, tolerance)
+    val planId = id
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rk, rOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
-      // sort groups by (time, tiebreaks): backward's "last <=" then picks
-      // the largest tiebreak on a time tie, forward's "first >=" the
-      // smallest — same contracts as the streamed merge's child ordering
-      val rSortProj = UnsafeProjection.create(rt +: tb, rOut)
-      val sortOrd = RowOrdering.createNaturalAscendingOrdering(
-        (rt +: tb).map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val timeAsLong: InternalRow => Long =
         AsOfJoinExec.timeReader(timeType).getOrElse(_ => 0L)
 
-      // key -> rows sorted by (time, tiebreak); null keys/times dropped
-      val index = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
-      broadcastRows.value.foreach { row =>
-        val k = rKeyProj(row)
-        val t = rTimeProj(row)
-        if (!k.anyNull && !t.isNullAt(0)) {
-          var g = index.get(k)
-          if (g == null) {
-            g = scala.collection.mutable.ArrayBuffer.empty
-            index.put(k.copy(), g)
+      // key -> rows sorted by (time, tiebreak), null keys/times dropped;
+      // built once per executor (per-JVM weak cache), immutable thereafter
+      val index = BroadcastAsOfJoinExec.cachedIndex(broadcastRows.value, planId) {
+        val rKeyProj = UnsafeProjection.create(rk, rOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+        // sort groups by (time, tiebreaks): backward's "last <=" then picks
+        // the largest tiebreak on a time tie, forward's "first >=" the
+        // smallest — same contracts as the streamed merge's child ordering
+        val rSortProj = UnsafeProjection.create(rt +: tb, rOut)
+        val sortOrd = RowOrdering.createNaturalAscendingOrdering(
+          (rt +: tb).map(_.dataType))
+        val groups = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        broadcastRows.value.foreach { row =>
+          val k = rKeyProj(row)
+          if (!k.anyNull && !rTimeProj(row).isNullAt(0)) {
+            var g = groups.get(k)
+            if (g == null) {
+              g = scala.collection.mutable.ArrayBuffer.empty
+              groups.put(k.copy(), g)
+            }
+            g += row
           }
-          g += ((t.copy(), row))
         }
-      }
-      index.values().forEach { g =>
-        val sorted = g.map { case (_, row) =>
-          (rSortProj(row).copy(): InternalRow, row)
-        }.sortBy(_._1)(sortOrd)
-        g.clear()
-        sorted.foreach { case (_, row) => g += ((rTimeProj(row).copy(), row)) }
+        val built = new java.util.HashMap[InternalRow, Array[(InternalRow, InternalRow)]](
+          groups.size * 2)
+        groups.forEach { (k, g) =>
+          built.put(k, g.map { row => (rSortProj(row).copy(): InternalRow, row) }
+            .sortBy(_._1)(sortOrd)
+            .map { case (_, row) => (rTimeProj(row).copy(): InternalRow, row) }
+            .toArray)
+        }
+        built
       }
 
       val lKeyProj = UnsafeProjection.create(lk, lOut)

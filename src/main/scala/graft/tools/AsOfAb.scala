@@ -10,17 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (events enriched with the latest prior order), same output contract:
   *
   *   native  — AsOfJoinExec: shuffle each side once, streamed merge
+  *   bcast   — BroadcastAsOfJoinExec: ship orders whole, index per
+  *             executor, stream events unshuffled and unsorted
   *   expand  — inequality join then window rn=1 (the q19 family)
   *   union   — union both sides into one frame, window last(ignoreNulls)
   *             (the el_asof_snapshot / q74 family)
   *
-  * `runMain graft.tools.AsOfAb <sfDir>`; prints warm medians and asserts
-  * all three produce identical checksums first. Dev aid, not part of the
-  * driver contract — the measured numbers live in SCALING.md.
+  * `runMain graft.tools.AsOfAb <sfDir> [dimDir]`; prints warm medians and
+  * asserts all variants produce identical checksums first. The optional
+  * `dimDir` reads ORDERS from a different scale than events — the
+  * growing-fact / fixed-dimension regime where the broadcast form is the
+  * designed winner (a 100 TB fact enriched against a snapshot dim). Dev
+  * aid, not part of the driver contract — the measured numbers live in
+  * SCALING.md.
   */
 object AsOfAb {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dimD = if (args.length > 1) args(1) else d
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,12 +35,19 @@ object AsOfAb {
     spark.sparkContext.setLogLevel("ERROR")
 
     def e = Tables.events(spark, d).select("event_id", "user_id", "ts")
-    def o = Tables.orders(spark, d).select(
+    def o = Tables.orders(spark, dimD).select(
       col("o_orderkey"), col("o_custkey"),
       col("o_orderdate").cast("timestamp").as("ots"), col("o_totalprice"))
 
     def native(): DataFrame =
-      AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "ots", Seq("o_orderkey"))
+      AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "ots", Seq("o_orderkey"),
+          broadcastRight = Some(false))
+        .select(col("event_id"), col("o_orderkey").as("k"),
+          col("o_totalprice").as("p"), col("ots").as("t"))
+
+    def bcast(): DataFrame =
+      AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts", "ots", Seq("o_orderkey"),
+          broadcastRight = Some(true))
         .select(col("event_id"), col("o_orderkey").as("k"),
           col("o_totalprice").as("p"), col("ots").as("t"))
 
@@ -71,7 +85,8 @@ object AsOfAb {
         sum(col("k").cast("decimal(38,0)")),
         sum(unix_micros(col("t")).cast("decimal(38,0)"))).collect()(0).toString
 
-    val variants = Seq("native" -> native _, "expand" -> expand _, "union" -> union _)
+    val variants = Seq("native" -> native _, "bcast" -> bcast _,
+      "expand" -> expand _, "union" -> union _)
     val sums = variants.map { case (n, f) => n -> checksum(f()) }
     require(sums.map(_._2).distinct.size == 1, s"variants disagree: $sums")
     println(s"checksum ok: ${sums.head._2}")
