@@ -225,6 +225,136 @@ final class Cascade(spark: SparkSession, root: String) {
     }.toDF("shard", "committed_next", "high_water_mark", "lag")
   }
 
+  /** Kafka's `offsetsForTimes`: per shard (-1 = the unsharded sequence),
+    * the EARLIEST offset whose event time is at-or-after `ts` — the
+    * offset a consumer seeks to for "replay from 3pm". Shards whose
+    * entire log predates `ts` are absent from the result (Kafka returns
+    * null for those partitions). One filtered min-aggregate on the log:
+    * parquet row-group stats prune everything below the cut, and the
+    * per-shard min is map-side combined — control-plane cost at any log
+    * size. `tsCol` names the event-time column (default `ts`). */
+  def offsetsForTimes(topic: String, ts: java.sql.Timestamp,
+                      tsCol: String = "ts"): Map[Int, Long] = {
+    requireTopic(topic)
+    val log = spark.read.parquet(dir(topic))
+    require(log.columns.contains(tsCol),
+      s"offsetsForTimes: no '$tsCol' column on $topic (has ${log.columns.mkString(", ")})")
+    val eligible = log.filter(col(tsCol) >= lit(ts))
+    val rows =
+      if (log.columns.contains("shard"))
+        eligible.groupBy("shard").agg(min(col("offset")).as("o")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+      else
+        eligible.agg(min(col("offset")).as("o")).collect()
+          .filterNot(_.isNullAt(0)).map(r => -1 -> r.getLong(0))
+    rows.toMap
+  }
+
+  // ── Membership / rebalance ─────────────────────────────────────────
+  // Kafka's group-coordinator surface, minus the network: `rebalance`
+  // computes a range assignment of the topic's shards over the named
+  // members and bumps the group GENERATION; `commitOffsetFenced` is
+  // `commitOffset` plus Kafka's zombie fencing — a commit carrying a
+  // stale generation, or for a shard the member doesn't own, is
+  // rejected loudly (the ILLEGAL_GENERATION / fenced-instance errors).
+  // Membership persists next to the offsets (temp+rename JSON), so
+  // fencing survives process restarts.
+
+  private def membershipPath(group: String, topic: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_groups/$group/${topic}_membership.json")
+
+  /** Current (generation, member -> shards); (0, empty) before the
+    * first rebalance. */
+  def assignment(group: String, topic: String): (Long, Map[String, Seq[Int]]) = {
+    val (hfs, p) = Topic.fs(spark, membershipPath(group, topic).toString)
+    if (!hfs.exists(p)) (0L, Map.empty)
+    else {
+      val in  = hfs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      val gen = (j \ "generation") match {
+        case org.json4s.JInt(v)  => v.toLong
+        case org.json4s.JLong(v) => v
+        case other => throw new IllegalStateException(
+          s"corrupt membership for $group/$topic: generation=$other")
+      }
+      val members = (j \ "members") match {
+        case org.json4s.JObject(fields) => fields.map {
+          case (m, org.json4s.JArray(shards)) => m -> shards.map {
+            case org.json4s.JInt(v) => v.toInt
+            case other => throw new IllegalStateException(
+              s"corrupt membership for $group/$topic: shard=$other")
+          }
+          case (m, other) => throw new IllegalStateException(
+            s"corrupt membership for $group/$topic at member $m: $other")
+        }.toMap
+        case other => throw new IllegalStateException(
+          s"corrupt membership for $group/$topic: members=$other")
+      }
+      (gen, members)
+    }
+  }
+
+  /** Recompute the group's shard assignment over `members` (range
+    * assignor: sorted shards split contiguously over sorted members,
+    * remainders to the first members — Kafka's default) and bump the
+    * generation. Returns (newGeneration, assignment). The shard set
+    * comes from the log itself; an unsharded topic assigns the single
+    * -1 sequence to the first member. */
+  def rebalance(group: String, topic: String, members: Seq[String]): (Long, Map[String, Seq[Int]]) = {
+    requireTopic(topic)
+    require(members.nonEmpty, "rebalance needs at least one member")
+    require(members.distinct.size == members.size, s"duplicate member ids: $members")
+    val log = spark.read.parquet(dir(topic))
+    val shards: Seq[Int] =
+      if (log.columns.contains("shard"))
+        log.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      else Seq(-1)
+    val sortedMembers = members.sorted
+    val n = sortedMembers.size
+    val per = shards.size / n
+    val extra = shards.size % n
+    val assigned = sortedMembers.zipWithIndex.map { case (m, i) =>
+      val start = i * per + math.min(i, extra)
+      val len = per + (if (i < extra) 1 else 0)
+      m -> shards.slice(start, start + len)
+    }.toMap
+    val gen = assignment(group, topic)._1 + 1
+    val p = membershipPath(group, topic)
+    val (hfs, _) = Topic.fs(spark, p.toString)
+    if (!hfs.exists(p.getParent)) hfs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val body = assigned.toSeq.sortBy(_._1).map { case (m, ss) =>
+      s""""$m":${ss.mkString("[", ",", "]")}"""
+    }.mkString(s"""{"generation":$gen,"members":{""", ",", "}}")
+    val out = hfs.create(tmp, true)
+    try out.writeBytes(body) finally out.close()
+    hfs.delete(p, false)
+    if (!hfs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to persist membership for $group/$topic")
+    (gen, assigned)
+  }
+
+  /** `commitOffset` with Kafka's zombie fencing: the commit must carry
+    * the CURRENT generation and the member must OWN the shard under the
+    * current assignment, else it is rejected (a consumer that missed a
+    * rebalance keeps processing but can no longer commit — exactly the
+    * at-least-once handoff guarantee). */
+  def commitOffsetFenced(group: String, topic: String, nextOffset: Long,
+                         memberId: String, generation: Long,
+                         shard: Option[Int] = None): Unit = {
+    val (gen, members) = assignment(group, topic)
+    if (generation != gen) throw new IllegalStateException(
+      s"fenced: commit from $memberId carries generation $generation but " +
+        s"$group/$topic is at generation $gen (rebalanced since; re-join and retry)")
+    val sh = shard.getOrElse(-1)
+    val owned = members.getOrElse(memberId, Seq.empty)
+    if (!owned.contains(sh)) throw new IllegalStateException(
+      s"fenced: $memberId does not own shard $sh of $group/$topic " +
+        s"(owns ${owned.mkString("[", ",", "]")}); commit rejected")
+    commitOffset(group, topic, nextOffset, shard)
+  }
+
   /** HTTP-ingress datum (the Express bridge carried one int32): a
     * single-value publish with a synthesized envelope and the reference's
     * admission-control ack — the producer's 1000-slot ring buffer rejects

@@ -171,6 +171,47 @@ object EventLogQueries4 {
         .select(col("o_a"), col("o_b"),
                 expr("1000 * (o_a - o_b) * (o_a - o_b) div (o_a + o_b)").as("chi2_milli"),
                 expr("cast(case when 1000 * (o_a - o_b) * (o_a - o_b) div (o_a + o_b) > 3841 then 1 else 0 end as bigint)").as("srm_flag"))
+    },
+
+    // Kafka's offsetsForTimes as a BATCH query (the API form is
+    // Cascade.offsetsForTimes, CascadeSpec): for each of four probe
+    // times spread across the log's span, the offset a consumer seeks
+    // to — which, because offsets are the (ts, event_id) rank, is just
+    // COUNT(ts < probe): a conditional aggregate, NO window, NO sort.
+    // The naive formulation (global ROW_NUMBER then first row >= probe)
+    // drags the whole log through one partition; this one is a single
+    // scan with 8 map-side-combined aggregates and a 4-row stack. At
+    // 100 TB the same 8 counters ride any existing pass over the log.
+    // All-integer µs arithmetic so both engines agree exactly.
+    "el_offsets_for_times" -> Q(
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus FROM events),
+        |b AS (SELECT MIN(tus) AS tmin, MAX(tus) AS tmax FROM e),
+        |p AS (SELECT k, tmin + ((tmax - tmin) * k) // 4 AS probe_us
+        |      FROM b, range(0, 4) t(k)),
+        |r AS (SELECT p.k, p.probe_us,
+        |             SUM(CASE WHEN e.tus < p.probe_us THEN 1 ELSE 0 END) AS next_offset,
+        |             MIN(CASE WHEN e.tus >= p.probe_us THEN e.tus END) AS first_ts_us
+        |      FROM e, p GROUP BY 1, 2)
+        |SELECT k, probe_us, CAST(next_offset AS BIGINT) AS next_offset, first_ts_us
+        |FROM r ORDER BY k""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(unix_micros(col("ts")).as("tus"))
+      val b = e.agg(min("tus").as("tmin"), max("tus").as("tmax"))
+      val aggs = (0 to 3).flatMap { k =>
+        val p = expr(s"tmin + ((tmax - tmin) * $k) div 4")
+        Seq(min(p).as(s"probe$k"), // constant across rows; min reads it out
+            sum(when(col("tus") < p, 1L).otherwise(0L)).as(s"off$k"),
+            min(when(col("tus") >= p, col("tus"))).as(s"first$k"))
+      }
+      e.crossJoin(broadcast(b))
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          """stack(4,
+            |  0L, probe0, off0, first0,
+            |  1L, probe1, off1, first1,
+            |  2L, probe2, off2, first2,
+            |  3L, probe3, off3, first3) AS (k, probe_us, next_offset, first_ts_us)
+            |""".stripMargin)
+        .orderBy("k")
     }
   )
 }

@@ -89,6 +89,92 @@ class CascadeSpec extends SparkSpec {
     assert(lags(1) === ((7L, hwms(1) + 1L - 7L)))
   }
 
+  test("offsetsForTimes: the earliest offset at-or-after a probe time") {
+    val root = Files.createTempDirectory("cascade-oft").toString
+    val c    = new Cascade(spark, root)
+    val ev   = Tables.events(spark, sf).limit(50)
+    c.publish("t", ev)
+
+    // probe at the 30th event's timestamp (log order = (ts, event_id));
+    // ties in ts around the cut make the assertion exact either way
+    // because we recompute the expectation from the log itself
+    val log = spark.read.parquet(s"$root/t")
+    val probe = log.orderBy("offset").collect()(30).getAs[java.sql.Timestamp]("ts")
+    val want = log.filter(col("ts") >= lit(probe)).agg(min(col("offset")))
+      .head().getLong(0)
+    assert(c.offsetsForTimes("t", probe) === Map(-1 -> want))
+
+    // the round-trip Kafka promises: seek to it, poll, and every event
+    // polled is at-or-after the probe
+    c.seek("g", "t", want)
+    val polled = c.poll("g", "t", 5).collect()
+    assert(polled.head.getAs[Long]("offset") === want)
+    assert(polled.forall(!_.getAs[java.sql.Timestamp]("ts").before(probe)))
+
+    // a probe past the log head: no offset (Kafka's null)
+    val afterAll = new java.sql.Timestamp(
+      log.agg(max(col("ts"))).head().getTimestamp(0).getTime + 1000L)
+    assert(c.offsetsForTimes("t", afterAll) === Map.empty)
+
+    // sharded topic: one answer per shard that has eligible events
+    Topic.publishPartitioned(ev, s"$root/ts2", shards = 2)
+    val slog = spark.read.parquet(s"$root/ts2")
+    val wantSh = slog.filter(col("ts") >= lit(probe)).groupBy("shard")
+      .agg(min(col("offset"))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(new Cascade(spark, root).offsetsForTimes("ts2", probe) === wantSh)
+  }
+
+  test("rebalance + generation fencing: stale or unowned commits are rejected") {
+    val root = Files.createTempDirectory("cascade-fence").toString
+    val c    = new Cascade(spark, root)
+    Topic.publishPartitioned(Tables.events(spark, sf).limit(40), s"$root/t", shards = 4)
+
+    // range assignment: 4 shards over 2 members, contiguous, sorted
+    val (gen1, a1) = c.rebalance("g", "t", Seq("m2", "m1"))
+    assert(gen1 === 1L)
+    assert(a1 === Map("m1" -> Seq(0, 1), "m2" -> Seq(2, 3)))
+    assert(c.assignment("g", "t") === ((1L, a1)), "membership must persist")
+
+    // owned commit at the current generation succeeds
+    c.commitOffsetFenced("g", "t", 3, memberId = "m1", generation = 1L, shard = Some(0))
+    assert(c.committedOffsets("g", "t") === Map(0 -> 3L))
+
+    // a commit for a shard the member does not own is fenced
+    val e1 = intercept[IllegalStateException] {
+      c.commitOffsetFenced("g", "t", 3, memberId = "m1", generation = 1L, shard = Some(2))
+    }
+    assert(e1.getMessage.contains("does not own shard 2"))
+
+    // rebalance to 3 members: generation bumps, remainder to the first
+    val (gen2, a2) = c.rebalance("g", "t", Seq("m1", "m2", "m3"))
+    assert(gen2 === 2L)
+    assert(a2 === Map("m1" -> Seq(0, 1), "m2" -> Seq(2), "m3" -> Seq(3)))
+
+    // the zombie: m2 kept processing with generation 1 — its commit is
+    // rejected even for a shard it still owns under the new assignment
+    val e2 = intercept[IllegalStateException] {
+      c.commitOffsetFenced("g", "t", 9, memberId = "m2", generation = 1L, shard = Some(2))
+    }
+    assert(e2.getMessage.contains("generation"))
+    // and the earlier commit survives untouched by the fenced attempts
+    assert(c.committedOffsets("g", "t") === Map(0 -> 3L))
+
+    // re-joined at the current generation, the same commit lands
+    c.commitOffsetFenced("g", "t", 9, memberId = "m2", generation = 2L, shard = Some(2))
+    assert(c.committedOffsets("g", "t") === Map(0 -> 3L, 2 -> 9L))
+
+    // an unsharded topic assigns the single -1 sequence to one member
+    c.publish("u", Tables.events(spark, sf).limit(10))
+    val (_, au) = c.rebalance("g", "u", Seq("b", "a"))
+    assert(au === Map("a" -> Seq(-1), "b" -> Seq.empty))
+    c.commitOffsetFenced("g", "u", 4, memberId = "a", generation = 1L)
+    val e3 = intercept[IllegalStateException] {
+      c.commitOffsetFenced("g", "u", 4, memberId = "b", generation = 1L)
+    }
+    assert(e3.getMessage.contains("does not own"))
+  }
+
   test("retention past a group's commit: poll resets to earliest, Kafka-style") {
     val root = Files.createTempDirectory("cascade-reset").toString
     val c    = new Cascade(spark, root)
