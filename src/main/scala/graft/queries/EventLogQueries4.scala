@@ -173,6 +173,48 @@ object EventLogQueries4 {
                 expr("cast(case when 1000 * (o_a - o_b) * (o_a - o_b) div (o_a + o_b) > 3841 then 1 else 0 end as bigint)").as("srm_flag"))
     },
 
+    // The upsert-changelog -> RETRACT-STREAM conversion (Flink's
+    // changelog algebra; Debezium's before/after images): reading the
+    // event log as per-user updates to a value register, emit +I for a
+    // key's first value and a -U/+U retraction pair for every
+    // subsequent update — the exact row stream a downstream aggregate
+    // consumes to stay correct under updates (SUM adds +U and subtracts
+    // -U). Scale shape: ONE per-key window (rank + lag) and an in-place
+    // explode — nothing global, parallel across users; output is
+    // 2n−|keys| rows by construction, the changelog's own size.
+    "el_retract_stream" -> Q(
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |         ROW_NUMBER() OVER w AS rn,
+        |         LAG(value) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id,
+        |         unnest(CASE WHEN rn = 1
+        |           THEN [struct_pack(seq := CAST(0 AS BIGINT), op := '+I', v := value)]
+        |           ELSE [struct_pack(seq := CAST(2*(rn-1)-1 AS BIGINT), op := '-U', v := prev),
+        |                 struct_pack(seq := CAST(2*(rn-1) AS BIGINT), op := '+U', v := value)]
+        |           END) AS u
+        |  FROM o)
+        |SELECT user_id, u.seq AS seq, u.op AS op, u.v AS value
+        |FROM x ORDER BY user_id, seq""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .select(col("user_id"), explode(
+          when(col("rn") === 1L, array(
+            struct(lit(0L).as("seq"), lit("+I").as("op"), col("value").as("v"))))
+          .otherwise(array(
+            struct((col("rn") * 2L - 3L).as("seq"), lit("-U").as("op"), col("prev").as("v")),
+            struct((col("rn") * 2L - 2L).as("seq"), lit("+U").as("op"), col("value").as("v"))))
+        ).as("u"))
+        .select(col("user_id"), col("u.seq").as("seq"), col("u.op").as("op"),
+          col("u.v").as("value"))
+        .orderBy("user_id", "seq")
+    },
+
     // Kafka's offsetsForTimes as a BATCH query (the API form is
     // Cascade.offsetsForTimes, CascadeSpec): for each of four probe
     // times spread across the log's span, the offset a consumer seeks

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.Portable.duckH
 import org.apache.spark.sql.functions._
 
 /** Privacy / anonymization audits — the release-readiness checks a
@@ -178,6 +179,67 @@ object PrivacyQueries {
              max(when(col("metric") === "total_events", col("clip"))).as("clip_total_events"),
              max(col("n_users")).as("n_users"))
         .orderBy("q")
+    },
+
+    // LOCAL differential privacy: K-ary RANDOMIZED RESPONSE (Warner'65 /
+    // the RAPPOR core) over event_type, the mechanism an untrusted
+    // collector uses — each ROW reports its true type with p=7/10, else a
+    // type drawn uniformly from the K-type domain, so no individual report
+    // is trustworthy but the debiased histogram converges. The noise is
+    // md5-derived (deterministic in both engines: report/flip draws from
+    // independent salted hashes), the estimator
+    //   est_t = (10·K·obs_t − 3·n) / (7·K)
+    // is exact integer products with ONE final correctly-rounded double
+    // division (portable), and the query emits true_n next to est so it
+    // MEASURES the mechanism's error like ta_bloom_contamination measures
+    // the Bloom FP rate. Scale shape: the type domain (K rows) broadcasts;
+    // reports are a flat per-row projection; both counts are map-side
+    // combined. The bounded K-row window is the one allowed single-
+    // partition shape.
+    "pr_rr_counts" -> Q(
+      s"""WITH types AS (
+         |  SELECT event_type AS t,
+         |         ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+         |  FROM (SELECT DISTINCT event_type FROM events)),
+         |kd AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM types),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+         |rep AS (
+         |  SELECT CASE WHEN ${duckH("'rr|' || CAST(event_id AS VARCHAR)", 15)} % 10 < 7
+         |              THEN e.event_type ELSE f.t END AS rt
+         |  FROM events e CROSS JOIN kd
+         |  JOIN types f
+         |    ON f.idx = ${duckH("'rf|' || CAST(event_id AS VARCHAR)", 15)} % kd.kk),
+         |obs AS (SELECT rt, CAST(COUNT(*) AS BIGINT) AS obs_n FROM rep GROUP BY rt),
+         |tru AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+         |        FROM events GROUP BY event_type)
+         |SELECT tru.event_type, tru.true_n, obs.obs_n,
+         |       CAST(10 * kd.kk * obs.obs_n - 3 * nd.n AS DOUBLE)
+         |         / CAST(7 * kd.kk AS DOUBLE) AS est_n
+         |FROM tru JOIN obs ON obs.rt = tru.event_type
+         |CROSS JOIN kd CROSS JOIN nd
+         |ORDER BY tru.event_type""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.h60
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val types = ev.select(col("event_type").as("t")).distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("t")) - 1).cast("long"))
+      val kd = types.agg(count(lit(1)).as("kk"))
+      val nd = ev.agg(count(lit(1)).as("n"))
+      val rep = ev.select(col("event_id"), col("event_type"))
+        .crossJoin(broadcast(kd))
+        .join(broadcast(types),
+          col("idx") === h60(concat(lit("rf|"), col("event_id"))) % col("kk"))
+        .select(when(h60(concat(lit("rr|"), col("event_id"))) % 10 < 7,
+          col("event_type")).otherwise(col("t")).as("rt"))
+      val obs = rep.groupBy("rt").agg(count(lit(1)).as("obs_n"))
+      val tru = ev.groupBy("event_type").agg(count(lit(1)).as("true_n"))
+      tru.join(obs, col("rt") === col("event_type"))
+        .crossJoin(broadcast(kd)).crossJoin(broadcast(nd))
+        .select(col("event_type"), col("true_n"), col("obs_n"),
+          ((lit(10L) * col("kk") * col("obs_n") - lit(3L) * col("n")).cast("double")
+            / (lit(7L) * col("kk")).cast("double")).as("est_n"))
+        .orderBy("event_type")
     }
   )
 }

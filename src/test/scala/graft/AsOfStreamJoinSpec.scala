@@ -148,4 +148,63 @@ class AsOfStreamJoinSpec extends SparkSpec {
 
     q.stop()
   }
+
+  test("seeded random waves: any interleaving ends equal to the batch join") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(1337)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = AsOfStreamJoin.join(
+        ls.toDF().toDF("key", "t", "id"), rs.toDF().toDF("key", "t", "id", "value"),
+        delay = "10 seconds")
+      .writeStream.format("memory").queryName("asof_rnd")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("asof-rnd-ckpt").toString)
+      .start()
+
+    // wave w draws times from [w*10, w*10+9]s; the watermark after wave w
+    // is at most (w*10+9)-10 < (w+1)*10, so no generated row is ever late
+    // regardless of how the engine slices the adds into micro-batches
+    var nextId = 1000L
+    val lefts = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long)]()
+    val rights = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long, Double)]()
+    for (w <- 0 until 25) {
+      val lw = Seq.fill(rnd.nextInt(4)) {
+        nextId += 1
+        (rnd.nextInt(5).toLong, ts(w * 10 + rnd.nextInt(10)), nextId)
+      }
+      val rw = Seq.fill(rnd.nextInt(4)) {
+        nextId += 1
+        (rnd.nextInt(5).toLong, ts(w * 10 + rnd.nextInt(10)), nextId, rnd.nextInt(100).toDouble)
+      }
+      lefts ++= lw; rights ++= rw
+      if (lw.nonEmpty) ls.addData(lw)
+      if (rw.nonEmpty) rs.addData(rw)
+      if (rnd.nextBoolean()) q.processAllAvailable()
+    }
+    // two far-future sentinels flush every pending left (key -1 matches
+    // nothing); the second's batch runs under the first's watermark
+    rs.addData((-1L, ts(100000), -1L, 0.0))
+    q.processAllAvailable()
+    rs.addData((-1L, ts(200000), -2L, 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table("asof_rnd")
+    val want = AsOf.join(
+        lefts.toSeq.toDF("key", "t", "id"),
+        rights.toSeq.toDF("rk", "rt", "rid", "rv"),
+        Seq("key"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"))
+      .select(col("key"), col("id").as("left_id"),
+        unix_micros(col("t")).as("left_tus"),
+        col("rid").as("match_id"), unix_micros(col("rt")).as("match_tus"),
+        col("rv").as("match_value"))
+    val deadline = System.nanoTime() + 15000000000L
+    while (spark.table("asof_rnd").count() < lefts.size && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(got.count() === lefts.size.toLong)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    q.stop()
+  }
 }
