@@ -215,6 +215,50 @@ object EventLogQueries4 {
         .orderBy("user_id", "seq")
     },
 
+    // The CONSUMER side of el_retract_stream — the query that proves the
+    // changelog algebra actually maintains an aggregate: folding the ops
+    // (+I/+U add, -U subtract, in exact integer cents) telescopes to each
+    // key's LATEST value. The oracle is a genuine cross-derivation: DuckDB
+    // never sees the ops — it reads the last value per key directly
+    // (rank-1 window) — so a hash match certifies that the retract stream
+    // an updating aggregate consumes reproduces point reads exactly.
+    // Scale shape: the same per-key window + explode as the producer
+    // query, then one map-side-combined signed sum; signed cents make the
+    // fold order-independent.
+    "el_retract_apply" -> Q(
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |         ROW_NUMBER() OVER w AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC))
+        |SELECT user_id,
+        |       CAST(2 * MAX(cnt) - 1 AS BIGINT) AS n_ops,
+        |       CAST(CAST(round(MAX(CASE WHEN rn = 1 THEN value END) * 100) AS BIGINT)
+        |            AS DOUBLE) / 100 AS latest_value
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.cents
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ops = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .select(col("user_id"), explode(
+          when(col("rn") === 1L, array(
+            struct(lit("+I").as("op"), col("value").as("v"))))
+          .otherwise(array(
+            struct(lit("-U").as("op"), col("prev").as("v")),
+            struct(lit("+U").as("op"), col("value").as("v"))))
+        ).as("u"))
+      ops.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ops"),
+             sum(when(col("u.op") === "-U", -cents(col("u.v")))
+               .otherwise(cents(col("u.v")))).as("scents"))
+        .select(col("user_id"), col("n_ops"),
+          (col("scents").cast("double") / 100).as("latest_value"))
+        .orderBy("user_id")
+    },
+
     // Kafka's offsetsForTimes as a BATCH query (the API form is
     // Cascade.offsetsForTimes, CascadeSpec): for each of four probe
     // times spread across the log's span, the offset a consumer seeks
