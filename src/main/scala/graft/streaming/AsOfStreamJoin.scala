@@ -63,7 +63,23 @@ object AsOfStreamJoin {
   /** Keyed state: pending (unemittable) lefts + retained right history. */
   case class S(pending: List[(Long, Long)], rights: List[(Long, Long, Double)])
 
-  private def step(key: Long, rows: Iterator[In], state: GroupState[S]): Iterator[Out] = {
+  /** One state transition, both directions.
+    *
+    * BACKWARD (`fwd = false`): a left at `lt` finalizes when `wm >= lt`
+    * (its at-or-before history is sealed); match = greatest (rt, id) with
+    * rt <= lt, optionally within `tolUs`; retention keeps the latest
+    * right at-or-below the watermark plus everything above.
+    *
+    * FORWARD (`fwd = true`): the match window is [lt, lt + tol] — the
+    * tolerance is MANDATORY for liveness (an unbounded forward as-of can
+    * never finalize: the matching right may always still be coming). A
+    * left finalizes when `wm >= lt + tol`; match = smallest (rt, id) in
+    * the window; retention keeps rights with rt >= wm − tol (exactly the
+    * interval-join state budget: bounded by tolerance × arrival rate,
+    * independent of stream length).
+    */
+  private def step(fwd: Boolean, tolUs: Option[Long])(
+      key: Long, rows: Iterator[In], state: GroupState[S]): Iterator[Out] = {
     val s0 = state.getOption.getOrElse(S(Nil, Nil))
     var pending = s0.pending
     var rights  = s0.rights
@@ -72,38 +88,62 @@ object AsOfStreamJoin {
       else rights  ::= ((r.tus, r.id, r.value))
     }
     val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val fwdTol = tolUs.getOrElse(0L) // validated present for forward in join()
 
-    // sorted ascending by (rt, id): backward tie-break = largest id wins
+    // sorted ascending by (rt, id): backward picks the LAST eligible
+    // (largest tie-break), forward the FIRST in-window (smallest)
     val hist = rights.sortBy(r => (r._1, r._2))
-    val (ready, still) = pending.partition(_._1 <= wmUs)
+    def deadline(lt: Long): Long = if (fwd) lt + fwdTol else lt
+    val (ready, still) = pending.partition(p => deadline(p._1) <= wmUs)
     val out = ready.sorted.map { case (lt, lid) =>
-      val m = hist.takeWhile(_._1 <= lt).lastOption
+      val m =
+        if (fwd) hist.dropWhile(_._1 < lt).headOption.filter(_._1 <= lt + fwdTol)
+        else hist.takeWhile(_._1 <= lt).lastOption
+          .filter(r => tolUs.forall(t => lt - r._1 <= t))
       Out(key, lid, lt, m.map(_._2), m.map(_._1), m.map(_._3))
     }
 
-    // retention: the latest right at-or-below the watermark still serves
-    // every future left (their lt > wm); everything older is dead.
-    val (below, above) = hist.partition(_._1 <= wmUs)
-    val kept = below.lastOption.toList ++ above
+    // retention: every unseen left has lt > wm and every pending one has
+    // deadline(lt) > wm; backward needs the latest right at-or-below the
+    // watermark plus everything above, forward everything with
+    // rt >= wm − tol (older rights are below every future window)
+    val kept =
+      if (fwd) hist.dropWhile(_._1 < wmUs - fwdTol)
+      else {
+        val (below, above) = hist.partition(_._1 <= wmUs)
+        below.lastOption.toList ++ above
+      }
 
     if (still.isEmpty && kept.isEmpty) state.remove()
     else {
       state.update(S(still, kept))
       // flush lefts even if the key goes quiet: wake when the watermark
-      // passes the earliest pending left (must be strictly above the
-      // current watermark, which `still` guarantees)
-      if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+      // passes the earliest pending deadline (strictly above the current
+      // watermark, which the `still` partition guarantees)
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp(still.map(p => deadline(p._1)).min / 1000L + 1L)
     }
     out.iterator
   }
 
   /** Join `left` (cols `key, t, id`) to `right` (cols `key, t, id,
     * value`), both STREAMING DataFrames, with watermark `delay` on the
-    * unified event time. Output: one row per left row whose event time
-    * the watermark has passed — (key, left_id, left_tus, match_id,
-    * match_tus, match_value), match = greatest (t, id) right row with
-    * t <= left t, nulls when none. */
-  def join(left: DataFrame, right: DataFrame, delay: String): DataFrame = {
+    * unified event time. Output: one row per left row once the watermark
+    * seals its match window — (key, left_id, left_tus, match_id,
+    * match_tus, match_value), nulls when none.
+    *
+    * BACKWARD (default): match = greatest (t, id) right row with
+    * t <= left t, optionally within `tolerance` µs. FORWARD: match =
+    * smallest (t, id) right row with left t <= t <= left t + tolerance;
+    * `tolerance` is REQUIRED forward — without a bound the operator could
+    * never finalize a left row (liveness), the same reason Spark requires
+    * time bounds on stream-stream joins. */
+  def join(left: DataFrame, right: DataFrame, delay: String,
+           forward: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+    require(!forward || tolerance.nonEmpty,
+      "forward stream-stream as-of needs a tolerance: without an upper " +
+        "bound on the match window no left row can ever finalize")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0, got $tolerance")
     val spark: SparkSession = left.sparkSession
     import spark.implicits._
     val l = left.select(col("key").cast("long").as("key"),
@@ -119,7 +159,7 @@ object AsOfStreamJoin {
       .as[In]
       .groupByKey(_.key)
       .flatMapGroupsWithState[S, Out](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(forward, tolerance))
       .toDF()
   }
 }

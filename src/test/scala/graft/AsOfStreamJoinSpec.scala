@@ -149,35 +149,42 @@ class AsOfStreamJoinSpec extends SparkSpec {
     q.stop()
   }
 
-  test("seeded random waves: any interleaving ends equal to the batch join") {
+  /** Random-wave differential harness: 25 waves of random lefts/rights
+    * over 5 keys, arbitrary micro-batch slicing (the engine's default
+    * trigger races the adds), sentinel-flushed, compared to the batch
+    * native [[AsOf.join]] in the same mode. Wave w draws times from
+    * [w*10, w*10+9]s with a 10 s delay, so the watermark after wave w is
+    * at most (w*10+9)−10 < (w+1)*10 and no generated row is ever late. */
+  private def randomWaveDifferential(seed: Int, name: String,
+      forward: Boolean, tolerance: Option[Long]): Unit = {
     implicit val ctx = spark.sqlContext
-    val rnd = new scala.util.Random(1337)
+    val rnd = new scala.util.Random(seed)
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
     val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val rs = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
     val q = AsOfStreamJoin.join(
         ls.toDF().toDF("key", "t", "id"), rs.toDF().toDF("key", "t", "id", "value"),
-        delay = "10 seconds")
-      .writeStream.format("memory").queryName("asof_rnd")
+        delay = "10 seconds", forward = forward, tolerance = tolerance)
+      .writeStream.format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("asof-rnd-ckpt").toString)
+      .option("checkpointLocation", Files.createTempDirectory(name).toString)
       .start()
 
-    // wave w draws times from [w*10, w*10+9]s; the watermark after wave w
-    // is at most (w*10+9)-10 < (w+1)*10, so no generated row is ever late
-    // regardless of how the engine slices the adds into micro-batches
+    // base offset keeps every generated time strictly above epoch 0 —
+    // Spark's initial watermark is 0 ms and the late filter drops rows
+    // AT-or-below it, so an epoch-0 row would never enter the operator
     var nextId = 1000L
     val lefts = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long)]()
     val rights = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long, Double)]()
     for (w <- 0 until 25) {
       val lw = Seq.fill(rnd.nextInt(4)) {
         nextId += 1
-        (rnd.nextInt(5).toLong, ts(w * 10 + rnd.nextInt(10)), nextId)
+        (rnd.nextInt(5).toLong, ts(1000 + w * 10 + rnd.nextInt(10)), nextId)
       }
       val rw = Seq.fill(rnd.nextInt(4)) {
         nextId += 1
-        (rnd.nextInt(5).toLong, ts(w * 10 + rnd.nextInt(10)), nextId, rnd.nextInt(100).toDouble)
+        (rnd.nextInt(5).toLong, ts(1000 + w * 10 + rnd.nextInt(10)), nextId, rnd.nextInt(100).toDouble)
       }
       lefts ++= lw; rights ++= rw
       if (lw.nonEmpty) ls.addData(lw)
@@ -191,20 +198,53 @@ class AsOfStreamJoinSpec extends SparkSpec {
     rs.addData((-1L, ts(200000), -2L, 0.0))
     q.processAllAvailable()
 
-    val got = spark.table("asof_rnd")
+    val got = spark.table(name)
     val want = AsOf.join(
         lefts.toSeq.toDF("key", "t", "id"),
         rights.toSeq.toDF("rk", "rt", "rid", "rv"),
-        Seq("key"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"))
+        Seq("key"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"),
+        forward = forward, tolerance = tolerance)
       .select(col("key"), col("id").as("left_id"),
         unix_micros(col("t")).as("left_tus"),
         col("rid").as("match_id"), unix_micros(col("rt")).as("match_tus"),
         col("rv").as("match_value"))
     val deadline = System.nanoTime() + 15000000000L
-    while (spark.table("asof_rnd").count() < lefts.size && System.nanoTime() < deadline)
+    while (spark.table(name).count() < lefts.size && System.nanoTime() < deadline)
       Thread.sleep(100)
+    if (got.count() != lefts.size.toLong) {
+      System.err.println(s"[$name] missing from stream output:")
+      want.exceptAll(got).collect().foreach(r => System.err.println(s"  want $r"))
+      got.exceptAll(want).collect().foreach(r => System.err.println(s"  got-extra $r"))
+    }
     assert(got.count() === lefts.size.toLong)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the mode must be non-degenerate on this seed: some matched, some not
+    assert(got.filter(col("match_id").isNotNull).count() > 0, s"$name: no matches")
+    assert(got.filter(col("match_id").isNull).count() > 0, s"$name: no unmatched")
     q.stop()
+  }
+
+  test("seeded random waves: any interleaving ends equal to the batch join") {
+    randomWaveDifferential(1337, "asof_rnd", forward = false, tolerance = None)
+  }
+
+  test("random waves, backward with tolerance: stale matches drop exactly as in batch") {
+    randomWaveDifferential(99, "asof_rnd_tol", forward = false,
+      tolerance = Some(15000000L)) // 15 s in µs
+  }
+
+  test("random waves, forward: smallest in-window right, batch-equal") {
+    randomWaveDifferential(7, "asof_rnd_fwd", forward = true,
+      tolerance = Some(15000000L))
+  }
+
+  test("forward without tolerance is rejected (liveness)") {
+    implicit val ctx = spark.sqlContext
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    intercept[IllegalArgumentException] {
+      AsOfStreamJoin.join(ls.toDF().toDF("key", "t", "id"),
+        rs.toDF().toDF("key", "t", "id", "value"), "10 seconds", forward = true)
+    }
   }
 }
