@@ -79,6 +79,7 @@ object SparkEntry {
     graft.queries.SimilarityQueries5.defs ++
     graft.queries.SimilarityQueries6.defs ++
     graft.queries.SimilarityQueries7.defs ++
+    graft.queries.SimilarityQueries8.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++

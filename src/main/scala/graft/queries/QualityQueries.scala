@@ -291,6 +291,78 @@ object QualityQueries {
              (sum(col("q")).cast("double") / count(lit(1)).cast("double")
                / lit(1000000.0)).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // Interpolated Kneser-Ney bigram score — the smoothing that actually
+    // ships in n-gram LMs (KenLM/SRILM default), completing the family
+    // next to the unsmoothed MLE (ta_bigram_lm) and add-one holdout
+    // (ta_lm_holdout):
+    //   p(w2|w1) = max(n2 − D, 0)/n1 + (D·c1(w1)/n1)·(t2(w2)/T)
+    // with discount D = 3/4, c1(w1) = distinct continuations of w1,
+    // t2(w2) = distinct predecessors of w2 (the CONTINUATION count — the
+    // insight of KN: how many contexts a word completes, not how often),
+    // and T = total bigram types. With D = 3/4 the whole probability is
+    // one exact integer ratio,
+    //   q = 1e6·[max(4·n2−3, 0)·T + 3·c1·t2] div (4·n1·T),
+    // so both engines compute the identical BIGINT before the final
+    // display division (headroom: at sf1 the numerator is ~1e6·8·10⁶·T
+    // ≈ 1e16 < 2⁶³; a 100 TB corpus would move this to DECIMAL(38)
+    // arithmetic, same shape). Scale: the three model dims (gram, prefix,
+    // suffix) are vocab-bounded map-side-combined aggregates DERIVED
+    // FROM the gram table (one corpus pass total), T is one broadcast
+    // scalar, and instances meet the gram dim in one equi-join.
+    "ta_kn_bigram" -> Q(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |inst AS (
+        |  SELECT doc_id, toks[s] || ' ' || toks[s+1] AS gram
+        |  FROM t, unnest(range(1, len(toks))) u(s)),
+        |bg AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n2 FROM inst GROUP BY gram),
+        |pf AS (
+        |  SELECT split_part(gram, ' ', 1) AS prefix,
+        |         CAST(SUM(n2) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM bg GROUP BY prefix),
+        |sfx AS (
+        |  SELECT split_part(gram, ' ', 2) AS suffix, CAST(COUNT(*) AS BIGINT) AS t2
+        |  FROM bg GROUP BY suffix),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tv FROM bg),
+        |dim AS (
+        |  SELECT bg.gram,
+        |         1000000 * (GREATEST(4*bg.n2 - 3, 0) * tt.tv + 3 * pf.c1 * sfx.t2)
+        |           // (4 * pf.n1 * tt.tv) AS q
+        |  FROM bg
+        |  JOIN pf ON split_part(bg.gram, ' ', 1) = pf.prefix
+        |  JOIN sfx ON split_part(bg.gram, ' ', 2) = sfx.suffix
+        |  CROSS JOIN tt)
+        |SELECT i.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+        |       CAST(CAST(SUM(d.q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         / CAST(1000000 AS DOUBLE) AS kn_score
+        |FROM inst i JOIN dim d ON i.gram = d.gram
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+      val inst = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("i", explode(
+          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+      val bg = inst.groupBy("gram").agg(count(lit(1)).as("n2"))
+      val pf = bg.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))
+        .agg(sum(col("n2")).as("n1"), count(lit(1)).as("c1"))
+      val sfx = bg.groupBy(substring_index(col("gram"), " ", -1).as("suffix"))
+        .agg(count(lit(1)).as("t2"))
+      val tt = bg.agg(count(lit(1)).as("tv"))
+      val dim = bg
+        .join(pf, substring_index(col("gram"), " ", 1) === col("prefix"))
+        .join(sfx, substring_index(col("gram"), " ", -1) === col("suffix"))
+        .crossJoin(broadcast(tt))
+        .select(col("gram").as("d_gram"),
+          expr("1000000L * (GREATEST(4*n2 - 3, 0L) * tv + 3 * c1 * t2) div (4 * n1 * tv)")
+            .as("q"))
+      inst.join(dim, col("gram") === col("d_gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+             (sum(col("q")).cast("double") / count(lit(1)).cast("double")
+               / lit(1000000.0)).as("kn_score"))
+        .orderBy("doc_id")
     }
   )
 }

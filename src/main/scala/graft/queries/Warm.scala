@@ -38,6 +38,7 @@ object Warm {
     SimilarityQueries2.centroids(e, dir, 16)     // ... and the k=16 config
     SimilarityQueries2.quantStats(Tables.embeddings(spark, dir), dir) // int8 dims
     SimilarityQueries3.trainPq(e, dir)           // PQ codebook
+    SimilarityQueries8.trainResPq(spark, e, dir) // IVF-PQ residual codebook
     PipelineQueries.trainedBloom(spark, dir)     // decontamination Bloom
     RelationalQueries8.tradeEdges(spark, dir)    // q50-pair edge list
     RelationalQueries10.coSupplyCounts(spark, dir) // q56/q57 pair counts

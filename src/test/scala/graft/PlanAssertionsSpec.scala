@@ -165,7 +165,10 @@ class PlanAssertionsSpec extends SparkSpec {
     "el_changepoint_cusum",
     // rank-prefix window over the discretized dollar grid: LEAST(·,1024)
     // bounds the window input at 1026 rows in the query's semantics
-    "el_mann_whitney")
+    "el_mann_whitney",
+    // domain-index window over DISTINCT event_type: input bounded by the
+    // K-row type domain (the randomized-response report dimension)
+    "pr_rr_counts")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Topic.mirror — MirrorMaker-style incremental, offset-preserving
+  * replication: the mirror converges to the source, each pass copies only
+  * the delta above the mirror's high-water mark, reruns are no-ops, and a
+  * diverged mirror errors loudly instead of interleaving ordinals.
+  */
+class TopicMirrorSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-mirror").toString
+
+  test("mirror converges, preserves offsets, and is incremental") {
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(300).localCheckpoint(true)
+    Topic.publish(ev.filter(col("event_id") % 3 === 0), src)
+
+    val r1 = Topic.mirror(spark, src, mir)
+    assert(r1.rowsCopied === ev.filter(col("event_id") % 3 === 0).count())
+    assert(r1.sourceHwm === r1.mirrorHwm)
+    assert(Topic.mirrorLag(spark, src, mir) === 0L)
+
+    // identity mirror: every (offset, event_id) pair matches the source
+    val srcRows = spark.read.parquet(src).select("offset", "event_id")
+      .orderBy("offset").collect().toSeq
+    val mirRows = spark.read.parquet(mir).select("offset", "event_id")
+      .orderBy("offset").collect().toSeq
+    assert(mirRows === srcRows)
+
+    // a consumer failing over resumes from its committed offset unchanged
+    val off = srcRows(5).getLong(0)
+    assert(Topic.consume(spark, mir, off, 3).select("event_id").collect().toSeq ===
+           Topic.consume(spark, src, off, 3).select("event_id").collect().toSeq)
+
+    // re-run with no new data: a no-op (idempotence)
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
+
+    // incremental: publish more to the source, only the delta copies
+    Topic.publish(ev.filter(col("event_id") % 3 === 1), src)
+    val lag = Topic.mirrorLag(spark, src, mir)
+    assert(lag === ev.filter(col("event_id") % 3 === 1).count())
+    val r2 = Topic.mirror(spark, src, mir)
+    assert(r2.rowsCopied === lag)
+    assert(spark.read.parquet(mir).count() === spark.read.parquet(src).count())
+    // the pass filtered on offset > hwm: re-check full identity after catch-up
+    assert(spark.read.parquet(mir).select("offset", "event_id").orderBy("offset")
+      .collect().toSeq ===
+      spark.read.parquet(src).select("offset", "event_id").orderBy("offset")
+        .collect().toSeq)
+  }
+
+  test("a diverged mirror errors loudly instead of interleaving ordinals") {
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(100).localCheckpoint(true)
+    Topic.publish(ev.limit(40), src)
+    // someone wrote PAST the source hwm directly into the mirror
+    Topic.publish(ev, mir)
+    val e = intercept[IllegalStateException](Topic.mirror(spark, src, mir))
+    assert(e.getMessage.contains("diverged"))
+  }
+
+  test("sharded topics mirror per shard and preserve the shard layout") {
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(200).localCheckpoint(true)
+    Topic.publishPartitioned(ev.limit(120), src, shards = 4)
+    val r1 = Topic.mirror(spark, src, mir)
+    assert(r1.rowsCopied === 120L)
+    // per-shard identity: same (shard, offset, event_id) triples
+    def triples(dir: String) =
+      spark.read.parquet(dir).select("shard", "offset", "event_id")
+        .orderBy("shard", "offset").collect().toSeq
+    assert(triples(mir) === triples(src))
+    // shard directories exist on the mirror → consumeShard prunes there too
+    assert(Topic.consumeShard(spark, mir, 2, 0, 5).select("event_id")
+      .collect().toSeq ===
+      Topic.consumeShard(spark, src, 2, 0, 5).select("event_id").collect().toSeq)
+    // incremental per shard
+    Topic.publishPartitioned(ev, src, shards = 4)
+    val r2 = Topic.mirror(spark, src, mir)
+    assert(r2.rowsCopied === 200L)
+    assert(triples(mir) === triples(src))
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
+  }
+}
