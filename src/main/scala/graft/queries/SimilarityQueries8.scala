@@ -130,6 +130,24 @@ object SimilarityQueries8 {
       .toDF("cb", "csid", "cv")
   }
 
+  /** The residual codebook as a LITERAL array-of-structs (cb, csid, cv) —
+    * the broadcast form a streaming ingest edge needs: per-row code
+    * assignment over this literal is STATELESS, so the same trained
+    * codebook serves batch queries and
+    * [[graft.streaming.VectorIngestStream]] without retraining (the
+    * centroidArrayFor pattern, M·KC·SUBDIM = 1024 doubles). */
+  private[graft] def codebookArrayFor(spark: SparkSession, dir: String): Column = {
+    FloatDot.register(spark)
+    val e = Tables.embeddings(spark, dir).withColumn("nrm", nativeNorm(col("embedding")))
+    array(trainResPq(spark, e, dir).map { case (b, sid, cv) =>
+      struct(lit(b).as("cb"), lit(sid).as("csid"),
+             array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+  }
+
+  /** PQ geometry for ingest-edge callers (blocks, dims per block). */
+  private[graft] val pqGeometry: (Int, Int) = (M, SUBDIM)
+
   /** (vec_id, cluster, b, code, bdist): every residual block assigned to
     * its nearest refined sub-centroid (tiebreak smaller id). */
   private def resCodesDf(s: SparkSession, e: DataFrame, dir: String): DataFrame = {

@@ -84,4 +84,67 @@ object VectorIngestStream {
         count(lit(1)).as("n_vecs"),
         approx_count_distinct(col("cluster")).as("n_cells_hit"))
   }
+
+  /** IVF-PQ codes per row, stateless — the ingest-time half of the
+    * COMPOSITE index (SimilarityQueries8): after [[assignCells]], the
+    * row's RESIDUAL against its assigned cell's centroid (looked up in
+    * the same centroid literal) is PQ-encoded block by block against the
+    * trained residual-codebook literal. Everything is per-row expression
+    * work — no state store, no shuffle — so a vector stream lands
+    * ADC-searchable (cell id + M codes) without retraining either
+    * quantizer.
+    *
+    * Equivalence contract (StreamingAnnSpec): residual arithmetic is the
+    * same elementwise zip_with as the batch path, per-block distance the
+    * same flat left fold, and the argmin tie rule (smallest distance,
+    * then smallest code id — struct min-ordering) matches the batch
+    * window's (dist asc, csid asc) — so streamed codes are bit-identical
+    * to `ss_ivfpq_codes`.
+    *
+    * Output: input columns + (cluster, cluster_cos, codes) where codes
+    * is an M-element array of (b, code, bdist). */
+  def assignPqCodes(vecs: DataFrame, centArr: Column, codebookArr: Column): DataFrame = {
+    val (m, subdim) = graft.queries.SimilarityQueries8.pqGeometry
+    // assigned cell's centroid vector from the SAME literal the
+    // assignment ranked against (cells are distinct: one match)
+    val cvec = element_at(
+      filter(centArr, c => c.getField("ccluster") === col("cluster")), 1)
+      .getField("cvec")
+    def sqDist(a: Column, c: Column): Column =
+      (1 to subdim).map { j =>
+        val d = element_at(a, j) - element_at(c, j)
+        d * d
+      }.reduce(_ + _)
+    assignCells(vecs, centArr)
+      .withColumn("rv",
+        zip_with(col("embedding"), cvec, (x, c) => x.cast("double") - c))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), b => {
+        val sub  = slice(col("rv"), b * subdim + 1, lit(subdim))
+        // (dist, sid) struct min-ordering == the batch (dist, csid) asc
+        val best = array_min(transform(
+          filter(codebookArr, c => c.getField("cb") === b),
+          c => struct(sqDist(sub, c.getField("cv")).as("dist"),
+                      c.getField("csid").as("sid"))))
+        struct(b.cast("int").as("b"),
+               best.getField("sid").as("code"),
+               best.getField("dist").as("bdist"))
+      }))
+      .drop("rv")
+  }
+
+  /** Streaming IVF-PQ ingest over a parquet vector directory: cell
+    * assignment + residual PQ codes per row against `corpusDir`'s two
+    * trained artifacts, with per-batch reconstruction-error metrics
+    * (rising recon error is the codebook-drift retrain signal). */
+  def streamPq(spark: SparkSession, corpusDir: String, streamPath: String,
+               k: Int = 8): DataFrame = {
+    val schema = graft.Tables.embeddings(spark, corpusDir).schema
+    val centArr = graft.queries.SimilarityQueries2.centroidArrayFor(spark, corpusDir, k)
+    val codebook = graft.queries.SimilarityQueries8.codebookArrayFor(spark, corpusDir)
+    assignPqCodes(spark.readStream.schema(schema).parquet(streamPath), centArr, codebook)
+      .observe("ivfpq_ingest",
+        count(lit(1)).as("n_vecs"),
+        sum(aggregate(col("codes"), lit(0.0), (a, c) => a + c.getField("bdist")))
+          .as("sum_recon_err"))
+  }
 }

@@ -79,4 +79,39 @@ class StreamingAnnSpec extends SparkSpec {
         ((r.getLong(1), r.get(2), r.getDouble(3)))).toMap
     assert(got == want, "probe over the streamed table diverges from ss_ivf_ann")
   }
+
+  test("streamed IVF-PQ codes == batch ss_ivfpq_codes, vector for vector") {
+    // ingest the corpus THROUGH the composite-index stream: stateless
+    // cell assignment + residual PQ codes per row, no state store
+    val streamDir = Files.createTempDirectory("pq-stream").toString
+    Tables.embeddings(spark, sf).write.mode("overwrite").parquet(streamDir)
+    val q = graft.streaming.VectorIngestStream.streamPq(spark, sf, streamDir, K)
+      .writeStream.format("memory").queryName("ivfpq_ingest")
+      .option("checkpointLocation", Files.createTempDirectory("pq-ckpt").toString)
+      .start()
+    val streamed =
+      try {
+        q.processAllAvailable()
+        spark.table("ivfpq_ingest")
+          .select(col("vec_id"), col("cluster"), col("codes"))
+          .collect().map { r =>
+            val cs = r.getSeq[org.apache.spark.sql.Row](2)
+            // same left-fold order as the batch pivot sum (b ascending)
+            val mse = cs.sortBy(_.getInt(0)).map(_.getDouble(2)).reduce(_ + _) / 64.0
+            r.getLong(0) ->
+              ((r.getLong(1), cs.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq, mse))
+          }.toMap
+      } finally q.stop()
+
+    val batch = SparkEntry.queries("ss_ivfpq_codes")(spark, sf)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1).toLong,
+          (2 to 9).map(i => r.getInt(i).toLong).toSeq, r.getDouble(10)))
+      }.toMap
+    assert(streamed.keySet == batch.keySet)
+    // bit-identical: same residual zip_with, same flat-fold block
+    // distances, same (dist, code) tie rule — cell, all 8 codes, AND the
+    // reconstruction error must match exactly
+    assert(streamed == batch, "streamed IVF-PQ codes diverge from ss_ivfpq_codes")
+  }
 }
