@@ -42,6 +42,7 @@ object SparkEntry {
     graft.queries.EventLogQueries2.defs ++
     graft.queries.EventLogQueries3.defs ++
     graft.queries.EventLogQueries4.defs ++
+    graft.queries.EventLogQueries5.defs ++
     graft.queries.FunnelQueries.defs ++
     graft.queries.GrowthQueries.defs ++
     graft.queries.RelationalQueries.defs ++
@@ -60,6 +61,7 @@ object SparkEntry {
     graft.queries.RelationalQueries14.defs ++
     graft.queries.RelationalQueries15.defs ++
     graft.queries.RelationalQueries16.defs ++
+    graft.queries.RelationalQueries17.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
