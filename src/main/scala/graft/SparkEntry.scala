@@ -71,6 +71,7 @@ object SparkEntry {
     graft.queries.DedupQueries2.defs ++
     graft.queries.DedupQueries3.defs ++
     graft.queries.DedupQueries4.defs ++
+    graft.queries.DedupQueries5.defs ++
     graft.queries.ClusterQueries.defs ++
     graft.queries.SketchQueries.defs ++
     graft.queries.WinnowQueries.defs ++
@@ -94,6 +95,7 @@ object SparkEntry {
     graft.queries.StatsQueries2.defs ++
     graft.queries.StatsQueries3.defs ++
     graft.queries.StatsQueries4.defs ++
+    graft.queries.SamplingQueries.defs ++
     graft.queries.AnnotationQueries.defs ++
     graft.queries.AuditQueries.defs ++
     graft.queries.AuditQueries2.defs ++

@@ -69,7 +69,7 @@ object DedupQueries {
     * count — strictly better than an interpreted per-element HOF fold,
     * and the same values (min of (a·h+b) mod p over the same set).
     */
-  private def sigDf(docs: DataFrame): DataFrame = {
+  private[queries] def sigDf(docs: DataFrame): DataFrame = {
     val exploded = docs
       // the corpus is one parquet file = one scan partition; spread the
       // CPU-dense shingle+md5 projection across the cluster

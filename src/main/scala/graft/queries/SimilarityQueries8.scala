@@ -276,7 +276,92 @@ object SimilarityQueries8 {
     adc.withColumn("rank", row_number().over(w))
   }
 
+  // ss_lsh_multiprobe geometry — matches ss_lsh_ann's 8-bit signature
+  private val LSHBITS = 8
+  private val NFLIP   = 2 // extra probe buckets per query (T=2)
+
   def defs: Map[String, Q] = Map(
+
+    // Multi-probe LSH ANN (Lv et al. VLDB 2007): instead of more hash
+    // tables, probe the buckets MOST LIKELY to hold near neighbors — the
+    // query's own bucket plus the buckets reached by flipping its
+    // nearest-margin signature bits (smallest |dot(v, plane_b)| = the
+    // hyperplanes the query sits closest to, hence most likely to have
+    // split it from a neighbor). Candidates grow ~(1+T)× for ONE table's
+    // memory where classic LSH would pay T extra tables; n_cand rides
+    // along so the recall/cost gain over ss_lsh_ann's single bucket is
+    // visible in the result. All deterministic: margins are the same
+    // codegen'd dots as the signature, flip choice tie-breaks by bit
+    // index, buckets are distinct by construction so no candidate dedup
+    // is needed.
+    "ss_lsh_multiprobe" -> Q(
+      s"""WITH sigs AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${duckLshSignature("embedding", DIM, LSHBITS)} AS sig
+         |  FROM embeddings),
+         |qm AS (
+         |  SELECT vec_id AS qid, b,
+         |         list_sum([CAST(embedding[i] AS DOUBLE) *
+         |                   ([CAST(CAST(('0x' || substring(md5('lsh|' || CAST(b AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) - 2147483648.0
+         |                     for d in range(0, $DIM)])[i]
+         |                   for i in range(1, $DIM + 1)]) AS m
+         |  FROM embeddings, range(0, $LSHBITS) t(b)
+         |  WHERE vec_id < 10),
+         |fl AS (
+         |  SELECT qid, b,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY abs(m), b) AS rn
+         |  FROM qm),
+         |probes AS (
+         |  SELECT s.vec_id AS qid, s.embedding AS qv, s.sig AS psig
+         |  FROM sigs s WHERE s.vec_id < 10
+         |  UNION ALL
+         |  SELECT s.vec_id, s.embedding, xor(s.sig, 1 << f.b)
+         |  FROM sigs s JOIN fl f ON s.vec_id = f.qid
+         |  WHERE f.rn <= $NFLIP),
+         |cand AS (
+         |  SELECT p.qid, m.vec_id, m.label,
+         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+         |  FROM probes p JOIN sigs m ON m.sig = p.psig AND m.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY qid) AS n_cand,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT qid, vec_id, label, cosine,
+         |       CAST(n_cand AS INTEGER) AS n_cand, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val sigs = Tables.embeddings(s, d)
+        .withColumn("sig", lshSignature(col("embedding"), DIM, LSHBITS))
+        .withColumn("nrm", nativeNorm(col("embedding")))
+      // per-query flip choice: sort (|margin|, bit) structs, take the
+      // NFLIP nearest planes — same ordering as the oracle's rank
+      val margins = array((0 until LSHBITS).map { b =>
+        struct(abs(nativeDot(col("embedding"), planeLit(b, DIM))).as("am"),
+               lit(b).as("b"))
+      }: _*)
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qnrm"), col("sig").as("qsig"),
+                array_sort(margins).as("ms"))
+        .select(col("qid"), col("qv"), col("qnrm"),
+          explode(array(
+            (col("qsig") +: (1 to NFLIP).map { i =>
+              col("qsig").bitwiseXOR(
+                expr(s"shiftleft(1, element_at(ms, $i).b)"))
+            }): _*)).as("psig"))
+      val wN = Window.partitionBy("qid")
+      val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      q.join(sigs, col("sig") === col("psig") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+                (nativeDot(col("qv"), col("embedding")) /
+                  (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("n_cand", count(lit(1)).over(wN).cast("int"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("cosine"),
+                col("n_cand"), col("rank").cast("int").as("rank"))
+        .orderBy("qid", "rank")
+    },
 
     // IVF-PQ codes: the compressed index — each vector stored as its
     // cell id + 8 residual codes. recon_mse is the per-vector residual

@@ -168,7 +168,9 @@ class PlanAssertionsSpec extends SparkSpec {
     "el_mann_whitney",
     // domain-index window over DISTINCT event_type: input bounded by the
     // K-row type domain (the randomized-response report dimension)
-    "pr_rr_counts")
+    "pr_rr_counts",
+    // largest-remainder seat rank over the |sources|-row strata grid
+    "ta_neyman_alloc")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because

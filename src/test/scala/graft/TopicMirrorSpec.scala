@@ -64,6 +64,32 @@ class TopicMirrorSpec extends SparkSpec {
     assert(e.getMessage.contains("diverged"))
   }
 
+  test("mirror after source compaction/retention: no-op, replica keeps history") {
+    // MirrorMaker semantics: the mirror replicates the APPEND stream.
+    // Compaction/retention on the source rewrite/drop old offsets but
+    // never raise the high-water mark, so a synced mirror sees no delta
+    // — and deliberately retains the full history (a history-preserving
+    // replica is one of the reasons to mirror before compacting).
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(150).localCheckpoint(true)
+    Topic.publish(ev, src)
+    Topic.mirror(spark, src, mir)
+    val fullCount = spark.read.parquet(mir).count()
+
+    Topic.compact(spark, src, keyCol = "user_id")
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
+    assert(spark.read.parquet(mir).count() === fullCount)
+
+    Topic.retain(spark, src, maxEvents = Some(20L))
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
+    assert(spark.read.parquet(mir).count() === fullCount)
+
+    // new appends after maintenance still flow
+    Topic.publish(ev.limit(10), src)
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 10L)
+  }
+
   test("sharded topics mirror per shard and preserve the shard layout") {
     val base = tmpDir()
     val src  = s"$base/src"; val mir = s"$base/mir"
