@@ -767,6 +767,52 @@ object Topic {
   def mirrorLag(spark: SparkSession, sourceDir: String, mirrorDir: String): Long =
     highWaterMark(spark, sourceDir) - highWaterMark(spark, mirrorDir)
 
+  /** Offset-ledger integrity report. `duplicates` is ALWAYS corruption
+    * (two writers raced the lock, or a segment was copied into the dir);
+    * `gaps` may be legitimate maintenance (compaction removes arbitrary
+    * offsets, retention removes a prefix), so `ok` judges duplicates
+    * only and gaps are reported for the operator to interpret. */
+  final case class FsckReport(
+      files: Long, rows: Long, minOffset: Long, maxOffset: Long,
+      duplicates: Long, gaps: Long, ok: Boolean)
+
+  /** Ledger fsck — the admin check that the ordinal sequence is still a
+    * set (the invariant every consume path assumes: `offset ∈ [from,
+    * from+count)` returning MORE than count rows means a point read
+    * silently serves two different events for one ordinal). One
+    * column-pruned scan; per-shard sequences on a partitioned topic are
+    * validated independently (offsets are dense per shard) and the
+    * report aggregates across shards. Cost: O(log) once, map-side
+    * combined — a maintenance-window job at 100 TB, same cadence as
+    * compaction.
+    */
+  def fsck(spark: SparkSession, topicDir: String): FsckReport = {
+    val log = spark.read.option("mergeSchema", "true").parquet(topicDir)
+    val sharded = log.columns.contains("shard")
+    val keyCols = if (sharded) Seq(col("shard")) else Seq(lit(0).as("shard"))
+    val per = log.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("rows"),
+           count_distinct(col("offset")).as("dist"),
+           min(col("offset")).as("mn"), max(col("offset")).as("mx"))
+      .select(col("rows"), col("dist"), col("mn"), col("mx"),
+              (col("rows") - col("dist")).as("dups"),
+              (col("mx") - col("mn") + 1 - col("dist")).as("gaps"))
+      .agg(sum(col("rows")), sum(col("dups")), sum(col("gaps")),
+           min(col("mn")), max(col("mx")))
+      .head()
+    val (hfs, p) = fs(spark, topicDir)
+    var nFiles = 0L
+    val it = hfs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) nFiles += 1
+    }
+    val dups = per.getLong(1)
+    FsckReport(nFiles, per.getLong(0), per.getLong(3), per.getLong(4),
+               dups, per.getLong(2), ok = dups == 0L)
+  }
+
   /** Coordinator-metadata analogue: topics are directories; register them
     * as temp views so SQL can address them by name
     * (/root/reference/src/coordinator/brokermap.rs:5 — topic → brokers map).

@@ -56,18 +56,37 @@ object MultimodalQueries2 {
                 expr("((i - 1) div 32) div 4").as("br"),
                 expr("((i - 1) % 32) div 4").as("bc"),
                 ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      val blk = px.groupBy("doc_id", "br", "bc")
-        .agg(expr("cast(sum(p) as bigint) div count(*)").as("mean_p"))
-      val nb = blk.withColumn("nxt",
-        lead(col("mean_p"), 1).over(Window.partitionBy("doc_id", "br").orderBy("bc")))
-      nb.filter(col("nxt").isNotNull && col("br") <= 8)
-        .select(col("doc_id"), col("br"), col("bc"),
-                when(col("mean_p") > col("nxt"), 1L).otherwise(0L).as("bit"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pairs"),
-             sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(br * 7 + bc AS INT))"))
-               .as("dhash"),
-             sum(col("bit")).as("bits_set"))
+      // ONE exchange: the pooled grid is ≤ 9×8 cells BY THE QUERY'S OWN
+      // SEMANTICS (br ≤ 8), so every cell is a conditional map-side
+      // aggregate on the doc key and the neighbor inequalities are flat
+      // codegen expressions — the el_seasonal_profile grid move. The
+      // previous form paid three exchanges (block groupBy → LEAD window
+      // repartition → doc rollup) for the same numbers: A/B at sf0.1
+      // 2.25 s → this (see SCALING.md). Pixel columns fill left-to-right,
+      // so cells present per row are contiguous: LEAD(mean) over present
+      // bc ≡ cell (br, bc+1), and "nxt IS NOT NULL" ≡ n_{br,bc+1} > 0.
+      val cells = for { b <- 0 to 8; c <- 0 to 7 } yield (b, c)
+      val cellAggs = cells.flatMap { case (b, c) =>
+        val in = col("br") === b && col("bc") === c
+        Seq(sum(when(in, col("p"))).as(s"s_${b}_$c"),
+            count(when(in, 1)).as(s"n_${b}_$c"))
+      }
+      def mean(b: Int, c: Int) = expr(s"s_${b}_$c div n_${b}_$c")
+      val pairIdx = for { b <- 0 to 8; c <- 0 to 6 } yield (b, c)
+      def defined(b: Int, c: Int) = col(s"n_${b}_${c + 1}") > 0
+      def bit(b: Int, c: Int) =
+        when(defined(b, c),
+          when(mean(b, c) > mean(b, c + 1), 1L).otherwise(0L)).otherwise(lit(0L))
+      val nPairs  = pairIdx.map { case (b, c) =>
+        when(defined(b, c), 1L).otherwise(0L) }.reduce(_ + _)
+      val dhash   = pairIdx.map { case (b, c) =>
+        bit(b, c) * lit(1L << (b * 7 + c)) }.reduce(_ + _)
+      val bitsSet = pairIdx.map { case (b, c) => bit(b, c) }.reduce(_ + _)
+      px.filter(col("br") <= 8)
+        .groupBy("doc_id").agg(cellAggs.head, cellAggs.tail: _*)
+        .select(col("doc_id"), nPairs.as("n_pairs"),
+                dhash.as("dhash"), bitsSet.as("bits_set"))
+        .filter(col("n_pairs") > 0)
         .orderBy("doc_id")
     },
 
@@ -108,17 +127,27 @@ object MultimodalQueries2 {
         .select(col("doc_id"), col("text"), posexplode(sampleIdx).as(Seq("z", "i")))
         .select(col("doc_id"), expr("(i - 1) div 16").as("frame"),
                 ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      val fr = px.groupBy("doc_id", "frame").agg(sum(col("p") * col("p")).as("ss"))
-      val dl = fr.withColumn("prev",
-        lag(col("ss"), 1).over(Window.partitionBy("doc_id").orderBy("frame")))
-      dl.filter(col("prev").isNotNull)
-        .select(col("doc_id"), col("frame"),
-                when(col("ss") > col("prev"), 1L).otherwise(0L).as("bit"))
-        .groupBy("doc_id")
-        .agg((count(lit(1)) + 1).as("n_frames"),
-             sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(frame - 1 AS INT))"))
-               .as("fingerprint"),
-             sum(col("bit")).as("bits_set"))
+      // ONE exchange (the mm_dhash grid move): ≤16 frames by the query's
+      // own semantics (256 samples / 16), so per-frame energies are
+      // conditional map-side aggregates and the rising-energy bits are
+      // flat expressions. Samples fill frames contiguously, so
+      // "prev IS NOT NULL" ≡ n_f > 0 for f ≥ 1 (frame f−1 then exists).
+      val frameAggs = (0 to 15).flatMap { f =>
+        Seq(sum(when(col("frame") === f, col("p") * col("p"))).as(s"ss_$f"),
+            count(when(col("frame") === f, 1)).as(s"n_$f"))
+      }
+      def bit(f: Int) =
+        when(col(s"n_$f") > 0,
+          when(col(s"ss_$f") > col(s"ss_${f - 1}"), 1L).otherwise(0L))
+          .otherwise(lit(0L))
+      val nBits = (1 to 15).map(f =>
+        when(col(s"n_$f") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      val fp = (1 to 15).map(f => bit(f) * lit(1L << (f - 1))).reduce(_ + _)
+      val bitsSet = (1 to 15).map(bit).reduce(_ + _)
+      px.groupBy("doc_id").agg(frameAggs.head, frameAggs.tail: _*)
+        .select(col("doc_id"), (nBits + 1L).as("n_frames"),
+                fp.as("fingerprint"), bitsSet.as("bits_set"))
+        .filter(col("n_frames") > 1L)
         .orderBy("doc_id")
     },
 

@@ -53,6 +53,43 @@ class TopicMirrorSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("fsck: clean log ok; compaction gaps reported ok; duplicate offsets flagged") {
+    val dir = tmpDir() + "/t"
+    val ev  = Tables.events(spark, sf).limit(120).localCheckpoint(true)
+    Topic.publish(ev, dir)
+    val clean = Topic.fsck(spark, dir)
+    assert(clean.ok && clean.duplicates === 0L && clean.gaps === 0L)
+    assert(clean.rows === 120L && clean.minOffset === 0L && clean.maxOffset === 119L)
+
+    // compaction removes arbitrary offsets: interior gaps expected
+    // (gaps counts holes INSIDE [min, max] — the minimum itself rises
+    // when the earliest survivors are compacted away), still ok
+    Topic.compact(spark, dir, keyCol = "user_id")
+    val afterCompact = Topic.fsck(spark, dir)
+    assert(afterCompact.ok && afterCompact.duplicates === 0L)
+    assert(afterCompact.gaps ===
+      afterCompact.maxOffset - afterCompact.minOffset + 1 - afterCompact.rows)
+    assert(afterCompact.gaps > 0L)
+
+    // a copied segment (double-writer corruption twin): duplicates flagged
+    val (hfs, p) = Topic.fs(spark, dir)
+    val part = hfs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    val dup = new org.apache.hadoop.fs.Path(p, "part-copy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, part, hfs, dup, false,
+      spark.sparkContext.hadoopConfiguration)
+    val corrupt = Topic.fsck(spark, dir)
+    assert(!corrupt.ok && corrupt.duplicates > 0L)
+
+    // sharded topics validate per shard: dense 0..n-1 per shard has
+    // cross-shard duplicate ordinals by DESIGN — fsck must not flag them
+    val sh = tmpDir() + "/s"
+    Topic.publishPartitioned(ev, sh, shards = 4)
+    val shardedReport = Topic.fsck(spark, sh)
+    assert(shardedReport.ok && shardedReport.duplicates === 0L &&
+           shardedReport.gaps === 0L && shardedReport.rows === 120L)
+  }
+
   test("a diverged mirror errors loudly instead of interleaving ordinals") {
     val base = tmpDir()
     val src  = s"$base/src"; val mir = s"$base/mir"
