@@ -91,5 +91,62 @@ object EventLogQueries5 {
         .agg(sum(col("credit")).cast("long").as("credit_ppm"),
              count(lit(1)).cast("int").as("n_touches"))
         .orderBy("touch_type")
+    },
+
+    // Classical additive seasonal decomposition (the moving-average
+    // method behind STL's initial pass): trend = 7-day CENTERED moving
+    // average over the densified daily series, seasonal index = per
+    // WEEKDAY mean of the detrended values. Kept integer-exact: the
+    // detrended value is stated as 7·x − Σwindow (= 7·(x − trend), an
+    // exact BIGINT), the weekday comes from epoch-day % 7 (no calendar/
+    // locale code on either engine), and the index divides once at
+    // display. Only FULL 7-day windows contribute (edges drop — the
+    // textbook rule), which on the dense grid is exactly days
+    // [min+3, max−3]. The running window is an ANNOUNCED bounded global
+    // window (≤ calendar days, the el_changepoint_cusum shape); the
+    // event-scale work is one map-side-combined daily aggregate.
+    "el_seasonal_decompose" -> Q(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |dense AS (
+        |  SELECT g.day, COALESCE(daily.c, 0) AS n
+        |  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM b) g
+        |  LEFT JOIN daily ON g.day = daily.day),
+        |w AS (
+        |  SELECT day, n,
+        |         SUM(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+        |         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM dense),
+        |det AS (
+        |  SELECT (day - DATE '1970-01-01') % 7 AS wd, 7 * n - w7 AS dn
+        |  FROM w WHERE wn = 7)
+        |SELECT CAST(wd AS INTEGER) AS wd_idx, CAST(COUNT(*) AS INTEGER) AS n_days,
+        |       CAST(CAST(SUM(dn) AS BIGINT) AS DOUBLE)
+        |         / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+        |FROM det GROUP BY wd ORDER BY wd""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val dense = daily
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("n"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      dense
+        .withColumn("w7", sum(col("n")).over(w7))
+        .withColumn("wn", count(lit(1)).over(w7))
+        .filter(col("wn") === 7)
+        .select((datediff(col("day"), lit("1970-01-01").cast("date")) % 7).as("wd"),
+                (lit(7L) * col("n") - col("w7")).as("dn"))
+        .groupBy("wd")
+        .agg(count(lit(1)).as("cnt"), sum(col("dn")).as("s_num"))
+        .select(col("wd").cast("int").as("wd_idx"),
+                col("cnt").cast("int").as("n_days"),
+                (col("s_num").cast("double") /
+                  (lit(7L) * col("cnt")).cast("double")).as("seasonal"))
+        .orderBy("wd_idx")
     })
 }

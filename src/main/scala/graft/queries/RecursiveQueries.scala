@@ -188,6 +188,127 @@ object RecursiveQueries {
        |FROM perday ORDER BY day""".stripMargin
   }
 
+  /** Holt-WINTERS (triple) chain: the state vector grows to (level,
+    * trend, s[0..6]) — weekly additive seasonality, α = β = γ = 1/2 so
+    * every operation stays a dyadic-exact add/halve:
+    *   sold_p = s[k_p]                       (slot k_p = (di−1) mod 7)
+    *   l_p = ((x_p − sold_p) + l_{p−1} + b_{p−1}) / 2
+    *   b_p = ((l_p − l_{p−1}) + b_{p−1}) / 2
+    *   s[k_p] ← ((x_p − l_p) + sold_p) / 2, other slots carry unchanged
+    * Same nested-subquery discipline as [[holtChain]] (each wrap adds
+    * named columns, text stays linear where inlining is exponential);
+    * the seasonal READ dispatches on the position's slot column k_p and
+    * the WRITE is a 7-way CASE per slot. Seasonal state starts all-zero
+    * (the first week's updates grow it in — deterministic in both
+    * engines, no init heuristic to keep portable). A NULL x at the tail
+    * of the last partial block leaves l/b NULL (consumed by nothing)
+    * and carries seasonal slots UNCHANGED (NULL = k is false → ELSE),
+    * so no NULL-skip is needed.
+    * `src` must provide l0/b0/s0_0..s6_0 (the carry), x1..xB, k1..kB. */
+  private def hwChain(src: String): String =
+    (1 to EwmaBlock).foldLeft(s"($src)") { (inner, p) =>
+      val sOld = (0 to 6).map(k => s"WHEN $k THEN s${k}_${p - 1}")
+        .mkString(s"CASE k$p ", " ", " END")
+      val read  = s"SELECT *, $sOld AS sold$p FROM $inner i$p"
+      val lp    = s"SELECT *, ((CAST(x$p AS DOUBLE) - sold$p) + l${p - 1} + b${p - 1}) / 2 AS l$p FROM ($read) h$p"
+      val bp    = s"SELECT *, ((l$p - l${p - 1}) + b${p - 1}) / 2 AS b$p FROM ($lp) g$p"
+      val write = (0 to 6).map(k =>
+        s"CASE WHEN k$p = $k THEN ((CAST(x$p AS DOUBLE) - l$p) + sold$p) / 2 ELSE s${k}_${p - 1} END AS s${k}_$p")
+        .mkString(", ")
+      s"(SELECT *, $write FROM ($bp) f$p)"
+    }
+
+  /** Dialect-shared Holt-Winters SQL from the densified series `src`:
+    * the [[holtCoreSql]] blocked-recursion shape with the 9-value state
+    * carried per block and the one-step-ahead forecast including the
+    * seasonal term (l + b + s[slot]) — the number a weekly-load planner
+    * actually wants. Slots anchor to the series day index ((di−1) mod
+    * 7 — pure integer arithmetic, identical in both dialects). */
+  private def hwCtes(src: String = "g_daily_dense"): String = {
+    val xs = (1 to EwmaBlock)
+      .map(p => s"MAX(CASE WHEN pos = $p THEN n_events END) AS x$p")
+      .mkString(", ")
+    val ks = (1 to EwmaBlock)
+      .map(p => s"MAX(CASE WHEN pos = $p THEN k END) AS k$p")
+      .mkString(", ")
+    val sCarry0 = (0 to 6).map(k => s"r.se$k AS s${k}_0").mkString(", ")
+    val carrySrc =
+      s"SELECT r.lend AS l0, r.bend AS b0, $sCarry0, b.bi AS bbi, " +
+      (1 to EwmaBlock).map(p => s"b.x$p").mkString(", ") + ", " +
+      (1 to EwmaBlock).map(p => s"b.k$p").mkString(", ") +
+      s" FROM rec r JOIN blocks b ON b.bi = r.bi + 1"
+    val recProj = (0 to 6).map(k => s"c.s${k}_$EwmaBlock").mkString(", ")
+    val perdaySrc =
+      s"SELECT d.day, d.n_events, d.pos, r.lend AS l0, r.bend AS b0, $sCarry0, " +
+      (1 to EwmaBlock).map(p => s"b.x$p").mkString(", ") + ", " +
+      (1 to EwmaBlock).map(p => s"b.k$p").mkString(", ") +
+      s" FROM blk d JOIN blocks b ON b.bi = d.bi JOIN rec r ON r.bi = d.bi - 1"
+    val lCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN l$p")
+      .mkString("CASE pos ", " ", " END")
+    val bCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN b$p")
+      .mkString("CASE pos ", " ", " END")
+    // the updated slot's value at pos p — the SAME expression text as
+    // hwChain's write branch, so the bits match
+    val sCase = (1 to EwmaBlock).map(p =>
+        s"WHEN $p THEN ((CAST(x$p AS DOUBLE) - l$p) + sold$p) / 2")
+      .mkString("CASE pos ", " ", " END")
+    val fCase = (1 to EwmaBlock).map(p => s"WHEN $p THEN l${p - 1} + b${p - 1} + sold$p")
+      .mkString("CASE pos ", " ", " END")
+    val zeros = (0 to 6).map(k => s"CAST(0 AS DOUBLE) AS se$k").mkString(", ")
+    s"""blk AS (
+       |  SELECT CAST(FLOOR((di - 2) / $EwmaBlock) AS INT) AS bi,
+       |         CAST((di - 2) % $EwmaBlock AS INT) + 1 AS pos,
+       |         CAST((di - 1) % 7 AS INT) AS k,
+       |         day, n_events
+       |  FROM $src WHERE di >= 2),
+       |blocks AS (
+       |  SELECT bi, $xs, $ks FROM blk GROUP BY bi),
+       |rec AS (
+       |  SELECT CAST(-1 AS INT) AS bi, CAST(n_events AS DOUBLE) AS lend,
+       |         CAST(0 AS DOUBLE) AS bend, $zeros
+       |  FROM $src WHERE di = 1
+       |  UNION ALL
+       |  SELECT c.bbi, c.l$EwmaBlock, c.b$EwmaBlock, $recProj
+       |  FROM ${hwChain(carrySrc)} c),
+       |perday AS (
+       |  SELECT day, n_events, CAST(n_events AS DOUBLE) AS level,
+       |         CAST(0 AS DOUBLE) AS trend, CAST(0 AS DOUBLE) AS seasonal,
+       |         CAST(NULL AS DOUBLE) AS forecast
+       |  FROM $src WHERE di = 1
+       |  UNION ALL
+       |  SELECT c.day, c.n_events, $lCase AS level, $bCase AS trend,
+       |         $sCase AS seasonal, $fCase AS forecast
+       |  FROM ${hwChain(perdaySrc)} c)""".stripMargin
+  }
+
+  /** [[hwCtes]] under the WITH header with the per-day projection —
+    * el_hw_forecast's full statement; el_hw_eval composes [[hwCtes]]
+    * with its own aggregate instead. */
+  private def hwCoreSql(src: String = "g_daily_dense"): String =
+    s"""WITH RECURSIVE ${hwCtes(src)}
+       |SELECT day, n_events, level, trend, seasonal, forecast,
+       |       CAST(n_events AS DOUBLE) - forecast AS fc_err
+       |FROM perday ORDER BY day""".stripMargin
+
+  /** The Holt-Winters frame, cached per corpus like [[holtFrame]]. */
+  private val hwCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  graft.ArtifactStore.onInvalidate(hwCache.remove(_))
+
+  private[queries] def hwFrame(s: SparkSession, d: String): DataFrame =
+    hwCache.computeIfAbsent(d, _ => {
+      val view = denseDailyView(s, d)
+      // the 9-state chain is 4 named-column wraps per position (8 × 10
+      // columns of them): Spark's analyzer needs more resolution
+      // fixpoint iterations than the 100 default — an analysis BUDGET,
+      // not a semantic knob (DuckDB resolves the same text unaided)
+      withConfs(s, recConfs(4000) :+
+          ("spark.sql.analyzer.maxIterations" -> "1000"): _*) {
+        s.sql(hwCoreSql(view)).localCheckpoint(true)
+      }
+    })
+
   /** The smoothed daily frame (day, n_events, ewma, resid), shared by
     * el_ewma_forecast and el_forecast_eval — the chain is recomputed
     * once per corpus (calendar-scale rows, localCheckpointed; the
@@ -474,6 +595,77 @@ object RecursiveQueries {
          |${holtCoreSql().replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
     }) { (s, d) =>
       holtFrame(s, d).orderBy("day")
+    },
+
+    // Holt-Winters daily forecast — the seasonality-aware capstone of
+    // the smoothing family (EWMA → Holt → HW): one-step-ahead forecasts
+    // now carry the weekly additive seasonal term, the series a
+    // weekly-load planner charts. Execution split identical to the
+    // siblings: one distributed daily aggregate, calendar densify,
+    // depth/8 LOCAL recursion levels over the collected series — the
+    // block count is calendar-bounded, never row-bounded.
+    "el_hw_forecast" -> Q({
+      s"""WITH RECURSIVE dy AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dy),
+         |cal AS (
+         |  SELECT CAST(u.n AS INTEGER) + 1 AS di,
+         |         d0 + CAST(u.n AS INTEGER) AS day
+         |  FROM bounds, unnest(range(0, CAST(d1 - d0 AS INTEGER) + 1)) u(n)),
+         |g_daily_dense AS (
+         |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
+         |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
+         |${hwCoreSql().replaceFirst("WITH RECURSIVE ", "")}""".stripMargin
+    }) { (s, d) =>
+      hwFrame(s, d).orderBy("day")
+    },
+
+    // Holt-Winters backtest — the el_forecast_eval harness pointed at
+    // the seasonal model: one-step-ahead HW forecasts against the naive
+    // yesterday-equals-today baseline, MAE side by side plus win-day
+    // counts. The seasonal term is the entire difference from the
+    // sibling evals on a weekly-patterned log — this query MEASURES
+    // whether the added state earns its keep instead of asserting it.
+    "el_hw_eval" -> Q({
+      s"""WITH RECURSIVE dy AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dy),
+         |cal AS (
+         |  SELECT CAST(u.n AS INTEGER) + 1 AS di,
+         |         d0 + CAST(u.n AS INTEGER) AS day
+         |  FROM bounds, unnest(range(0, CAST(d1 - d0 AS INTEGER) + 1)) u(n)),
+         |g_daily_dense AS (
+         |  SELECT cal.di, cal.day, COALESCE(dy.c, 0) AS n_events
+         |  FROM cal LEFT JOIN dy ON cal.day = dy.day),
+         |${hwCtes()},
+         |ev AS (
+         |  SELECT t.n_events AS x, t.forecast AS f, p.n_events AS nv
+         |  FROM perday t JOIN perday p ON t.day = p.day + 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |       SUM(abs(CAST(x AS DOUBLE) - f)) / COUNT(*) AS mae_hw,
+         |       SUM(abs(CAST(x AS DOUBLE) - CAST(nv AS DOUBLE))) / COUNT(*)
+         |         AS mae_naive,
+         |       CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE) - f)
+         |                       < abs(CAST(x AS DOUBLE) - CAST(nv AS DOUBLE))
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS hw_win_days
+         |FROM ev""".stripMargin
+    }) { (s, d) =>
+      val f = hwFrame(s, d)
+      val t = f.select(col("day"), col("n_events").as("x"), col("forecast").as("f"))
+      val p = f.select(col("day").as("pday"), col("n_events").as("nv"))
+      t.join(p, col("day") === date_add(col("pday"), 1))
+        .agg(count(lit(1)).as("n_days"),
+             (sum(abs(col("x").cast("double") - col("f"))) / count(lit(1)))
+               .as("mae_hw"),
+             (sum(abs(col("x").cast("double") - col("nv").cast("double")))
+                / count(lit(1))).as("mae_naive"),
+             sum(when(abs(col("x").cast("double") - col("f"))
+                        < abs(col("x").cast("double") - col("nv").cast("double")),
+                      1L).otherwise(0L)).as("hw_win_days"))
     }
   )
 }

@@ -50,6 +50,7 @@ object Warm {
     DedupQueries4.simhashSigs(spark, dir)        // 60-bit simhash frame
     RecursiveQueries.ewmaFrame(spark, dir)       // smoothed daily chain
     RecursiveQueries.holtFrame(spark, dir)       // Holt level+trend chain
+    RecursiveQueries.hwFrame(spark, dir)         // Holt-Winters 9-state chain
     RelationalQueries11.baseMv(spark, dir)       // incremental-MV base aggregate
   }
 }

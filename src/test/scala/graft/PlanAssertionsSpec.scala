@@ -170,7 +170,9 @@ class PlanAssertionsSpec extends SparkSpec {
     // K-row type domain (the randomized-response report dimension)
     "pr_rr_counts",
     // largest-remainder seat rank over the |sources|-row strata grid
-    "ta_neyman_alloc")
+    "ta_neyman_alloc",
+    // centered 7-day MA over the dense daily grid: ≤ calendar days
+    "el_seasonal_decompose")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
