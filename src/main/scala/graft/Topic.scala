@@ -767,6 +767,33 @@ object Topic {
   def mirrorLag(spark: SparkSession, sourceDir: String, mirrorDir: String): Long =
     highWaterMark(spark, sourceDir) - highWaterMark(spark, mirrorDir)
 
+  /** The topic as a STREAMING SOURCE — the consumer-side coupling Kafka
+    * users expect (`spark.readStream` on the log), obtained with zero
+    * custom source code: a publish IS an atomic append of new parquet
+    * files, which Structured Streaming's file source tails natively
+    * (new-file discovery per micro-batch, exactly-once via the file-sink
+    * log + checkpoint). The schema is pinned from the topic's merged
+    * footer set at open time, so rows widened later read as null exactly
+    * like the batch consume paths; `maxFilesPerTrigger` bounds batch
+    * size the way `max.poll.records` does. The stream observes FILES,
+    * not offsets — rows arrive in file order, and a consumer that needs
+    * offset order sorts within the micro-batch (offsets are already
+    * assigned and total, so no ordering information is lost).
+    *
+    * For committed-offset/groups semantics use [[graft.Cascade.poll]];
+    * this is the continuous-pipeline coupling (stream a topic into any
+    * Structured Streaming transform/sink).
+    */
+  def readStream(spark: SparkSession, topicDir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = mergedSchema(spark, topicDir).getOrElse(throw new IllegalArgumentException(
+      s"readStream: topic $topicDir is empty/missing — publish first (the file " +
+        "source needs a schema; pass one by publishing the first batch)"))
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(topicDir)
+  }
+
   /** Offset-ledger integrity report. `duplicates` is ALWAYS corruption
     * (two writers raced the lock, or a segment was copied into the dir);
     * `gaps` may be legitimate maintenance (compaction removes arbitrary

@@ -314,6 +314,37 @@ object PrivacyQueries2 {
                 when(col("min_class") >= 10, 1L).otherwise(0L).as("meets_k"),
                 when(col("w") === col("wsel"), 1L).otherwise(0L).as("chosen"))
         .orderBy("w")
+    },
+
+    // CENTRAL-DP release via the BINOMIAL mechanism (Dwork et al.
+    // EUROCRYPT 2006 — the discrete noise that predates Laplace in the
+    // DP literature, and the one expressible WITHOUT ln(): noise =
+    // Binomial(24, 1/2) − 12, here drawn as bit_count of 24 md5 bits —
+    // deterministic in both engines, so even the "random" release is
+    // hash-checked). Completes the privacy ladder: pr_dp_sensitivity
+    // bounds contributions, this releases the bounded aggregate
+    // centrally, pr_rr_counts is the local-trust variant. true_n rides
+    // along so the query MEASURES the mechanism's error (σ² = 6) the
+    // way rr_counts and ta_bloom_contamination do. One map-side count
+    // per type; the noise is a per-CELL expression, no second pass.
+    "pr_binomial_release" -> Q(
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, true_n,
+         |       CAST(bit_count(${graft.functions.Portable.duckH("'dpn|' || event_type", 15)}
+         |                      & 16777215) - 12 AS BIGINT) AS noise,
+         |       true_n + bit_count(${graft.functions.Portable.duckH("'dpn|' || event_type", 15)}
+         |                          & 16777215) - 12 AS noisy_n
+         |FROM c ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.h60
+      val noise = (expr("bit_count(h & 16777215)") - 12).cast("long")
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("true_n"))
+        .withColumn("h", h60(concat(lit("dpn|"), col("event_type"))))
+        .select(col("event_type"), col("true_n"),
+                noise.as("noise"), (col("true_n") + noise).as("noisy_n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -53,6 +53,56 @@ class TopicMirrorSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("MirrorStream: continuous replication converges after each publish") {
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(120).localCheckpoint(true)
+    Topic.publish(ev.filter(col("event_id") % 2 === 0), src)
+    val q = graft.streaming.MirrorStream.start(spark, src, mir,
+      java.nio.file.Files.createTempDirectory("mirror-ckpt").toString)
+    def identity(): Unit = {
+      val a = spark.read.parquet(src).select("offset", "event_id")
+        .orderBy("offset").collect().toSeq
+      val b = spark.read.parquet(mir).select("offset", "event_id")
+        .orderBy("offset").collect().toSeq
+      assert(b === a)
+    }
+    try {
+      q.processAllAvailable()
+      identity()
+      Topic.publish(ev.filter(col("event_id") % 2 === 1), src)
+      q.processAllAvailable()
+      identity()
+      assert(Topic.mirrorLag(spark, src, mir) === 0L)
+    } finally q.stop()
+  }
+
+  test("topic as a streaming source: publishes flow through readStream exactly once") {
+    val dir = tmpDir() + "/t"
+    val ev  = Tables.events(spark, sf).limit(90).localCheckpoint(true)
+    Topic.publish(ev.filter(col("event_id") % 3 === 0), dir)
+    val q = Topic.readStream(spark, dir)
+      .writeStream.format("memory").queryName("topic_tail")
+      .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("tail-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("topic_tail").count()
+      assert(batch1 === spark.read.parquet(dir).count())
+      // a later publish is new files: the stream tails them, no replay
+      Topic.publish(ev.filter(col("event_id") % 3 === 1), dir)
+      q.processAllAvailable()
+      val got = spark.table("topic_tail")
+        .select("offset", "event_id").orderBy("offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = spark.read.parquet(dir)
+        .select("offset", "event_id").orderBy("offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, "streamed rows diverge from the log (dup or loss)")
+    } finally q.stop()
+  }
+
   test("fsck: clean log ok; compaction gaps reported ok; duplicate offsets flagged") {
     val dir = tmpDir() + "/t"
     val ev  = Tables.events(spark, sf).limit(120).localCheckpoint(true)
