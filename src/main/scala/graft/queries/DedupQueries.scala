@@ -27,7 +27,7 @@ object DedupQueries {
     * `split(...)` expression itself — every `element_at` reference
     * re-evaluates its input expression, so inlining the split makes each
     * shingle re-tokenize the whole document (~3× split per shingle). */
-  private def shinglesFrom(toks: Column): Column =
+  private[queries] def shinglesFrom(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3), i =>

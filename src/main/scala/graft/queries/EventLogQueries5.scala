@@ -148,5 +148,57 @@ object EventLogQueries5 {
                 (col("s_num").cast("double") /
                   (lit(7L) * col("cnt")).cast("double")).as("seasonal"))
         .orderBy("wd_idx")
+    },
+
+    // Robust daily anomaly detection via MAD (median absolute deviation
+    // — Hampel's rule), the ROBUST twin of el_anomaly_zscore: a mean/σ
+    // detector is itself dragged by the outliers it hunts (one huge day
+    // inflates σ and masks the rest); the median/MAD pair has a 50%
+    // breakdown point. Flag: |x − median| > 3·MAD, stated WITHOUT the
+    // 1.4826 normal-consistency factor so every quantity stays an exact
+    // BIGINT (the multiplier choice is the documented semantics). Both
+    // medians are lower medians (k = (D+1) div 2) read off value
+    // HISTOGRAMS with cumulative counts from a histogram self-join —
+    // |distinct values|² ≤ calendar-days², no global sort, no global
+    // window anywhere. One event-scale pass (the daily aggregate);
+    // everything after is calendar-bounded.
+    "el_anomaly_mad" -> Q(
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS dy, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM d),
+        |h AS (SELECT n AS v, COUNT(*) AS c FROM d GROUP BY 1),
+        |cum AS (SELECT a.v AS v, SUM(b.c) AS cc FROM h a JOIN h b ON b.v <= a.v GROUP BY a.v),
+        |med AS (SELECT MIN(v) AS m FROM cum, k WHERE cc >= k.k),
+        |dev AS (SELECT d.dy, d.n, abs(d.n - med.m) AS dv FROM d, med),
+        |h2 AS (SELECT dv, COUNT(*) AS c FROM dev GROUP BY 1),
+        |cum2 AS (SELECT a.dv AS dv, SUM(b.c) AS cc FROM h2 a JOIN h2 b ON b.dv <= a.dv GROUP BY a.dv),
+        |mad AS (SELECT MIN(dv) AS md FROM cum2, k WHERE cc >= k.k)
+        |SELECT dev.dy AS day, dev.n AS n_events, dev.dv AS deviation,
+        |       med.m AS med, mad.md AS mad
+        |FROM dev, med, mad WHERE dev.dv > 3 * mad.md
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("dy")).agg(count(lit(1)).as("n"))
+      val k = daily.agg(expr("CAST((COUNT(*) + 1) div 2 AS BIGINT)").as("k"))
+      def lowerMedian(vals: org.apache.spark.sql.DataFrame,
+                      vCol: String): org.apache.spark.sql.DataFrame = {
+        val h = vals.groupBy(col(vCol).as("v")).agg(count(lit(1)).as("c"))
+        val hb = h.select(col("v").as("bv"), col("c").as("bc"))
+        h.join(hb, col("bv") <= col("v"))
+          .groupBy("v").agg(sum(col("bc")).as("cc"))
+          .crossJoin(broadcast(k))
+          .agg(min(when(col("cc") >= col("k"), col("v"))).as("m"))
+      }
+      val med = lowerMedian(daily, "n")
+      val dev = daily.crossJoin(broadcast(med))
+        .select(col("dy"), col("n"), abs(col("n") - col("m")).as("dv"), col("m"))
+      val mad = lowerMedian(dev.select(col("dv")), "dv")
+        .select(col("m").as("md"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("dv") > lit(3L) * col("md"))
+        .select(col("dy").as("day"), col("n").as("n_events"),
+                col("dv").as("deviation"), col("m").as("med"), col("md").as("mad"))
+        .orderBy("day")
     })
 }

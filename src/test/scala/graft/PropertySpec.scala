@@ -42,6 +42,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Topic.mirror converges to offset-identity under arbitrary publish splits") {
+    import spark.implicits._
+    // arbitrary batch boundaries: the mirror must converge to the same
+    // (offset, event_id) ledger no matter how publishes interleave with
+    // mirror passes, and every pass must copy exactly the delta
+    val splits: Gen[List[Int]] =
+      Gen.listOfN(3, Gen.choose(1, 20)) // batch sizes
+    samples(rows, 2).zip(samples(splits, 2)).foreach { case (data, sizes) =>
+      val distinct = data.distinctBy(r => (r._2, r._1))
+      val base = java.nio.file.Files.createTempDirectory("prop-mirror").toString
+      val src = s"$base/src"; val mir = s"$base/mir"
+      var rest = distinct
+      var copied = 0L
+      sizes.foreach { sz =>
+        val (batch, tail) = rest.splitAt(math.min(sz, rest.size))
+        rest = tail
+        if (batch.nonEmpty) {
+          val df = batch.toDF("event_id", "tsl", "value")
+            .withColumn("ts", timestamp_micros(col("tsl"))).drop("tsl")
+          Topic.publish(df, src)
+          val r = Topic.mirror(spark, src, mir)
+          assert(r.rowsCopied === batch.size.toLong) // exactly the delta
+          copied += r.rowsCopied
+        }
+      }
+      assert(Topic.mirror(spark, src, mir).rowsCopied === 0L) // fixpoint
+      val a = spark.read.parquet(src).select("offset", "event_id")
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = spark.read.parquet(mir).select("offset", "event_id")
+        .orderBy("offset").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a === b)
+      assert(copied === a.size.toLong)
+      val f = Topic.fsck(spark, mir)
+      assert(f.ok && f.gaps === 0L && f.rows === a.size.toLong)
+    }
+  }
+
   test("TopK aggregator equals sort-and-take for arbitrary groups") {
     import spark.implicits._
     samples(rows, 4).foreach { data =>
