@@ -51,5 +51,36 @@ object RelationalQueries17 {
                               / CAST(2 AS DOUBLE) END""").as("roll_median"),
           size(col("ls")).cast("int").as("n_window"))
         .orderBy("o_orderkey")
+    },
+
+    // GROUPING()/GROUPING_ID() — the rollup-level discriminators that
+    // make multi-level results machine-consumable (a NULL in a rollup
+    // row is ambiguous: rolled-up level or a genuinely-NULL key; the
+    // grouping bits disambiguate, which is why every OLAP surface ships
+    // them). Bit order pinned identical in both engines (first argument
+    // = most significant bit); exact-cents revenue via the Portable
+    // discipline.
+    "q89_grouping_id" -> Q(
+      s"""SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+         |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+         |       COUNT(*) AS cnt,
+         |       ${graft.functions.Portable.duckDsum("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY gid, prio ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.dsum
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+             grouping(col("o_orderstatus")).cast("int").as("g_status"),
+             grouping_id().cast("int").as("gid"),
+             count(lit(1)).as("cnt"),
+             dsum(col("o_totalprice")).as("revenue"))
+        .select(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+                col("g_prio"), col("g_status"), col("gid"), col("cnt"), col("revenue"))
+        .orderBy(col("gid"), col("prio").asc_nulls_first,
+                 col("status").asc_nulls_first)
     })
 }
