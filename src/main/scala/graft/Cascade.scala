@@ -205,6 +205,70 @@ final class Cascade(spark: SparkSession, root: String) {
     }
   }
 
+  /** [[poll]]'s STREAMING twin — `Topic.readStream` wired to the group's
+    * committed position (Kafka's `group.id` resume semantics for
+    * Structured Streaming): the stream starts from the group's committed
+    * next-offset (0 for a new group), per shard on sharded topics, so a
+    * consumer that crashed and lost its checkpoint resumes where the
+    * GROUP left off instead of re-reading the topic from the beginning.
+    *
+    * Division of labor: WITHIN one stream incarnation the file-source
+    * checkpoint dedupes micro-batches; ACROSS incarnations (fresh
+    * checkpoint — the crash-replacement case) the group offset is the
+    * resume point. Commit per epoch with [[commitBatch]] AFTER
+    * processing (use [[streamGroup]] for the pre-wired loop): commits
+    * are then at-least-once on a mid-batch crash and exact on a clean
+    * stop — Kafka's consumer-loop contract. The committed floor is read
+    * once at stream build; rows below it are filtered out of the first
+    * micro-batch (the file source discovers all existing files, the
+    * floor predicate drops the consumed prefix). */
+  def readStreamGroup(group: String, topic: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    requireTopic(topic)
+    val committed = committedOffsets(group, topic)
+    val base = Topic.readStream(spark, dir(topic), maxFilesPerTrigger)
+    if (base.columns.contains("shard")) {
+      val floorCol = committed.filter(_._1 >= 0)
+        .foldLeft(lit(0L)) { case (acc, (sh, n)) =>
+          when(col("shard") === sh, lit(n)).otherwise(acc)
+        }
+      base.filter(col("offset") >= floorCol)
+    } else base.filter(col("offset") >= lit(committed.getOrElse(-1, 0L)))
+  }
+
+  /** Commit a processed micro-batch's position for the group: next
+    * offset = max offset in the batch + 1, per shard on sharded topics.
+    * Call from `foreachBatch` AFTER the batch's effects are durable.
+    * Cost: one max-aggregate over the (already materialized, bounded)
+    * micro-batch; the collect is shard-count rows. Empty batches no-op. */
+  def commitBatch(group: String, topic: String, batch: DataFrame): Unit =
+    if (batch.columns.contains("shard")) {
+      batch.groupBy("shard").agg(max(col("offset"))).collect().foreach { r =>
+        if (!r.isNullAt(1)) commitOffset(group, topic, r.getLong(1) + 1L, Some(r.getInt(0)))
+      }
+    } else {
+      val m = batch.agg(max(col("offset"))).head()
+      if (!m.isNullAt(0)) commitOffset(group, topic, m.getLong(0) + 1L)
+    }
+
+  /** The pre-wired group-consumer loop: [[readStreamGroup]] →
+    * `foreachBatch(process; commitBatch)`. Each incarnation gets its own
+    * checkpoint dir (pass a fresh one on restart-after-crash — the group
+    * offset, not the checkpoint, is the cross-incarnation resume point;
+    * reusing a live checkpoint also works and the stale floor predicate
+    * is harmless because the checkpoint already skips consumed files). */
+  def streamGroup(group: String, topic: String, checkpointDir: String,
+                  maxFilesPerTrigger: Option[Int] = None)
+                 (process: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    readStreamGroup(group, topic, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        process(b)
+        commitBatch(group, topic, b)
+      }
+      .start()
+
   /** Per-shard consumer lag: committed position vs the log head —
     * (shard, committed_next, high_water_mark, lag). Uncommitted
     * sequences report position 0 (lag = entire log). One footer-pruned
@@ -299,17 +363,25 @@ final class Cascade(spark: SparkSession, root: String) {
     * assignor: sorted shards split contiguously over sorted members,
     * remainders to the first members — Kafka's default) and bump the
     * generation. Returns (newGeneration, assignment). The shard set
-    * comes from the log itself; an unsharded topic assigns the single
-    * -1 sequence to the first member. */
+    * comes from the topic's LAYOUT, not a data scan: sharded topics are
+    * written `partitionBy("shard")` (publishPartitioned), so the shard
+    * set IS the `shard=N` directory listing — one driver-side metadata
+    * call, zero Spark jobs, at any topic size (at 100 TB a rebalance
+    * that scans the log to learn the partition count would be absurd;
+    * Kafka reads it from topic metadata, we read it from the layout
+    * that encodes it). An unsharded topic (no shard= subdirectories)
+    * assigns the single -1 sequence to the first member. */
   def rebalance(group: String, topic: String, members: Seq[String]): (Long, Map[String, Seq[Int]]) = {
     requireTopic(topic)
     require(members.nonEmpty, "rebalance needs at least one member")
     require(members.distinct.size == members.size, s"duplicate member ids: $members")
-    val log = spark.read.parquet(dir(topic))
-    val shards: Seq[Int] =
-      if (log.columns.contains("shard"))
-        log.select("shard").distinct().collect().map(_.getInt(0)).sorted.toSeq
-      else Seq(-1)
+    val shards: Seq[Int] = {
+      val (hfs, p) = Topic.fs(spark, dir(topic))
+      val dirs = hfs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .map(_.getPath.getName.stripPrefix("shard=").toInt)
+      if (dirs.nonEmpty) dirs.sorted else Seq(-1)
+    }
     val sortedMembers = members.sorted
     val n = sortedMembers.size
     val per = shards.size / n
@@ -518,18 +590,73 @@ final class Cascade(spark: SparkSession, root: String) {
     * ranges, so no log scan at any topic size. */
   def lastStableOffset(topic: String): Long = {
     requireTopic(topic)
+    val openFirsts = openRangeFirsts(topic).map(_._2)
+    if (openFirsts.isEmpty) Topic.highWaterMark(spark, dir(topic))
+    else openFirsts.min - 1L
+  }
+
+  /** (txnId, first offset) for every OPEN transaction holding a range in
+    * `topic` — pure marker metadata, no log scan. */
+  private def openRangeFirsts(topic: String): Seq[(String, Long)] = {
     val (hfs, _) = Topic.fs(spark, root)
-    val openFirsts = listTxns("open").flatMap { id =>
+    listTxns("open").flatMap { id =>
       val in = hfs.open(txnPath(id, "open"))
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       txt.split('\n').collect {
         case l if l.startsWith("range ") =>
           val Array(_, t, first, _) = l.split(' ')
           (t, first.toLong)
-      }.collect { case (t, first) if t == topic => first }
+      }.collect { case (t, first) if t == topic => (id, first) }
     }
-    if (openFirsts.isEmpty) Topic.highWaterMark(spark, dir(topic))
-    else openFirsts.min - 1L
+  }
+
+  /** [[Topic.retain]] with the transaction guard — the retention ×
+    * transactions contract, pinned:
+    *
+    * **Retention never advances past the last stable offset.** A
+    * retention pass that deletes offsets an OPEN transaction's marker
+    * references would leave a dangling marker (a range pointing at
+    * deleted segments) and erase rows whose fate — committed or aborted
+    * — is undecided, so a later `commitTxn` would "reveal" rows that no
+    * longer exist. Kafka pins the same interplay: the log cleaner
+    * cannot clean past the LSO. Concretely:
+    *
+    *   - open transactions holding ranges in the topic YOUNGER than
+    *     `openTxnTtlMs` block the pass loudly (IllegalStateException
+    *     naming the ids — commit or abort them, or wait out the TTL);
+    *   - open transactions OLDER than the TTL are aborted first
+    *     (recoverTxns' presumed-dead-writer rule), loudly, and reported
+    *     in the returned [[RetainReport]] — their markers become
+    *     `.aborted` (a DECIDED state, never dangling), their rows are
+    *     invisible already, and retention may then reclaim them;
+    *   - with no open ranges in the topic the pass runs unguarded.
+    *
+    * The default TTL is infinite: unattended retention never destroys
+    * an in-flight transaction unless the operator opts into a timeout.
+    */
+  def retain(topic: String,
+             minEventTime: Option[java.sql.Timestamp] = None,
+             maxEvents: Option[Long] = None,
+             openTxnTtlMs: Long = Long.MaxValue): Cascade.RetainReport = {
+    requireTopic(topic)
+    val (hfs, _) = Topic.fs(spark, root)
+    val now = System.currentTimeMillis()
+    val open = openRangeFirsts(topic).map(_._1).distinct
+    val (stale, live) = open.partition { id =>
+      openTxnTtlMs != Long.MaxValue &&
+        now - hfs.getFileStatus(txnPath(id, "open")).getModificationTime > openTxnTtlMs
+    }
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"retain($topic) blocked at LSO ${lastStableOffset(topic)}: open " +
+        s"transaction(s) ${live.mkString(", ")} hold undecided offsets in the " +
+        "topic — commit/abort them (or pass openTxnTtlMs to reap stale writers)")
+    stale.foreach { id =>
+      System.err.println(
+        s"[graft] retain($topic): aborting stale open transaction $id " +
+          s"(older than ${openTxnTtlMs} ms; writer presumed dead)")
+      abortTxn(id)
+    }
+    Cascade.RetainReport(Topic.retain(spark, dir(topic), minEventTime, maxEvents), stale)
   }
 
   /** Stage a consumer-group offset commit inside the transaction
@@ -688,4 +815,12 @@ final class Cascade(spark: SparkSession, root: String) {
       }
     }
   }
+}
+
+object Cascade {
+  /** What a guarded retention pass did: the underlying file-granular
+    * retention report plus any stale open transactions it TTL-aborted
+    * to get there. */
+  final case class RetainReport(
+      retention: Topic.RetentionReport, abortedTxns: Seq[String])
 }

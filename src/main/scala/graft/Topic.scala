@@ -684,8 +684,11 @@ object Topic {
     }
   }
 
-  /** What a mirror pass did: rows copied this pass, and the source/mirror
-    * high-water marks after it (equal on success for unsharded topics). */
+  /** What a mirror pass did: rows ACTUALLY copied this pass (counted from
+    * the bounded delta, so a source with offset gaps from compaction/
+    * retention reports true rows, not offset-range width), and the
+    * source/mirror high-water marks the pass synced to (equal on success
+    * for unsharded topics). */
   final case class MirrorReport(
       rowsCopied: Long, sourceHwm: Long, mirrorHwm: Long)
 
@@ -726,10 +729,19 @@ object Topic {
             s"source hwm $srcHwm — the mirror was written by something other than mirror()")
         if (srcHwm == tgtHwm) MirrorReport(0L, srcHwm, tgtHwm)
         else {
-          val delta = src.filter(col("offset") > tgtHwm)
+          // bounded ABOVE by the hwm this pass observed: a publish racing
+          // the pass lands in the NEXT pass, so the report's hwms describe
+          // exactly what the mirror now holds (the write executes lazily —
+          // without the cap it could copy rows beyond the reported hwm)
+          val delta = src.filter(col("offset") > tgtHwm && col("offset") <= srcHwm)
           checkSchemaCompatible(spark, mirrorDir, delta.schema)
+          // true row count, not srcHwm - tgtHwm: offsets above the mirror
+          // hwm can have gaps when the source was compacted/retained before
+          // the mirror was seeded. One extra pushdown-pruned pass over just
+          // the delta segments — maintenance-path cost.
+          val copied = delta.count()
           delta.write.mode(SaveMode.Append).parquet(mirrorDir)
-          MirrorReport(srcHwm - tgtHwm, srcHwm, srcHwm)
+          MirrorReport(copied, srcHwm, srcHwm)
         }
       } else {
         // per-shard floors, same collect-bounded control-plane shape as
@@ -751,12 +763,20 @@ object Topic {
         val floorCol = tgtH.foldLeft(lit(-1L)) { case (acc, (sh, h)) =>
           when(col("shard") === sh, lit(h)).otherwise(acc)
         }
-        val delta = src.filter(col("offset") > floorCol)
-        val copied = srcH.map { case (sh, h) => h - tgtH.getOrElse(sh, -1L) }.sum
-        if (copied > 0) {
+        // per-shard (floor, cap]: capped at the hwms this pass observed so
+        // a racing publish lands in the next pass, and counted for real so
+        // offset gaps (compacted/retained source) don't inflate the report
+        val capCol = srcH.foldLeft(lit(-1L)) { case (acc, (sh, h)) =>
+          when(col("shard") === sh, lit(h)).otherwise(acc)
+        }
+        val delta = src.filter(col("offset") > floorCol && col("offset") <= capCol)
+        val behind = srcH.exists { case (sh, h) => h > tgtH.getOrElse(sh, -1L) }
+        val copied = if (!behind) 0L else {
           checkSchemaCompatible(spark, mirrorDir, delta.drop("shard").schema)
+          val n = delta.count()
           delta.repartition(col("shard")).sortWithinPartitions("shard", "offset")
             .write.mode(SaveMode.Append).partitionBy("shard").parquet(mirrorDir)
+          n
         }
         MirrorReport(copied, srcH.values.max, srcH.values.max)
       }
@@ -780,9 +800,22 @@ object Topic {
     * offset order sorts within the micro-batch (offsets are already
     * assigned and total, so no ordering information is lost).
     *
-    * For committed-offset/groups semantics use [[graft.Cascade.poll]];
-    * this is the continuous-pipeline coupling (stream a topic into any
-    * Structured Streaming transform/sink).
+    * APPEND-ONLY ASSUMPTION: the exactly-once property holds only while
+    * the topic receives nothing but appends. `Topic.compact`/`retain`
+    * REWRITE segments, and the file source treats a rewritten file as a
+    * brand-new one — a live stream (or one restarted from a checkpoint
+    * taken before the maintenance pass) redelivers the surviving rows of
+    * every rewritten segment. Run maintenance on streamed topics only
+    * between stream incarnations with fresh checkpoints, or mirror first
+    * and stream the mirror ([[mirror]] is hwm-based, so `MirrorStream`
+    * is immune: a compaction never raises the source hwm and produces no
+    * delta).
+    *
+    * For committed-offset/groups semantics use [[graft.Cascade.poll]]
+    * (batch) or [[graft.Cascade.readStreamGroup]] (resume a stream from
+    * the group's committed position); this is the continuous-pipeline
+    * coupling (stream a topic into any Structured Streaming
+    * transform/sink).
     */
   def readStream(spark: SparkSession, topicDir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {

@@ -198,22 +198,37 @@ object MultimodalQueries2 {
     // Tile-level duplication — watermark / template detection: hash each
     // 16-byte tile of the pixel grid and measure, per doc, how many of
     // its tiles also occur in OTHER docs (a recurring logo/banner shows
-    // up as a high shared-tile share across a source). Tile df computed
-    // once on the (hash → docs) dim — tile hashes shuffle, never pixels;
-    // the per-doc rollup is a co-partitioned equi-join back on the hash.
+    // up as a high shared-tile share across a source). DF-CAPPED like
+    // dd_dup_spans' df∈[2,3] gram dim: the (hash → docs) dim keeps only
+    // tiles with df ∈ [2, 64] — a tile shared by MORE than 64 docs is
+    // boilerplate (blank rows, solid fills), carries no dedup signal,
+    // and is exactly the row whose per-doc fan-out grows with the corpus
+    // (it was the suite's worst decade ratio, 2.9× at 10× data, when the
+    // dim was uncapped). Boilerplate mass is still reported per doc
+    // (`boiler_tiles`) from the same constant-size dim, the way
+    // dd_band_stats reports over-cap band mass out-of-band. Plan shape:
+    // n_tiles is a map-side-combined groupBy with NO join; the df dim
+    // shrinks to only-shared tiles (HAVING > 1), so the equi-join back
+    // to the tile list moves a candidate set, not the corpus.
     "mm_tile_dedup" -> Q(
       """WITH tl AS (
         |  SELECT DISTINCT d.doc_id,
         |         md5(substring(d.text, CAST((u.i - 1) * 16 + 1 AS INTEGER), 16)) AS th
         |  FROM documents d, unnest(range(1, length(d.text) // 16 + 1)) u(i)),
-        |df AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tl GROUP BY th)
-        |SELECT tl.doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_tiles,
-        |       CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_tiles,
-        |       CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 10000
-        |            // COUNT(*) AS BIGINT) AS shared_bp
-        |FROM tl JOIN df ON tl.th = df.th
-        |GROUP BY tl.doc_id ORDER BY tl.doc_id""".stripMargin) { (s, d) =>
+        |df AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tl
+        |       GROUP BY th HAVING COUNT(*) > 1),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tiles FROM tl GROUP BY doc_id),
+        |sh AS (
+        |  SELECT tl.doc_id,
+        |         CAST(SUM(CASE WHEN df.n_docs <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS shared_tiles,
+        |         CAST(SUM(CASE WHEN df.n_docs > 64 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_tiles
+        |  FROM tl JOIN df ON tl.th = df.th GROUP BY tl.doc_id)
+        |SELECT per.doc_id, per.n_tiles,
+        |       CAST(COALESCE(sh.shared_tiles, 0) AS BIGINT) AS shared_tiles,
+        |       CAST(COALESCE(sh.boiler_tiles, 0) AS BIGINT) AS boiler_tiles,
+        |       CAST(COALESCE(sh.shared_tiles, 0) * 10000 // per.n_tiles AS BIGINT) AS shared_bp
+        |FROM per LEFT JOIN sh ON per.doc_id = sh.doc_id
+        |ORDER BY per.doc_id""".stripMargin) { (s, d) =>
       val tileIdx = when(expr("length(text) div 16") > 0,
         expr("sequence(1, length(text) div 16)")).otherwise(array().cast("array<int>"))
       val tl = Tables.documents(s, d)
@@ -222,12 +237,19 @@ object MultimodalQueries2 {
                 md5(expr("encode(substring(text, CAST((i - 1) * 16 + 1 AS INT), 16), 'UTF-8')")).as("th"))
         .distinct()
       val df = tl.groupBy("th").agg(count(lit(1)).as("n_docs"))
-      tl.join(df, "th")
+        .filter(col("n_docs") > 1)
+      // one LEFT join carries the df annotation back to every tile row
+      // (null = unshared), so a single doc_id aggregate produces all
+      // three counts — the tile list is computed twice (once under the
+      // df rollup, once as the probe), never three times
+      tl.join(df, Seq("th"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tiles"),
-             sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_tiles"),
-             expr("sum(case when n_docs > 1 then 1 else 0 end) * 10000 div count(*)")
-               .as("shared_bp"))
+             sum(when(col("n_docs").isNotNull && col("n_docs") <= 64, 1L)
+               .otherwise(0L)).as("shared_tiles"),
+             sum(when(col("n_docs") > 64, 1L).otherwise(0L)).as("boiler_tiles"))
+        .select(col("doc_id"), col("n_tiles"), col("shared_tiles"), col("boiler_tiles"),
+                expr("cast(shared_tiles * 10000 div n_tiles as bigint)").as("shared_bp"))
         .orderBy("doc_id")
     }
   )

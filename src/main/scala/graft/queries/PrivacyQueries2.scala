@@ -316,17 +316,20 @@ object PrivacyQueries2 {
         .orderBy("w")
     },
 
-    // CENTRAL-DP release via the BINOMIAL mechanism (Dwork et al.
-    // EUROCRYPT 2006 — the discrete noise that predates Laplace in the
-    // DP literature, and the one expressible WITHOUT ln(): noise =
-    // Binomial(24, 1/2) − 12, here drawn as bit_count of 24 md5 bits —
-    // deterministic in both engines, so even the "random" release is
-    // hash-checked). Completes the privacy ladder: pr_dp_sensitivity
-    // bounds contributions, this releases the bounded aggregate
-    // centrally, pr_rr_counts is the local-trust variant. true_n rides
-    // along so the query MEASURES the mechanism's error (σ² = 6) the
-    // way rr_counts and ta_bloom_contamination do. One map-side count
-    // per type; the noise is a per-CELL expression, no second pass.
+    // DETERMINISTIC SIMULATION of the binomial mechanism's error profile
+    // (Dwork et al. EUROCRYPT 2006 — the discrete noise that predates
+    // Laplace in the DP literature, and the one expressible WITHOUT
+    // ln()): noise = Binomial(24, 1/2) − 12 drawn as bit_count of 24 md5
+    // bits of the CELL KEY. Because the draw is a hash of event_type, it
+    // is identical on every release of the same cell — this yields NO
+    // actual privacy (an adversary re-derives the noise; ε is unbounded)
+    // and exists so the DuckDB oracle can hash-check the mechanism's
+    // exact error shape (σ² = 6, bounded support ±12). A real release
+    // would draw fresh secret randomness per release; the query's point
+    // is the error-measurement harness (true_n rides along the way
+    // rr_counts and ta_bloom_contamination measure theirs), not a
+    // privacy guarantee. One map-side count per type; the noise is a
+    // per-CELL expression, no second pass.
     "pr_binomial_release" -> Q(
       s"""WITH c AS (
          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n

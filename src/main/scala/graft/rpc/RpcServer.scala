@@ -101,6 +101,55 @@ object RpcServer {
                 "timestampUs" -> JInt(BigInt(usOf(e.timestamp)))))))
     }
 
+    // ---- protobuf wire framing (the reference's actual encoding) --------
+    //
+    // Same five rpcs served BYTE-FRAMED per the protobuf wire format +
+    // gRPC's length-prefixed message framing, at the gRPC path convention
+    // `/<package>.<Service>/<Method>` (field numbers from the reference's
+    // proto files — see [[Proto]]). A reference client's compiled stubs
+    // produce exactly these request bytes and parse exactly these response
+    // bytes; the remaining delta to stock gRPC is the HTTP/2 transport
+    // (not resolvable offline), served here as HTTP/1.1 POSTs. Error
+    // mapping matches the JSON endpoints: unknown topic/offset → 404.
+
+    def protoEndpoint(path: String)(fn: Array[Byte] => Array[Byte]): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          try {
+            if (ex.getRequestMethod != "POST") respond(ex, 405, text("Method Not Allowed"))
+            else {
+              val body = Proto.grpcUnframe(ex.getRequestBody.readAllBytes())
+              val out = Proto.grpcFrame(fn(body))
+              ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+              ex.sendResponseHeaders(200, out.length.toLong)
+              val os = ex.getResponseBody
+              try os.write(out) finally os.close()
+            }
+          } catch {
+            case e: NoSuchElementException => respondSafe(ex, 404, text(e.getMessage))
+            case e: Throwable => respondSafe(ex, 500,
+              text(Option(e.getMessage).getOrElse("Internal Server Error")))
+          } finally ex.close()
+      })
+
+    protoEndpoint("/coordinate.KafkaBrokerInitializationService/Send") { in =>
+      Proto.encBrokerInitializationResponse(
+        rpc.send(Proto.decBrokerInitializationRequest(in)))
+    }
+    protoEndpoint("/coordinate.KafkaMetadataService/GetMetadata") { in =>
+      Proto.encMetadataResponse(rpc.getMetadata(Proto.decMetadataRequest(in)))
+    }
+    protoEndpoint("/publish.PublishToBroker/Send") { in =>
+      Proto.encBrokerToPublisherAck(rpc.send(Proto.decPublishDataToBroker(in)))
+    }
+    protoEndpoint("/publish.MyAPIService/ExpressToProducer") { in =>
+      Proto.encProducerToExpressAck(
+        rpc.expressToProducer(Proto.decExpressDataToProducer(in)))
+    }
+    protoEndpoint("/consume.ConsumeFromBroker/Send") { in =>
+      Proto.encBrokerToConsumerAck(rpc.send(Proto.decConsumeDataFromBroker(in)))
+    }
+
     server.start()
     new RpcServer(server)
   }

@@ -175,6 +175,25 @@ class CascadeSpec extends SparkSpec {
     assert(e3.getMessage.contains("does not own"))
   }
 
+  test("rebalance reads the shard set from the directory layout, never the data") {
+    val root = Files.createTempDirectory("cascade-layout").toString
+    val c    = new Cascade(spark, root)
+    // a topic whose shard LAYOUT exists but whose segment bytes are not
+    // readable parquet: any implementation that scans data to discover
+    // shards fails here; the layout-based one must not touch a byte of
+    // it (at 100 TB the shard set is topic metadata, not a log scan)
+    for (sh <- Seq(0, 2, 5)) {
+      val sd = new java.io.File(s"$root/lt/shard=$sh"); sd.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(sd, "seg.parquet").toPath, "not parquet at all")
+    }
+    val (gen, asg) = c.rebalance("g", "lt", Seq("m1", "m2"))
+    assert(gen === 1L)
+    assert(asg === Map("m1" -> Seq(0, 2), "m2" -> Seq(5)))
+    // sparse shard ids (0, 2, 5) come through verbatim — the listing is
+    // the truth, not an assumed 0..n-1 range
+  }
+
   test("retention past a group's commit: poll resets to earliest, Kafka-style") {
     val root = Files.createTempDirectory("cascade-reset").toString
     val c    = new Cascade(spark, root)

@@ -177,6 +177,25 @@ class TopicMirrorSpec extends SparkSpec {
     assert(Topic.mirror(spark, src, mir).rowsCopied === 10L)
   }
 
+  test("seeding a mirror from a compacted source: rowsCopied counts rows, not offset range") {
+    val base = tmpDir()
+    val src  = s"$base/src"; val mir = s"$base/mir"
+    val ev   = Tables.events(spark, sf).limit(100).localCheckpoint(true)
+    Topic.publish(ev, src)
+    // compaction leaves offset GAPS (latest row per key survives); a fresh
+    // mirror seeded now copies fewer rows than the offset-range width
+    Topic.compact(spark, src, keyCol = "user_id")
+    val survivors = spark.read.parquet(src).count()
+    val hwm = Topic.highWaterMark(spark, src)
+    assert(survivors < hwm + 1, "test needs a gappy source") // compaction dropped rows
+    val r = Topic.mirror(spark, src, mir)
+    assert(r.rowsCopied === survivors)        // true rows, not hwm - (-1)
+    assert(r.sourceHwm === hwm && r.mirrorHwm === hwm)
+    assert(spark.read.parquet(mir).count() === survivors)
+    // and the pass is still a fixpoint afterwards
+    assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
+  }
+
   test("sharded topics mirror per shard and preserve the shard layout") {
     val base = tmpDir()
     val src  = s"$base/src"; val mir = s"$base/mir"

@@ -142,4 +142,42 @@ class TxnSpec extends SparkSpec {
     assert(c.recoverTxns(ttlMs = 5L)._1 === Seq("y"))
     assert(c.lastStableOffset("other") === 2L)
   }
+
+  test("retention x transactions: blocked at LSO while open; TTL-aborts stale writers loudly") {
+    val c = new Cascade(spark, freshRoot())
+    c.publish("t", ev(0, 30))          // offsets 0..29, decided
+    c.beginTxn("rt1")
+    c.publishTxn("rt1", "t", ev(30, 40)) // offsets 30..39, UNDECIDED
+
+    // a live open txn blocks the pass loudly — retention must not delete
+    // offsets whose fate is pending (a later commit would "reveal" rows
+    // that no longer exist, and the range marker would dangle)
+    val e = intercept[IllegalStateException](c.retain("t", maxEvents = Some(5L)))
+    assert(e.getMessage.contains("rt1") && e.getMessage.contains("blocked at LSO"))
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"${c.rootDir}/t").count() === 40) // nothing was deleted
+
+    // an open txn on ANOTHER topic does not block this one's retention
+    c.beginTxn("rt2"); c.publishTxn("rt2", "other", ev(0, 3))
+    intercept[IllegalStateException](c.retain("t", maxEvents = Some(5L)))
+    c.abortTxn("rt2")
+
+    // past the TTL the writer is presumed dead: the pass aborts it FIRST
+    // (marker flips to .aborted — a DECIDED state, never dangling), then
+    // retention proceeds over the now-stable log
+    Thread.sleep(20)
+    val r = c.retain("t", maxEvents = Some(5L), openTxnTtlMs = 5L)
+    assert(r.abortedTxns === Seq("rt1"))
+    assert(intercept[IllegalStateException](c.commitTxn("rt1"))
+      .getMessage.contains("aborted"))
+    // retention actually ran: only the top 5 raw offsets survive
+    val offs = spark.read.option("mergeSchema", "true").parquet(s"${c.rootDir}/t")
+      .select("offset").orderBy("offset").collect().map(_.getLong(0)).toSeq
+    assert(offs === (35L to 39L))
+    // and those survivors are aborted rows — read-committed sees none
+    assert(c.readCommitted("t").count() === 0L)
+
+    // with no open ranges the pass runs unguarded and reports no aborts
+    assert(c.retain("t", maxEvents = Some(3L)).abortedTxns.isEmpty)
+  }
 }
