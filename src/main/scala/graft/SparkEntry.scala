@@ -83,12 +83,14 @@ object SparkEntry {
     graft.queries.SimilarityQueries6.defs ++
     graft.queries.SimilarityQueries7.defs ++
     graft.queries.SimilarityQueries8.defs ++
+    graft.queries.SimilarityQueries9.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.TextQueries2.defs ++
     graft.queries.TextQueries3.defs ++
     graft.queries.TextQueries4.defs ++
     graft.queries.TextQueries5.defs ++
     graft.queries.TextQueries6.defs ++
+    graft.queries.TextQueries7.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.StatsQueries.defs ++

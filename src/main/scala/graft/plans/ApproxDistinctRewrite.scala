@@ -24,6 +24,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * runs with it on (oracle parity requires exact results); the rewrite
   * is pinned by ApproxRewriteSpec instead.
   *
+  * MEASURED (round 7, `tools/ApproxAb` at synthesized sf1, local[32]):
+  * per-day COUNT(DISTINCT) over 1M events is ~1.2× faster approx
+  * (0.33→0.27 s pure shape) at 15k-distinct AND at 1M-distinct keys,
+  * and a wash when mixed with other aggregates — with 5–7% estimate
+  * error. In this single-JVM sandbox the distinct shuffle never leaves
+  * the box, so the sketch's 1.5 KB-per-group vs full-key-exchange
+  * advantage (the 100 TB argument above) barely registers; the rule
+  * stays OFF by default and should only be flipped where the distinct
+  * keys are large enough that their exchange dominates (network-shuffle
+  * scale), never for the error-free local case. Recorded in SCALING.md
+  * round 7.
+  *
   * Scope guards: only a filter-less `Count` with exactly one child is
   * rewritten. Multi-column distinct keeps exact semantics (HLL++ takes
   * one expression), and a `FILTER (WHERE …)` distinct is left alone —

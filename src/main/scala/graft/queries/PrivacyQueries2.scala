@@ -348,6 +348,52 @@ object PrivacyQueries2 {
         .select(col("event_type"), col("true_n"),
                 noise.as("noise"), (col("true_n") + noise).as("noisy_n"))
         .orderBy("event_type")
+    },
+
+    // REPORT-NOISY-MAX selection, same deterministic-simulation caveat
+    // as pr_binomial_release (the noise is a hash of the cell key, so
+    // this hash-checks the mechanism's SELECTION behavior — which
+    // winner the noisy argmax picks and whether it flips vs the true
+    // argmax — not a privacy guarantee; a real release draws fresh
+    // secret noise). Noisy-max is the canonical DP SELECTION primitive
+    // (pick the best category without releasing the counts); the
+    // binomial(24,1/2)−12 noise reuses the ladder's log-free discrete
+    // mechanism under a distinct hash tag. Plan shape: one map-side
+    // count per type, both argmaxes via orderBy+LIMIT 1 (TakeOrdered —
+    // no global window), broadcast back to the type rows.
+    "pr_noisy_argmax" -> Q(
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+         |  FROM events GROUP BY event_type),
+         |n AS (
+         |  SELECT event_type, true_n,
+         |         CAST(bit_count(${graft.functions.Portable.duckH("'nmx|' || event_type", 15)}
+         |                        & 16777215) - 12 AS BIGINT) AS noise,
+         |         true_n + bit_count(${graft.functions.Portable.duckH("'nmx|' || event_type", 15)}
+         |                            & 16777215) - 12 AS noisy_n
+         |  FROM c),
+         |mx AS (SELECT event_type AS me FROM n ORDER BY noisy_n DESC, event_type LIMIT 1),
+         |tx AS (SELECT event_type AS te FROM n ORDER BY true_n DESC, event_type LIMIT 1)
+         |SELECT n.event_type, n.true_n, n.noise, n.noisy_n,
+         |       CAST(CASE WHEN n.event_type = mx.me THEN 1 ELSE 0 END AS BIGINT) AS chosen,
+         |       CAST(CASE WHEN n.event_type = tx.te THEN 1 ELSE 0 END AS BIGINT) AS true_winner
+         |FROM n, mx, tx ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.functions.Portable.h60
+      val noise2 = (expr("bit_count(h & 16777215)") - 12).cast("long")
+      val n = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("true_n"))
+        .withColumn("h", h60(concat(lit("nmx|"), col("event_type"))))
+        .select(col("event_type"), col("true_n"),
+                noise2.as("noise"), (col("true_n") + noise2).as("noisy_n"))
+      val mx = n.orderBy(col("noisy_n").desc, col("event_type")).limit(1)
+        .select(col("event_type").as("me"))
+      val tx = n.orderBy(col("true_n").desc, col("event_type")).limit(1)
+        .select(col("event_type").as("te"))
+      n.crossJoin(broadcast(mx)).crossJoin(broadcast(tx))
+        .select(col("event_type"), col("true_n"), col("noise"), col("noisy_n"),
+                when(col("event_type") === col("me"), 1L).otherwise(0L).as("chosen"),
+                when(col("event_type") === col("te"), 1L).otherwise(0L).as("true_winner"))
+        .orderBy("event_type")
     }
   )
 }
