@@ -62,6 +62,7 @@ object SparkEntry {
     graft.queries.RelationalQueries15.defs ++
     graft.queries.RelationalQueries16.defs ++
     graft.queries.RelationalQueries17.defs ++
+    graft.queries.RelationalQueries18.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

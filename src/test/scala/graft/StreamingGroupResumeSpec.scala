@@ -64,6 +64,33 @@ class StreamingGroupResumeSpec extends SparkSpec {
     assert(seenG2.sorted.toSeq === (0L until n2))
   }
 
+  test("commit-per-epoch: maxFilesPerTrigger splits the backlog into monotonic committed epochs") {
+    val root = Files.createTempDirectory("graft-sgr-ep").toString
+    val c = new Cascade(spark, root)
+    // three separate publishes → at least three files → with
+    // maxFilesPerTrigger=1 the backlog replays as multiple epochs, each
+    // committing AFTER its batch processes
+    c.publish("t", ev(0, 10)); c.publish("t", ev(10, 20)); c.publish("t", ev(20, 30))
+    val total = c.highWaterMark("t") + 1
+    // (batch rows, committed position OBSERVED BEFORE this epoch's commit)
+    val epochs = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = c.streamGroup("g", "t", s"$root/ck", maxFilesPerTrigger = Some(1)) { b =>
+      val n = b.count()
+      epochs.synchronized {
+        epochs += ((n, c.committedOffsets("g", "t").getOrElse(-1, 0L)))
+      }
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    val nonEmpty = epochs.filter(_._1 > 0)
+    assert(nonEmpty.size >= 2, s"expected multiple epochs, got $epochs")
+    // positions observed at epoch starts are non-decreasing and each
+    // epoch's observed position equals the rows committed so far
+    val observed = nonEmpty.map(_._2)
+    assert(observed === observed.sorted)
+    assert(nonEmpty.map(_._1).sum === total)
+    assert(c.committedOffsets("g", "t") === Map(-1 -> total))
+  }
+
   test("sharded topic: per-shard positions commit and resume independently") {
     val root = Files.createTempDirectory("graft-sgr-sh").toString
     val c = new Cascade(spark, root)
