@@ -200,5 +200,51 @@ object EventLogQueries5 {
         .select(col("dy").as("day"), col("n").as("n_events"),
                 col("dv").as("deviation"), col("m").as("med"), col("md").as("mad"))
         .orderBy("day")
+    },
+
+    // OHLC downsampling — the candlestick/bar aggregation every
+    // time-series store ships (open = first value in the bar, close =
+    // last, high/low = extremes): per (event_type, 5-minute bucket).
+    // open/close are SELECTED values, not float aggregates, so the bar
+    // is exactly portable (comparisons + picks only — no float sums);
+    // first/last are pinned deterministic by the (ts, event_id) total
+    // order. Two row_numbers over the SAME bucket-bounded window (one
+    // sort, both directions derived), then one map-side-combinable
+    // conditional aggregate.
+    "el_ohlc_bars" -> Q(
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000000 // 300) * 300 AS bucket_sec,
+        |         epoch_ns(ts) // 1000 AS tus, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_sec
+        |                            ORDER BY tus, event_id) AS rf,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_sec
+        |                            ORDER BY tus DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, bucket_sec,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(CASE WHEN rf = 1 THEN value END) AS open_v,
+        |       MAX(value) AS high_v, MIN(value) AS low_v,
+        |       MAX(CASE WHEN rl = 1 THEN value END) AS close_v
+        |FROM r GROUP BY event_type, bucket_sec
+        |ORDER BY event_type, bucket_sec""".stripMargin) { (s, d) =>
+      val wf = Window.partitionBy(col("event_type"), col("bucket_sec"))
+        .orderBy(col("tus"), col("event_id"))
+      val wl = Window.partitionBy(col("event_type"), col("bucket_sec"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type"),
+                (expr("unix_seconds(ts) div 300") * 300).as("bucket_sec"),
+                unix_micros(col("ts")).as("tus"), col("event_id"), col("value"))
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rl", row_number().over(wl))
+        .groupBy("event_type", "bucket_sec")
+        .agg(count(lit(1)).as("n_events"),
+             max(when(col("rf") === 1, col("value"))).as("open_v"),
+             max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+             max(when(col("rl") === 1, col("value"))).as("close_v"))
+        .orderBy("event_type", "bucket_sec")
     })
 }

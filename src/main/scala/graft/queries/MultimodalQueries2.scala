@@ -251,6 +251,45 @@ object MultimodalQueries2 {
         .select(col("doc_id"), col("n_tiles"), col("shared_tiles"), col("boiler_tiles"),
                 expr("cast(shared_tiles * 10000 div n_tiles as bigint)").as("shared_bp"))
         .orderBy("doc_id")
+    },
+
+    // Sharpness / blur detection — the variance-of-Laplacian focus
+    // measure every image-quality pipeline runs before training on
+    // crawled images, in its integer 1-D form on the 32-px-row grid:
+    // lap(i) = p(i-1) − 2·p(i) + p(i+1) within each pixel row, and the
+    // doc's sharpness is the Laplacian ENERGY Σ lap² (a blurred/flat
+    // image has tiny second differences; a sharp one has large ones).
+    // All-integer (no variance float math), one projection + one
+    // map-side-combined aggregate per doc; row-boundary pixels are
+    // excluded so no window/shuffle is needed to see neighbors.
+    "mm_sharpness" -> Q(
+      """WITH lp AS (
+        |  SELECT d.doc_id,
+        |         CAST(ord(substring(d.text, CAST(u.i - 1 AS INTEGER), 1)) AS BIGINT)
+        |           - 2 * CAST(ord(substring(d.text, CAST(u.i AS INTEGER), 1)) AS BIGINT)
+        |           + CAST(ord(substring(d.text, CAST(u.i + 1 AS INTEGER), 1)) AS BIGINT) AS lap
+        |  FROM documents d, unnest(range(1, length(d.text) + 1)) u(i)
+        |  WHERE ((u.i - 1) % 32) NOT IN (0, 31) AND u.i + 1 <= length(d.text))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(SUM(lap * lap) AS BIGINT) AS lap_energy,
+        |       CAST(MAX(abs(lap)) AS BIGINT) AS max_abs_lap,
+        |       CAST(SUM(lap * lap) // COUNT(*) AS BIGINT) AS mean_energy
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pixelIdx = when(length(col("text")) > 0,
+        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
+      val lp = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), explode(pixelIdx).as("i"))
+        .filter(!expr("(i - 1) % 32").isin(0, 31) && col("i") + 1 <= length(col("text")))
+        .select(col("doc_id"),
+          (ascii(expr("substring(text, CAST(i - 1 AS INT), 1)")).cast("long")
+            - lit(2L) * ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long")
+            + ascii(expr("substring(text, CAST(i + 1 AS INT), 1)")).cast("long")).as("lap"))
+      lp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+             sum(col("lap") * col("lap")).as("lap_energy"),
+             max(abs(col("lap"))).as("max_abs_lap"),
+             expr("cast(sum(lap * lap) div count(1) as bigint)").as("mean_energy"))
+        .orderBy("doc_id")
     }
   )
 }
