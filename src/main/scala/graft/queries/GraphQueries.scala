@@ -101,6 +101,94 @@ object GraphQueries {
       propagate(e0, Rounds)._1
     },
 
+    // Newman MODULARITY of the label-propagation communities — the
+    // score that says whether q66's partition actually found structure:
+    // Q = Σ_c [ e_c/m − (d_c/2m)² ] reported per community (the global
+    // Q is the sum of the q_contrib column). Every term derives from
+    // exact integer counts over the same ≤EdgeBudget checkpointed
+    // support graph (intra-edge counts, degree sums, m), so the only
+    // float ops are one division and one squared division per community
+    // — IEEE-portable. Cost on top of q66: two equi-joins of the ≤K
+    // edge list against node-scale labels, one groupBy per term.
+    "q91_modularity" -> Q({
+      val rounds = (1 to Rounds).map { r =>
+        s"""cnt$r AS MATERIALIZED (
+           |  SELECT u.src, l.label, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM und u JOIN lab${r - 1} l ON u.dst = l.v
+           |  GROUP BY 1, 2),
+           |lab$r AS MATERIALIZED (
+           |  SELECT src AS v, label FROM (
+           |    SELECT src, label,
+           |           ROW_NUMBER() OVER (PARTITION BY src
+           |                              ORDER BY n DESC, label) AS rn
+           |    FROM cnt$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sets AS MATERIALIZED (
+         |  SELECT o.o_custkey AS cust, l.l_suppkey AS supp
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |d AS (SELECT cust, COUNT(*) AS dc FROM sets GROUP BY cust),
+         |w AS (
+         |  SELECT a.supp AS s_a, b.supp AS s_b
+         |  FROM sets a JOIN sets b ON a.cust = b.cust AND a.supp < b.supp
+         |  JOIN d ON a.cust = d.cust AND d.dc <= 40),
+         |e0 AS MATERIALIZED (
+         |  SELECT s_a, s_b FROM (
+         |    SELECT s_a, s_b, COUNT(*) AS ns FROM w GROUP BY s_a, s_b
+         |    ORDER BY ns DESC, s_a, s_b LIMIT $EdgeBudget)),
+         |und AS MATERIALIZED (
+         |  SELECT s_a AS src, s_b AS dst FROM e0
+         |  UNION ALL SELECT s_b, s_a FROM e0),
+         |lab0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS v, src AS label FROM und),
+         |$rounds,
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+         |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY src),
+         |nodes AS (
+         |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg.dg) AS BIGINT) AS degree_sum
+         |  FROM lab$Rounds l JOIN deg ON l.v = deg.v GROUP BY l.label),
+         |intra AS (
+         |  SELECT a.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+         |  FROM e0 JOIN lab$Rounds a ON e0.s_a = a.v
+         |          JOIN lab$Rounds b ON e0.s_b = b.v
+         |  WHERE a.label = b.label GROUP BY a.label)
+         |SELECT n.label, n.n_nodes, n.degree_sum,
+         |       COALESCE(i.intra_edges, 0) AS intra_edges,
+         |       CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / m.m
+         |         - (CAST(n.degree_sum AS DOUBLE) / (2 * m.m))
+         |           * (CAST(n.degree_sum AS DOUBLE) / (2 * m.m)) AS q_contrib
+         |FROM nodes n LEFT JOIN intra i ON n.label = i.label, m
+         |ORDER BY n.label""".stripMargin
+    }) { (s, d) =>
+      val e0 = RelationalQueries10.coSupplyCounts(s, d)
+        .orderBy(col("ns").desc, col("s_a"), col("s_b")).limit(EdgeBudget)
+        .select("s_a", "s_b")
+        .localCheckpoint(true)
+      val labels = propagate(e0, Rounds)._2
+      val und = e0.select(col("s_a").as("v"))
+        .unionAll(e0.select(col("s_b").as("v")))
+      val deg = und.groupBy("v").agg(count(lit(1)).as("dg"))
+      val nodes = labels.join(deg, "v")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_sum"))
+      val intra = e0
+        .join(labels.select(col("v").as("s_a"), col("label")), "s_a")
+        .join(labels.select(col("v").as("s_b"), col("label").as("label_b")), "s_b")
+        .filter(col("label") === col("label_b"))
+        .groupBy("label").agg(count(lit(1)).as("intra_edges"))
+      val m = e0.agg(count(lit(1)).as("m"))
+      nodes.join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("label"), col("n_nodes"), col("degree_sum"),
+                coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+                (coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m")
+                  - (col("degree_sum").cast("double") / (lit(2) * col("m")))
+                    * (col("degree_sum").cast("double") / (lit(2) * col("m"))))
+                  .as("q_contrib"))
+        .orderBy("label")
+    },
+
     // Link prediction (the 6th graph primitive): rank NON-edges of the
     // same ≤K-edge support graph by common-neighbor count with a
     // Jaccard-coefficient tie-break (Liben-Nowell & Kleinberg 2003) —
