@@ -246,5 +246,60 @@ object EventLogQueries5 {
              max(col("value")).as("high_v"), min(col("value")).as("low_v"),
              max(when(col("rl") === 1, col("value"))).as("close_v"))
         .orderBy("event_type", "bucket_sec")
+    },
+
+    // Multi-window SLO BURN RATE (the Google SRE-workbook alerting rule):
+    // per hour, the error-event share in the 1-hour bucket AND in the
+    // trailing 6-hour window, each divided by the corpus-wide baseline
+    // error share; alert when BOTH exceed 2× (the fast window catches
+    // the spike, the slow window suppresses blips). Plan shape: hourly
+    // integer counts once (map-side combined), the trailing window via
+    // the bounded 6-row fan-out (the el_hll_sliding move — hours fan
+    // out, events never), the baseline a 1-row broadcast; all floats
+    // are single divisions of exact integers.
+    "el_burn_rate" -> Q(
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hr,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(e) AS BIGINT) AS eg FROM h),
+        |f AS (SELECT hr + 3600 * t.i AS whr, n, e FROM h, range(0, 6) t(i)),
+        |w AS (SELECT whr, CAST(SUM(n) AS BIGINT) AS n_6h,
+        |             CAST(SUM(e) AS BIGINT) AS err_6h
+        |      FROM f GROUP BY whr),
+        |j AS (SELECT h.hr, h.n AS n_1h, h.e AS err_1h, w.n_6h, w.err_6h
+        |      FROM h JOIN w ON h.hr = w.whr)
+        |SELECT j.hr, j.n_1h, j.err_1h, j.n_6h, j.err_6h,
+        |       (CAST(j.err_1h AS DOUBLE) / j.n_1h)
+        |         / (CAST(g.eg AS DOUBLE) / g.ng) AS burn_1h,
+        |       (CAST(j.err_6h AS DOUBLE) / j.n_6h)
+        |         / (CAST(g.eg AS DOUBLE) / g.ng) AS burn_6h,
+        |       CAST(CASE WHEN (CAST(j.err_1h AS DOUBLE) / j.n_1h)
+        |                        / (CAST(g.eg AS DOUBLE) / g.ng) > 2
+        |                   AND (CAST(j.err_6h AS DOUBLE) / j.n_6h)
+        |                        / (CAST(g.eg AS DOUBLE) / g.ng) > 2
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+        |FROM j, g ORDER BY hr""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy((expr("unix_seconds(ts) div 3600") * 3600).as("hr"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      val g = h.agg(sum(col("n")).as("ng"), sum(col("e")).as("eg"))
+      val w = h.select(col("hr"), col("n"), col("e"),
+                       explode(expr("sequence(0, 5)")).as("i"))
+        .groupBy((col("hr") + col("i") * 3600L).as("whr"))
+        .agg(sum(col("n")).as("n_6h"), sum(col("e")).as("err_6h"))
+      val base = col("eg").cast("double") / col("ng")
+      val b1 = (col("err_1h").cast("double") / col("n_1h")) / base
+      val b6 = (col("err_6h").cast("double") / col("n_6h")) / base
+      h.select(col("hr"), col("n").as("n_1h"), col("e").as("err_1h"))
+        .join(w, col("hr") === col("whr")).drop("whr")
+        .crossJoin(broadcast(g))
+        .select(col("hr"), col("n_1h"), col("err_1h"), col("n_6h"), col("err_6h"),
+                b1.as("burn_1h"), b6.as("burn_6h"),
+                when(b1 > 2 && b6 > 2, 1L).otherwise(0L).as("alert"))
+        .orderBy("hr")
     })
 }
