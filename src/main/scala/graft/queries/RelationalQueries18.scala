@@ -17,14 +17,22 @@ object RelationalQueries18 {
     // [l_shipdate, l_shipdate + quantity days]; count the item PAIRS
     // whose windows overlap and measure total/max overlap days — the
     // "how concurrent is fulfilment inside an order" read. Scale shape:
-    // the pair generator is a CO-PARTITIONED self-equi-join on
-    // l_orderkey (the overlap predicate is a residual filter, never a
-    // theta join), so the fan-out is bounded by items-per-order (≤ 7 in
-    // TPC-H-shaped data) at any corpus size; one map-side-combined
-    // rollup per order follows. The general interval-overlap join
+    // items-per-order is BOUNDED (≤ 7 in TPC-H-shaped data), so the
+    // whole pair space fits in one row — ONE groupBy gathers each
+    // order's items into an array and the ≤ k² pair fold runs in-row,
+    // replacing the self-equi-join's two corpus-scale sorts with a
+    // single exchange. Same-window A/B against the join form (TimeQuery
+    // warm): sf0.1 1.9 ≈ 1.9 s, sf1 join 1.6–2.0 vs fold 4.6 s (the
+    // interpreted-HOF per-pair cost shows while the join's sorts still
+    // fit in memory), **sf10 (60M rows) join 60.9–71.4 vs fold 28.9 s**
+    // — the crossover: the join's sorts start spilling and degrade
+    // super-linearly while the fold stays one exchange + linear in-row
+    // work. The fold is kept because it is the form that survives scale
+    // (the interpretation overhead is a bounded constant per pair; the
+    // spill is not bounded). The general interval-overlap join
     // (unbounded key groups) adds the el_zorder/q72 grid-bucket move —
     // bucket by coarse time cell, join on cell, dedup — which q72
-    // already demonstrates spatially.
+    // demonstrates spatially.
     "q90_interval_overlap" -> Q(
       """WITH iv AS (
         |  SELECT l_orderkey, l_linenumber, l_shipdate AS s,
@@ -46,25 +54,34 @@ object RelationalQueries18 {
         |FROM pairs GROUP BY l_orderkey
         |HAVING SUM(ov) > 0
         |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-      val iv = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("s"),
-                expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)").as("e"))
-      val a = iv.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
-                        col("s").as("s_a"), col("e").as("e_a"))
-      val b = iv.select(col("l_orderkey"), col("l_linenumber").as("ln_b"),
-                        col("s").as("s_b"), col("e").as("e_b"))
-      val ov = col("s_a") <= col("e_b") && col("s_b") <= col("e_a")
-      a.join(b, Seq("l_orderkey")).filter(col("ln_a") < col("ln_b"))
+      val arr = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
-                when(ov, 1L).otherwise(0L).as("ov"),
-                when(ov, expr(
-                  "timestampdiff(DAY, greatest(s_a, s_b), least(e_a, e_b))") + 1L)
-                  .otherwise(0L).as("ov_days"))
-        .groupBy("l_orderkey")
-        .agg(count(lit(1)).as("item_pairs"),
-             sum(col("ov")).as("overlap_pairs"),
-             sum(col("ov_days")).as("overlap_days"),
-             max(col("ov_days")).as("max_overlap_days"))
+                struct(col("l_linenumber").as("ln"), col("l_shipdate").as("st"),
+                       expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)")
+                         .as("en")).as("it"))
+        .groupBy("l_orderkey").agg(collect_list(col("it")).as("items"))
+      // pd: one entry per ordered pair under the SAME strict a.ln < b.ln
+      // rule as the join form (duplicate line numbers exist in the data,
+      // so k(k−1)/2 would overcount): NULL = not a pair, 0 = pair whose
+      // windows don't intersect, ≥1 = overlap length in days
+      arr
+        .withColumn("pd", expr(
+          """flatten(transform(items, a -> transform(items, b ->
+            |  CASE WHEN a.ln >= b.ln THEN CAST(NULL AS BIGINT)
+            |       WHEN a.st <= b.en AND b.st <= a.en
+            |       THEN timestampdiff(DAY, greatest(a.st, b.st),
+            |                          least(a.en, b.en)) + CAST(1 AS BIGINT)
+            |       ELSE CAST(0 AS BIGINT) END)))""".stripMargin))
+        .select(col("l_orderkey"),
+                expr("cast(size(filter(pd, x -> x IS NOT NULL)) as bigint)")
+                  .as("item_pairs"),
+                expr("cast(size(filter(pd, x -> x > 0)) as bigint)")
+                  .as("overlap_pairs"),
+                expr("coalesce(aggregate(filter(pd, x -> x IS NOT NULL), " +
+                     "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))")
+                  .as("overlap_days"),
+                expr("coalesce(array_max(pd), cast(0 as bigint))")
+                  .as("max_overlap_days"))
         .filter(col("overlap_pairs") > 0)
         .orderBy("l_orderkey")
     }
