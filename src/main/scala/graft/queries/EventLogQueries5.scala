@@ -301,5 +301,59 @@ object EventLogQueries5 {
                 b1.as("burn_1h"), b6.as("burn_6h"),
                 when(b1 > 2 && b6 > 2, 1L).otherwise(0L).as("alert"))
         .orderBy("hr")
+    },
+
+    // Day-over-day TOP MOVERS — the anomaly leaderboard every metrics
+    // dashboard ships: per (event_type, day), the count delta vs the
+    // previous CALENDAR day in signed basis points, keeping the 15
+    // biggest absolute moves (ties broken fully). Integer division only;
+    // the day grid is dense per type via the calendar fan-out trick, so
+    // "previous day" means the calendar day even when a type was silent
+    // (a silent day reads as 0 and the reappearance is a mover) — a
+    // LAG over observed rows would silently skip gaps. Shape: one daily
+    // count aggregate (map-side combined), the dense grid a
+    // types × days broadcast-built dim, TakeOrdered(15).
+    "el_top_movers" -> Q(
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dc),
+        |types AS (SELECT DISTINCT event_type FROM dc),
+        |grid AS (
+        |  SELECT t.event_type, s.d0 + u.i AS day
+        |  FROM types t, span s, unnest(range(0, CAST(s.d1 - s.d0 + 1 AS INTEGER))) u(i)),
+        |dense AS (
+        |  SELECT g.event_type, g.day, COALESCE(dc.n, 0) AS n
+        |  FROM grid g LEFT JOIN dc ON g.event_type = dc.event_type AND g.day = dc.day),
+        |mv AS (
+        |  SELECT a.event_type, a.day, a.n, b.n AS prev_n,
+        |         a.n - b.n AS delta,
+        |         (a.n - b.n) * 10000 // GREATEST(b.n, 1) AS move_bp
+        |  FROM dense a JOIN dense b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 1)
+        |SELECT event_type, day, n, prev_n, delta, move_bp
+        |FROM mv
+        |ORDER BY abs(delta) DESC, event_type, day LIMIT 15""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val types = dc.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(span))
+        .select(col("event_type"),
+                explode(expr("sequence(d0, d1)")).as("day"))
+      val dense = grid.join(dc, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n"))
+      val prev = dense.select(col("event_type"), (col("day") + 1).as("day"),
+                              col("n").as("prev_n"))
+      dense.join(prev, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+                (col("n") - col("prev_n")).as("delta"),
+                expr("(n - prev_n) * 10000 div GREATEST(prev_n, 1)").as("move_bp"))
+        .orderBy(abs(col("delta")).desc, col("event_type"), col("day"))
+        .limit(15)
     })
 }
