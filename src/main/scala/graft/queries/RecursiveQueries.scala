@@ -444,7 +444,15 @@ object RecursiveQueries {
         // scan+explode once (ExistingRDD, not a cached-relation leak)
         .localCheckpoint(true)
         .createOrReplaceTempView(s"g_desc2_$tag")
-      withConfs(s, "spark.sql.cteRecursionLevelLimit" -> "64") {
+      // row limit: Spark's default 1M-row recursion backstop trips on
+      // corpora with ≥1M parts (the sf10 audit caught it at 2M) even
+      // though THIS recursion's row count is exactly |part| by
+      // construction — the depth-mod-stride parity emits every key once,
+      // and RecursiveSpec pins that invariant. The LEVEL limit (64)
+      // stays as the runaway backstop; the row cap is raised in-scope to
+      // the corpus-linear bound the query actually has.
+      withConfs(s, "spark.sql.cteRecursionLevelLimit" -> "64",
+                   "spark.sql.cteRecursionRowLimit" -> Int.MaxValue.toString) {
         // localCheckpoint EXECUTES the recursion inside the conf scope —
         // a lazily returned frame would run at action time, after the
         // finally block restored AQE and the level limit (ewmaFrame had

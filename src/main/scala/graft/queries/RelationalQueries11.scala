@@ -274,9 +274,20 @@ object RelationalQueries11 {
     // runs (DuckDB can afford quadratic at sf0.01). Each candidate pair
     // is generated exactly once (the offset relation between two fixed
     // cells is unique), so no distinct is needed. Distances are exact
-    // BIGINT µdeg² (R² = 4·10¹⁴, far inside long). At 100 TB cell size
-    // shrinks with density — the dial is CellUdeg, the algorithm is
-    // unchanged.
+    // BIGINT µdeg² (R² = 4·10¹⁴, far inside long).
+    //
+    // Scale read (corrected by the round-7 sf10 audit, which measured
+    // 25× at 10× data): cells CANNOT shrink below R — the 3×3
+    // neighborhood must cover the radius — so the join's cost is
+    // Θ(n²·(R/space)²), inherent to RADIUS-join semantics, and the dial
+    // is R itself, set by the use case. This demo's R is deliberately
+    // huge (40° of a 360° space, ~11% — so the sparse sf0.001 fixture
+    // still yields pairs), which makes sf10's 200k points approach
+    // all-pairs BY SEMANTICS (≈5B candidate pairs, 13 s as flat codegen
+    // long math — the plan is fine, the parameter is degenerate at that
+    // density). A production radius join keeps R ≪ space so per-cell
+    // occupancy — and with it cost — stays density-bounded; tightening R
+    // here would instead leave the small SFs pairless.
     "q72_spatial_pairs" -> Q(
       """WITH pts AS (
         |  SELECT s_suppkey AS k,
