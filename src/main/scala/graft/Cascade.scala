@@ -377,9 +377,12 @@ final class Cascade(spark: SparkSession, root: String) {
     require(members.distinct.size == members.size, s"duplicate member ids: $members")
     val shards: Seq[Int] = {
       val (hfs, p) = Topic.fs(spark, dir(topic))
+      // tolerate foreign partition dirs (shard=__HIVE_DEFAULT_PARTITION__
+      // from a null shard, tooling leftovers): only all-digit suffixes are
+      // shards; anything else is ignored rather than NumberFormatException
       val dirs = hfs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-        .map(_.getPath.getName.stripPrefix("shard=").toInt)
+        .flatMap(st => st.getPath.getName.stripPrefix("shard=").toIntOption)
       if (dirs.nonEmpty) dirs.sorted else Seq(-1)
     }
     val sortedMembers = members.sorted
@@ -656,6 +659,16 @@ final class Cascade(spark: SparkSession, root: String) {
           s"(older than ${openTxnTtlMs} ms; writer presumed dead)")
       abortTxn(id)
     }
+    // The guard above is check-then-act: a writer could beginTxn+publishTxn
+    // between the openRangeFirsts() scan and the destructive pass. Re-check
+    // immediately before Topic.retain and refuse if ANY open range appeared
+    // (including a stale writer racing its own commit past our abort) —
+    // nothing else serializes maintenance against transaction begin/commit.
+    val reopened = openRangeFirsts(topic).map(_._1).distinct
+    if (reopened.nonEmpty) throw new IllegalStateException(
+      s"retain($topic) aborted: transaction(s) ${reopened.mkString(", ")} opened " +
+        "range(s) in the topic while the pass was preparing — rerun retain " +
+        "once they decide (the pass made no destructive change)")
     Cascade.RetainReport(Topic.retain(spark, dir(topic), minEventTime, maxEvents), stale)
   }
 

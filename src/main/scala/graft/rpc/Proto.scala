@@ -82,6 +82,10 @@ object Proto {
     def varint(): Long = {
       var shift = 0; var res = 0L
       while (shift < 70) {
+        // bounds-checked so a truncated frame surfaces as the codec's own
+        // IllegalArgumentException (uniform with lenDelim/skip), not an
+        // ArrayIndexOutOfBoundsException from the backing array
+        require(pos < b.length, s"malformed varint: truncated at $pos")
         val x = b(pos); pos += 1
         res |= (x & 0x7FL) << shift
         if ((x & 0x80) == 0) return res
@@ -96,12 +100,14 @@ object Proto {
       require(n >= 0 && pos + n <= b.length, s"malformed length $n at $pos")
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
     }
-    /** Skip an unknown field by wire type — forward compatibility. */
+    /** Skip an unknown field by wire type — forward compatibility. Fixed
+      * widths are bounds-checked so a truncated fixed64/fixed32 tail errors
+      * like every other malformed frame instead of decoding silently. */
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => require(pos + 8 <= b.length, s"malformed fixed64: truncated at $pos"); pos += 8
       case 2 => lenDelim()
-      case 5 => pos += 4
+      case 5 => require(pos + 4 <= b.length, s"malformed fixed32: truncated at $pos"); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -80,6 +80,26 @@ class ProtoSpec extends SparkSpec {
     assert(Proto.encBrokerToConsumerAck(BrokerToConsumerAck(Seq.empty)).isEmpty)
   }
 
+  test("truncated frames all fail as IllegalArgumentException, never AIOOBE") {
+    // well-formed prefix, then an unknown field whose payload is cut short:
+    // every malformed-input path must surface as the codec's own
+    // IllegalArgumentException (RpcServer maps it to one consistent 500)
+    val base = new Proto.W; base.str(1, "req"); base.int(2, 4)
+    def withTail(tail: Array[Byte]) = base.bytes ++ tail
+    // wire 0 (varint) truncated mid-continuation
+    intercept[IllegalArgumentException](
+      Proto.decConsumeDataFromBroker(withTail(Array(72.toByte, 0x80.toByte))))
+    // wire 1 (fixed64) with only 4 payload bytes
+    intercept[IllegalArgumentException](
+      Proto.decConsumeDataFromBroker(withTail(Array[Byte](73, 1, 2, 3, 4))))
+    // wire 5 (fixed32) with only 2 payload bytes
+    intercept[IllegalArgumentException](
+      Proto.decConsumeDataFromBroker(withTail(Array[Byte](77, 1, 2))))
+    // a lone dangling tag byte that is itself a truncated varint
+    intercept[IllegalArgumentException](
+      Proto.decConsumeDataFromBroker(withTail(Array(0x80.toByte))))
+  }
+
   test("gRPC length-prefixed framing: flag byte + big-endian length") {
     val msg = Proto.encMetadataRequest(MetadataRequest("orders"))
     val frame = Proto.grpcFrame(msg)
