@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDot, WindowMin}
+import graft.functions.{FloatDot, IntervalPairStats, WindowMin}
 
 /** SparkSessionExtensions installer for the engine's custom Catalyst
   * pieces — the build-time injection path (the runtime path is the
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowMin].getName, "graft_window_min"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WindowMin.build(children)))
+    e.injectFunction((
+      FunctionIdentifier("graft_interval_pairs"),
+      new ExpressionInfo(classOf[IntervalPairStats].getName, "graft_interval_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntervalPairStats.build(children)))
     // Opt-in approx-distinct mode (conf-gated, off by default): the one
     // Rule[LogicalPlan] shipped, and it is a PERFORMANCE rewrite, not a
     // semantic necessity — §4.2's no-custom-Rule-required decision

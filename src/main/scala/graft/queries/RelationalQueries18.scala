@@ -54,34 +54,31 @@ object RelationalQueries18 {
         |FROM pairs GROUP BY l_orderkey
         |HAVING SUM(ov) > 0
         |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-      val arr = Tables.lineitem(s, d)
+      // Round-8 codegen upgrade: the pair fold was a flatten(transform×2)
+      // HOF pipeline — one interpreted boxed closure call per PAIR plus
+      // three more interpreted passes (filter/aggregate/array_max) over a
+      // materialized k² array — and at sf10 that interpretation made q90
+      // the suite's most expensive query (28.9 s). graft_interval_pairs
+      // (functions/IntervalPairs.scala) is the same arithmetic — strict
+      // a.ln < b.ln pairing (duplicate line numbers pair in neither
+      // orientation), inclusive whole-day intersections — as one primitive
+      // loop inside whole-stage codegen: no pair array, exact integer
+      // math, bit-identical results (oracle hash unchanged; sf1/sf10 A/B
+      // in SCALING.md round 8).
+      graft.functions.IntervalPairStats.register(s)
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"),
                 struct(col("l_linenumber").as("ln"), col("l_shipdate").as("st"),
                        expr("timestampadd(DAY, CAST(l_quantity AS INT), l_shipdate)")
                          .as("en")).as("it"))
         .groupBy("l_orderkey").agg(collect_list(col("it")).as("items"))
-      // pd: one entry per ordered pair under the SAME strict a.ln < b.ln
-      // rule as the join form (duplicate line numbers exist in the data,
-      // so k(k−1)/2 would overcount): NULL = not a pair, 0 = pair whose
-      // windows don't intersect, ≥1 = overlap length in days
-      arr
-        .withColumn("pd", expr(
-          """flatten(transform(items, a -> transform(items, b ->
-            |  CASE WHEN a.ln >= b.ln THEN CAST(NULL AS BIGINT)
-            |       WHEN a.st <= b.en AND b.st <= a.en
-            |       THEN timestampdiff(DAY, greatest(a.st, b.st),
-            |                          least(a.en, b.en)) + CAST(1 AS BIGINT)
-            |       ELSE CAST(0 AS BIGINT) END)))""".stripMargin))
         .select(col("l_orderkey"),
-                expr("cast(size(filter(pd, x -> x IS NOT NULL)) as bigint)")
-                  .as("item_pairs"),
-                expr("cast(size(filter(pd, x -> x > 0)) as bigint)")
-                  .as("overlap_pairs"),
-                expr("coalesce(aggregate(filter(pd, x -> x IS NOT NULL), " +
-                     "cast(0 as bigint), (acc, x) -> acc + x), cast(0 as bigint))")
-                  .as("overlap_days"),
-                expr("coalesce(array_max(pd), cast(0 as bigint))")
-                  .as("max_overlap_days"))
+                call_function("graft_interval_pairs", col("items")).as("ps"))
+        .select(col("l_orderkey"),
+                col("ps.item_pairs").as("item_pairs"),
+                col("ps.overlap_pairs").as("overlap_pairs"),
+                col("ps.overlap_days").as("overlap_days"),
+                col("ps.max_overlap_days").as("max_overlap_days"))
         .filter(col("overlap_pairs") > 0)
         .orderBy("l_orderkey")
     }
