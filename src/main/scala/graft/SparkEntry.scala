@@ -63,6 +63,7 @@ object SparkEntry {
     graft.queries.RelationalQueries16.defs ++
     graft.queries.RelationalQueries17.defs ++
     graft.queries.RelationalQueries18.defs ++
+    graft.queries.RelationalQueries19.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
