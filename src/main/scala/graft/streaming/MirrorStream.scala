@@ -20,6 +20,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * queue instead of a listing-based file stream; the mirror pass itself
   * already reads only the delta segments (offset predicate row-group
   * pruned).
+  *
+  * Source maintenance fails the daemon LOUDLY twice over (round-8
+  * contract): the change-signal stream carries [[Topic.readStream]]'s
+  * maintenance-epoch guard, and each mirror pass re-checks the source's
+  * epoch against the mirror's `_source_epoch` pin. After a deliberate
+  * compact/retain on the source, the operator runs
+  * [[Topic.acceptSourceMaintenance]] (or re-seeds) and restarts with a
+  * fresh checkpoint.
   */
 object MirrorStream {
 

@@ -151,12 +151,13 @@ class TopicMirrorSpec extends SparkSpec {
     assert(e.getMessage.contains("diverged"))
   }
 
-  test("mirror after source compaction/retention: no-op, replica keeps history") {
-    // MirrorMaker semantics: the mirror replicates the APPEND stream.
-    // Compaction/retention on the source rewrite/drop old offsets but
-    // never raise the high-water mark, so a synced mirror sees no delta
-    // — and deliberately retains the full history (a history-preserving
-    // replica is one of the reasons to mirror before compacting).
+  test("mirror after source compaction/retention: loud refusal, then an ACCEPTED history-keeping replica") {
+    // MirrorMaker semantics, hardened in round 8: compaction/retention on
+    // the source never raise the high-water mark, so the hwm pass would
+    // silently no-op while the mirror quietly held rows the source
+    // dropped. The epoch contract makes that state explicit — mirror()
+    // refuses until the operator ACCEPTS the superset (the deliberate
+    // history-preserving-replica choice this test used to get silently).
     val base = tmpDir()
     val src  = s"$base/src"; val mir = s"$base/mir"
     val ev   = Tables.events(spark, sf).limit(150).localCheckpoint(true)
@@ -165,14 +166,21 @@ class TopicMirrorSpec extends SparkSpec {
     val fullCount = spark.read.parquet(mir).count()
 
     Topic.compact(spark, src, keyCol = "user_id")
+    val e1 = intercept[IllegalStateException] { Topic.mirror(spark, src, mir) }
+    assert(e1.getMessage.contains("underwent maintenance"))
+    val div1 = Topic.acceptSourceMaintenance(spark, src, mir)
+    assert(div1 === fullCount - spark.read.parquet(src).count())
+    // accepted: the pass is a no-op and the replica keeps the full history
     assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
     assert(spark.read.parquet(mir).count() === fullCount)
 
     Topic.retain(spark, src, maxEvents = Some(20L))
+    intercept[IllegalStateException] { Topic.mirror(spark, src, mir) }
+    Topic.acceptSourceMaintenance(spark, src, mir): Unit
     assert(Topic.mirror(spark, src, mir).rowsCopied === 0L)
     assert(spark.read.parquet(mir).count() === fullCount)
 
-    // new appends after maintenance still flow
+    // new appends after accepted maintenance still flow
     Topic.publish(ev.limit(10), src)
     assert(Topic.mirror(spark, src, mir).rowsCopied === 10L)
   }
