@@ -55,10 +55,44 @@ object SkewAb {
     def frames(): (DataFrame, DataFrame) =
       (spark.read.parquet(fact), spark.read.parquet(dim))
 
-    // the measured body: join + aggregate (tiny result, real shuffle)
+    // The measured body: join + aggregate (tiny result, real shuffle).
+    // Both wide columns are kept LIVE through to the final output —
+    // otherwise Catalyst prunes them out of the scan and the shuffled
+    // fact row collapses to the 8-byte key (measured: the hot partition
+    // then compresses below AQE's 256 MB skew threshold and NO arm is
+    // ever skewed in bytes). collect(), not head(): Dataset.head runs a
+    // separate limit-QueryExecution, so the plan inspected afterwards
+    // would be the never-executed initial plan.
+    def body(joined: DataFrame): DataFrame =
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("tag").as("mt"),
+             sum(length(col("props"))).as("sl"))
+        .agg(sum("n"), max("mt"), sum("sl"))
     def run(joined: DataFrame): Long =
-      joined.groupBy("user_id").agg(count(lit(1)).as("n"), max("tag"))
-        .agg(sum("n")).head().getLong(0)
+      body(joined).collect()(0).getLong(0)
+
+    // did AQE actually split the join? (answers "do real-scale partitions
+    // trip the DEFAULT thresholds", the question this tool exists for)
+    def skewSplit(joined: DataFrame): Boolean = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val fin = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: QueryStageExec => q +: nodes(q.plan)
+          case n                 => Seq(n)
+        }
+      if (sys.env.contains("SKEWAB_DEBUG")) println(fin.toString)
+      nodes(fin).exists {
+        case j: SortMergeJoinExec => j.isSkewJoin
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.isSkewJoin
+        case _ => false
+      }
+    }
 
     def withConf(pairs: (String, String)*)(body: => (Double, Long)): (Double, Long) = {
       val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -76,10 +110,30 @@ object SkewAb {
     for (rep <- 1 to reps) {
       val (f, d) = frames()
 
+      var aqeSplit = false
       val (tAqe, nAqe) = withConf(noBroadcast ++ Seq(
         "spark.sql.adaptive.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.enabled" -> "true"): _*) {
-        timed(run(f.join(d, "user_id")))
+        // inspect the EXECUTED query's final adaptive plan (the join
+        // subtree alone would only show the pre-execution initial plan)
+        val q = body(f.join(d, "user_id"))
+        val r = timed(q.collect()(0).getLong(0))
+        aqeSplit = skewSplit(q)
+        r
+      }
+      // same arm with forceOptimizeSkewedJoin: splitting the join breaks
+      // the downstream same-key aggregate's reuse of the join's hash
+      // partitioning, so stock AQE REFUSES to split (split=false above);
+      // force accepts the extra exchange in trade
+      var aqeForcedSplit = false
+      val (tForce, nForce) = withConf(noBroadcast ++ Seq(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"): _*) {
+        val q = body(f.join(d, "user_id"))
+        val r = timed(q.collect()(0).getLong(0))
+        aqeForcedSplit = skewSplit(q)
+        r
       }
       val (tSalt, nSalt) = withConf(noBroadcast ++ Seq(
         "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
@@ -94,9 +148,11 @@ object SkewAb {
         "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
         timed(run(f.join(d, "user_id")))
       }
-      require(nAqe == rows && nSalt == rows && nNaive == rows,
-        s"arms disagree: $nAqe / $nSalt / $nNaive vs $rows")
-      println(f"rows=$rows rep$rep: aqe_skew=$tAqe%.2f s  salted=$tSalt%.2f s  naive=$tNaive%.2f s")
+      require(nAqe == rows && nForce == rows && nSalt == rows && nNaive == rows,
+        s"arms disagree: $nAqe / $nForce / $nSalt / $nNaive vs $rows")
+      println(f"rows=$rows rep$rep: aqe_skew=$tAqe%.2f s (split=$aqeSplit)  " +
+        f"aqe_forced=$tForce%.2f s (split=$aqeForcedSplit)  " +
+        f"salted=$tSalt%.2f s  naive=$tNaive%.2f s")
     }
     spark.stop()
   }
