@@ -64,6 +64,7 @@ object SparkEntry {
     graft.queries.RelationalQueries17.defs ++
     graft.queries.RelationalQueries18.defs ++
     graft.queries.RelationalQueries19.defs ++
+    graft.queries.LinkageQueries.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++
@@ -95,6 +96,7 @@ object SparkEntry {
     graft.queries.TextQueries7.defs ++
     graft.queries.QualityQueries.defs ++
     graft.queries.PipelineQueries.defs ++
+    graft.queries.PipelineQueries2.defs ++
     graft.queries.StatsQueries.defs ++
     graft.queries.StatsQueries2.defs ++
     graft.queries.StatsQueries3.defs ++

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch 2 — pipeline-quality operators:
+  *
+  *   - `ta_calibration` — reliability diagram of the langid classifier's
+  *     confidence (marker-vote share) against its accuracy, the ECE
+  *     input table. All-bin-integer construction: confidence bins and
+  *     the quantized confidence sum use INTEGER division on the raw
+  *     marker counts (`sc_best*10 div sc_total`), so no float ever
+  *     reaches the hash and no ulp can move a doc across a bin edge.
+  *   - `pr_pseudonymize` — consistent SHA-256 pseudonymization of the
+  *     user-id key with referential-integrity evidence: per hex-prefix
+  *     bucket, distinct users must equal distinct pseudonyms (collision-
+  *     free tokenization) and the pseudonym-space join to the customer
+  *     table must preserve the raw-key join's cardinality.
+  *   - `el_markov_eval` — top-1 next-event accuracy of the bigram
+  *     transition model (el_markov_transitions' model) on a held-out
+  *     20% of transitions (next event_id ≡ 0 mod 5 — a deterministic,
+  *     leakage-free split: train counts exclude exactly the predicted
+  *     transitions).
+  */
+object PipelineQueries2 {
+
+  /** The ta_langid classifier definition — the calibration measures THAT
+    * classifier, so the vocabulary is shared, not copied. */
+  private val markers: Seq[(String, Seq[String])] = TextQueries.markers
+
+  val defs: Map[String, Q] = Map(
+
+    // Reliability diagram: bin = vote-share decile (integer division on
+    // the marker counts), per bin the doc count, correct count, and the
+    // 1e6-quantized confidence sum (Σ sc_best·1e6 div sc_total — exact
+    // integers both engines; ECE = Σ|acc−conf|·n/N is one downstream
+    // fold over ≤10 rows). Docs with zero marker hits carry conf 0 and
+    // the tie-order prediction — kept, not dropped (they're the
+    // classifier's real behavior on marker-free text). Scale: one scan,
+    // marker filters per row, map-side-combined groupBy on ≤10 bins.
+    "ta_calibration" -> Q({
+      val scores = markers.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text,' '), t -> t IN ($inList))) AS sc_$l"
+      }.mkString(", ")
+      val langs = markers.map(_._1)
+      val argmax = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      val best = langs.map(l => s"sc_$l").reduceLeft((a, b) => s"greatest($a, $b)")
+      val tot  = langs.map(l => s"sc_$l").mkString(" + ")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+         |p AS (
+         |  SELECT lang,
+         |         CASE $argmax ELSE '${langs.last}' END AS predicted,
+         |         $best AS sc_best, $tot AS sc_total
+         |  FROM scored),
+         |b AS (
+         |  SELECT CAST(CASE WHEN sc_total = 0 THEN 0
+         |                   ELSE least((sc_best * 10) // sc_total, 9) END AS BIGINT) AS bin,
+         |         CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok,
+         |         CASE WHEN sc_total = 0 THEN 0
+         |              ELSE (sc_best * 1000000) // sc_total END AS conf_q
+         |  FROM p)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |       CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |       CAST(SUM(conf_q) AS BIGINT) AS conf_q_sum
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    }) { (s, d) =>
+      val langs = markers.map(_._1)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                split(col("text"), " ").as("toks"))
+        .select(Seq(col("doc_id"), col("lang")) ++
+          markers.map { case (l, ws) =>
+            size(filter(col("toks"), t => t.isin(ws.map(x => x: Any): _*)))
+              .cast("long").as(s"sc_$l") }: _*)
+      val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+        val geAll = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+      }
+      val best = langs.map(l => col(s"sc_$l")).reduceLeft((a, b) => greatest(a, b))
+      val tot  = langs.map(l => col(s"sc_$l")).reduce(_ + _)
+      scored
+        .withColumn("predicted", predicted)
+        .withColumn("sc_best", best).withColumn("sc_total", tot)
+        .select(
+          // div, not /: Spark's / on longs is DOUBLE division; DuckDB's
+          // // is floor division — identical for these nonnegative ints
+          when(col("sc_total") === 0, lit(0L))
+            .otherwise(least(expr("sc_best * 10 div sc_total"), lit(9L)))
+            .cast("long").as("bin"),
+          when(col("predicted") === col("lang"), 1L).otherwise(0L).as("ok"),
+          when(col("sc_total") === 0, lit(0L))
+            .otherwise(expr("sc_best * 1000000 div sc_total")).as("conf_q"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("ok").cast("long").as("n_correct"),
+             sum("conf_q").cast("long").as("conf_q_sum"))
+        .orderBy("bin")
+    },
+
+    // Consistent pseudonymization: pseudo(uid) = sha256('graft:' || uid).
+    // Deterministic ⇒ the same user tokenizes identically everywhere, so
+    // joins survive de-identification; the query SHOWS that: per leading-
+    // hex bucket of the pseudonym space (a uniformity read on the
+    // tokenizer too), distinct users == distinct pseudonyms (injective on
+    // this domain — a collision would surface as nd_pseudo < nd_users),
+    // and events join customer ON PSEUDONYM with the cardinality the raw
+    // key join gives. Scale: sha256 is per-row codegen'd; the join stays
+    // key-partitioned (the pseudonym inherits the key's distribution —
+    // better, it UNIFORMIZES a skewed keyspace).
+    "pr_pseudonymize" -> Q(
+      """WITH ev AS (
+        |  SELECT sha256('graft:' || CAST(user_id AS VARCHAR)) AS pseudo, user_id
+        |  FROM events),
+        |cust AS (
+        |  SELECT DISTINCT sha256('graft:' || CAST(c_custkey AS VARCHAR)) AS pseudo
+        |  FROM customer)
+        |SELECT substr(ev.pseudo, 1, 1) AS bucket,
+        |       COUNT(*) AS n_events,
+        |       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS nd_users,
+        |       CAST(COUNT(DISTINCT ev.pseudo) AS BIGINT) AS nd_pseudo,
+        |       CAST(COUNT(DISTINCT CASE WHEN cust.pseudo IS NOT NULL
+        |                                THEN ev.pseudo END) AS BIGINT) AS nd_matched
+        |FROM ev LEFT JOIN cust ON ev.pseudo = cust.pseudo
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(sha2(concat(lit("graft:"), col("user_id").cast("string")), 256)
+                  .as("pseudo"),
+                col("user_id"))
+      val cust = Tables.customer(s, d)
+        .select(sha2(concat(lit("graft:"), col("c_custkey").cast("string")), 256)
+                  .as("cpseudo")).distinct()
+      ev.join(broadcast(cust), col("pseudo") === col("cpseudo"), "left")
+        .groupBy(substring(col("pseudo"), 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("nd_users"),
+             countDistinct(col("pseudo")).as("nd_pseudo"),
+             countDistinct(when(col("cpseudo").isNotNull, col("pseudo"))).as("nd_matched"))
+        .orderBy("bucket")
+    },
+
+    // Bigram next-event model, evaluated: train on transitions whose NEXT
+    // event_id ≢ 0 (mod 5), predict argmax(next | cur) (count desc, name
+    // asc tie-break), score top-1 accuracy on the held-out 20%. The split
+    // keys on the PREDICTED event — train never sees a holdout target, so
+    // the accuracy is leakage-free. Scale: sessions sort within user
+    // partitions (the sessionize shuffle), the model is ≤|types|² rows
+    // broadcast back, holdout scoring is one map-side-combined aggregate.
+    "el_markov_eval" -> Q(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_id
+        |  FROM events),
+        |tr AS (SELECT event_type AS cur, nxt, nxt_id FROM seq WHERE nxt IS NOT NULL),
+        |train AS (SELECT cur, nxt, COUNT(*) AS c FROM tr WHERE nxt_id % 5 <> 0 GROUP BY 1,2),
+        |pred AS (
+        |  SELECT cur, nxt AS pred FROM (
+        |    SELECT cur, nxt, row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
+        |    FROM train) WHERE rk = 1),
+        |hold AS (SELECT cur, nxt FROM tr WHERE nxt_id % 5 = 0)
+        |SELECT h.cur AS event_type, COUNT(*) AS n_holdout,
+        |       CAST(SUM(CASE WHEN h.nxt = p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM hold h JOIN pred p ON h.cur = p.cur
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("nxt_id", lead(col("event_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"), col("nxt_id"))
+      val train = seq.filter(col("nxt_id") % 5 =!= 0)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val pred = train
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cur").orderBy(col("c").desc, col("nxt"))))
+        .filter(col("rk") === 1)
+        .select(col("cur"), col("nxt").as("pred"))
+      seq.filter(col("nxt_id") % 5 === 0)
+        .join(broadcast(pred), Seq("cur"))
+        .groupBy(col("cur").as("event_type"))
+        .agg(count(lit(1)).as("n_holdout"),
+             sum(when(col("nxt") === col("pred"), 1).otherwise(0))
+               .cast("long").as("n_correct"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -18,7 +18,7 @@ object TextQueries {
     * subsets of it — the OPERATOR (argmax of marker hits with a
     * deterministic preference order) is what's under test.
     */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast", "slow"),
     "es" -> Seq("data", "table", "column"),
     "de" -> Seq("stream", "batch", "window"),

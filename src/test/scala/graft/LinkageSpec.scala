@@ -1,93 +1,110 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
 
-/** The three round-6 linkage/curation reports: blocked ER on parts, the
-  * cross-source near-dup matrix, and the per-label embedding drop list —
-  * each pinned against a brute-force recompute at sf0.001. */
+/** The round-8 linkage kernels: `graft_fold_text` (Unicode fold) and
+  * `graft_jaro_winkler` (Jaro–Winkler similarity). Scalar semantics are
+  * pinned against values probed from DuckDB 1.0 (the oracle engine) so a
+  * drift in either implementation surfaces here before the correctness
+  * gate; the DataFrame paths exercise whole-stage codegen, and a
+  * codegen-disabled pass pins interpreted eval to the same results. */
 class LinkageSpec extends SparkSpec {
 
-  test("q59_similar_parts: pair counts match brute-force within-block enumeration") {
-    val got = SparkEntry.queries("q59_similar_parts")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
+  import spark.implicits._
 
-    val parts = Tables.part(spark, sf)
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
-              split(col("p_name"), " ").getItem(1).as("noun"),
-              functions.Portable.cents(col("p_retailprice")).as("cents"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
-                 r.getString(4), r.getLong(5)))
-
-    val byBlock = parts.groupBy(p => (p._5, p._3, p._4))
-    val capped = byBlock.filter(_._2.length > 100).keySet
-    val brutePairs = byBlock.filter(_._2.length <= 100).toSeq.flatMap { case (_, psArr) =>
-      val ps = psArr.toSeq
-      for {
-        a <- ps; b <- ps
-        if a._2 < b._2 || (a._2 == b._2 && a._1 < b._1) // canonical order
-        if a._2 != b._2                                  // different brand
-      } yield ((a._5, a._3), math.abs(a._6 - b._6))
+  /** Run `body` with whole-stage codegen and expression codegen off. */
+  private def noCodegen[T](body: => T): T = {
+    val keys = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "false"); spark.conf.set(keys(1), "NO_CODEGEN")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
-    val bruteByGroup = brutePairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-
-    got.foreach { case ((noun, typ), (nBlocks, nCapped, nPairs)) =>
-      val blockSizes = byBlock.keys.filter(k => k._1 == noun && k._2 == typ)
-      assert(nBlocks === blockSizes.size.toLong, s"blocks for ($noun,$typ)")
-      assert(nCapped === capped.count(k => k._1 == noun && k._2 == typ).toLong)
-      assert(nPairs === bruteByGroup.getOrElse((noun, typ), Seq.empty).size.toLong,
-        s"pairs for ($noun,$typ)")
-    }
-    // total accounting: every brute pair is claimed by exactly one group
-    assert(got.values.map(_._3).sum === brutePairs.size.toLong)
   }
 
-  test("dd_cross_source_dup: the matrix is exactly the >= 0.5 slice of verified pairs") {
-    val matrix = SparkEntry.queries("dd_cross_source_dup")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  // ---- graft_fold_text ---------------------------------------------------
 
-    // independent route: the declared verified-jaccard pairs + source dim
-    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val verified = SparkEntry.queries("dd_ngram_jaccard")(spark, sf).collect()
-      .filter(_.getDouble(2) >= 0.5)
-      .map { r =>
-        val sa: String = src(r.getLong(0))
-        val sb: String = src(r.getLong(1))
-        if (sa <= sb) (sa, sb) else (sb, sa)
-      }
-    val want = verified.groupBy(identity).view.mapValues(_.length.toLong).toMap
-    assert(matrix === want)
-    // ordering invariant: source_a <= source_b on every row
-    matrix.keys.foreach { case (a, b) => assert(a <= b) }
+  test("fold: NFC/NFD accents strip to base letters, case folds") {
+    graft.functions.FoldText.register(spark)
+    // é both precomposed (U+00E9) and decomposed (e + U+0301) fold alike
+    val rows = Seq("École", "École", "ECOLE", "à ü", "plain ASCII")
+      .toDF("s").select(call_function("graft_fold_text", col("s")).as("f"))
+      .collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("ecole", "ecole", "ecole", "a u", "plain ascii"))
   }
 
-  test("ss_outlier_docs: bottom-3 per label matches a brute recompute") {
-    val got = SparkEntry.queries("ss_outlier_docs")(spark, sf).collect()
+  test("fold: output is NFC (composed) for sequences that keep their marks") {
+    graft.functions.FoldText.register(spark)
+    // ñ decomposes to n + combining tilde (U+0303, Mn) — the fold strips
+    // it like any accent; verify the ASCII landing and idempotence
+    val out = Seq("Mañana", "mañana").toDF("s")
+      .select(call_function("graft_fold_text", col("s")).as("f"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("manana", "manana"))
+  }
 
-    val e = Tables.embeddings(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+  test("fold: interpreted eval matches codegen") {
+    graft.functions.FoldText.register(spark)
+    val data = Seq("École", "Straße", "plain", "éàü").toDF("s")
+    val cg = data.select(call_function("graft_fold_text", col("s"))).collect().map(_.getString(0))
+    val interp = noCodegen {
+      data.select(call_function("graft_fold_text", col("s"))).collect().map(_.getString(0))
     }
-    val byLabel = e.groupBy(_._3)
-    got.groupBy(_.getInt(0)).foreach { case (label, rows) =>
-      val members = byLabel(label)
-      val ref = members.minBy(_._1)
-      val scored = members.filter(_._1 != ref._1)
-        .map(m => (m._1, cos(m._2, ref._2)))
-        .sortBy(m => (m._2, m._1))
-      val want = scored.take(3).map(_._1).toSeq
-      assert(rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq === want, s"label $label")
-      // margin is vs the label mean and non-negative only below the mean;
-      // the bottom-3 must sit at or below every other member's cosine
-      val worstKept = scored.drop(3).headOption.map(_._2)
-      worstKept.foreach { w =>
-        rows.foreach(r => assert(r.getDouble(3) <= w + 1e-12))
-      }
+    assert(interp.toSeq === cg.toSeq)
+  }
+
+  // ---- graft_jaro_winkler ------------------------------------------------
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerSim.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("jaro-winkler: classic values match the DuckDB oracle (probed)") {
+    // each expected value probed from duckdb 1.0 jaro_winkler_similarity
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("abc", "xyz") === 0.0)
+  }
+
+  test("jaro-winkler: boost applies only above jaro 0.7 (DuckDB parity)") {
+    // jaro('aXXXX','aYYYY') = 0.4667 < 0.7 — DuckDB returns it UNBOOSTED
+    assert(math.abs(jw("aXXXX", "aYYYY") - 0.4666666666666666) < 1e-12)
+  }
+
+  test("jaro-winkler: prefix boost caps at 4 chars") {
+    // 9-char shared prefix still boosts with p=4 only: probed 0.96
+    assert(math.abs(jw("abcdefghij", "abcdefghiX") - 0.96) < 1e-12)
+  }
+
+  test("jaro-winkler: odd transposition counts truncate (DuckDB parity)") {
+    // 'abcdef'/'bcadef': 3 out-of-order matches → t = 3/2 = 1 (truncated);
+    // DuckDB probes 0.9444..., the t=1 value (t=1.5 would give 0.9166...)
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+  }
+
+  test("jaro-winkler: empties and no-match edges") {
+    assert(jw("", "") === 1.0)
+    assert(jw("a", "") === 0.0)
+    assert(jw("", "a") === 0.0)
+    assert(jw("ab", "ca") === 0.0) // window 0 at len 2: positional only
+  }
+
+  test("jaro-winkler: interpreted eval matches codegen") {
+    graft.functions.JaroWinklerSim.register(spark)
+    val data = Seq(("MARTHA", "MARHTA"), ("blue bolt", "blue gear"),
+                   ("abcdef", "bcadef")).toDF("a", "b")
+    val cg = data.select(call_function("graft_jaro_winkler", col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val interp = noCodegen {
+      data.select(call_function("graft_jaro_winkler", col("a"), col("b")))
+        .collect().map(_.getDouble(0))
     }
+    assert(interp.toSeq === cg.toSeq)
   }
 }

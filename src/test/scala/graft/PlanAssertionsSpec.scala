@@ -172,7 +172,12 @@ class PlanAssertionsSpec extends SparkSpec {
     // largest-remainder seat rank over the |sources|-row strata grid
     "ta_neyman_alloc",
     // centered 7-day MA over the dense daily grid: ≤ calendar days
-    "el_seasonal_decompose")
+    "el_seasonal_decompose",
+    // sorted-neighborhood lead window over DISTINCT p_name: input bounded
+    // by the |colors|·|nouns| name vocabulary at every SF
+    "dd_jaro_winkler",
+    // BH rank window over per-type test stats: one row per event type
+    "el_fdr_bh")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
