@@ -65,6 +65,7 @@ object SparkEntry {
     graft.queries.RelationalQueries18.defs ++
     graft.queries.RelationalQueries19.defs ++
     graft.queries.LinkageQueries.defs ++
+    graft.queries.RelationalQueries20.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

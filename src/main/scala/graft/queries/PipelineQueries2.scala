@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *     20% of transitions (next event_id ≡ 0 mod 5 — a deterministic,
   *     leakage-free split: train counts exclude exactly the predicted
   *     transitions).
+  *   - `el_uplift_segments` — per-segment A/B uplift table with a
+  *     scale-stable conversion definition (signup in the first 5
+  *     events).
+  *   - `ta_contamination_folded` — the contamination scan with both
+  *     sides canonicalized through `graft_fold_text`, pinning that the
+  *     fold defeats casing/diacritic evasion (n_raw = 0, n_folded =
+  *     ta_contamination's counts).
   */
 object PipelineQueries2 {
 
@@ -189,6 +196,134 @@ object PipelineQueries2 {
              sum(when(col("nxt") === col("pred"), 1).otherwise(0))
                .cast("long").as("n_correct"))
         .orderBy("event_type")
+    },
+
+    // Uplift table by segment: per customer region, conversion counts in
+    // both A/B arms (variant = user parity). Conversion is SCALE-STABLE
+    // by construction — "signed up within the user's first 5 events" is
+    // a fixed-length prefix, so its probability doesn't drift as events-
+    // per-user grows with SF. Only integer numerators/denominators leave
+    // the query (uplift = ct/nt − cc/nc is one downstream division).
+    // Scale: the prefix rank is a user-partitioned window (the
+    // sessionize shuffle), segments come off broadcast dims.
+    "el_uplift_segments" -> Q(
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |             MAX(CASE WHEN rn <= 5 AND event_type='signup' THEN 1 ELSE 0 END) AS converted
+        |      FROM ranked GROUP BY 1),
+        |seg AS (
+        |  SELECT u.user_id, u.user_id % 2 AS variant, r.r_name AS segment, u.converted
+        |  FROM u JOIN customer c ON u.user_id = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT segment,
+        |  CAST(SUM(CASE WHEN variant=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |  CAST(SUM(CASE WHEN variant=1 THEN converted ELSE 0 END) AS BIGINT) AS conv_treat,
+        |  CAST(SUM(CASE WHEN variant=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |  CAST(SUM(CASE WHEN variant=0 THEN converted ELSE 0 END) AS BIGINT) AS conv_ctrl
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(max(when(col("rn") <= 5 && col("event_type") === "signup", 1)
+                   .otherwise(0)).as("converted"))
+      val segDim = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("segment"))
+      u.join(segDim, col("user_id") === col("c_custkey"))
+        .withColumn("variant", col("user_id") % 2)
+        .groupBy("segment")
+        .agg(sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("n_treat"),
+             sum(when(col("variant") === 1, col("converted")).otherwise(0)).cast("long").as("conv_treat"),
+             sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("n_ctrl"),
+             sum(when(col("variant") === 0, col("converted")).otherwise(0)).cast("long").as("conv_ctrl"))
+        .orderBy("segment")
+    },
+
+    // Contamination scan AFTER canonicalization: the benchmark split's
+    // text is DECORATED (uppercased, E/A/U accented — the casing/
+    // diacritic evasion a raw exact-gram scan misses), then both sides
+    // fold through graft_fold_text before the 6-gram blocking join.
+    // n_raw pins the evasion (decorated grams match nothing raw);
+    // n_folded must equal ta_contamination's n_contaminated exactly,
+    // because folding the decorated benchmark text restores the original
+    // bytes and folding the (already lower-ASCII) corpus is identity.
+    // Scale shape identical to ta_contamination: gram equi-join, never
+    // benchmark × corpus.
+    "ta_contamination_folded" -> Q(
+      s"""WITH bench AS (
+         |  SELECT doc_id,
+         |         translate(upper(text), 'EAU', 'ÉÀÜ') AS dec_text,
+         |         lower(strip_accents(translate(upper(text), 'EAU', 'ÉÀÜ'))) AS fold_text
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(string_split(fold_text,' ')) >= 6
+         |      THEN [array_to_string((string_split(fold_text,' '))[i:i+5],' ')
+         |            for i in range(1, len(string_split(fold_text,' '))-4)]
+         |      ELSE [] END)) AS g
+         |  FROM bench),
+         |bgraw AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(string_split(dec_text,' ')) >= 6
+         |      THEN [array_to_string((string_split(dec_text,' '))[i:i+5],' ')
+         |            for i in range(1, len(string_split(dec_text,' '))-4)]
+         |      ELSE [] END)) AS g
+         |  FROM bench),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(string_split(text,' ')) >= 6
+         |      THEN [array_to_string((string_split(text,' '))[i:i+5],' ')
+         |            for i in range(1, len(string_split(text,' '))-4)]
+         |      ELSE [] END)) AS g
+         |  FROM corpus),
+         |fold_hits AS (
+         |  SELECT b.doc_id AS bid, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_folded
+         |  FROM bg b JOIN cg c ON b.g = c.g GROUP BY 1),
+         |raw_hits AS (
+         |  SELECT b.doc_id AS bid, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_raw
+         |  FROM bgraw b JOIN cg c ON b.g = c.g GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.n_raw, 0) AS n_raw,
+         |       COALESCE(f.n_folded, 0) AS n_folded
+         |FROM documents d
+         |LEFT JOIN raw_hits r ON d.doc_id = r.bid
+         |LEFT JOIN fold_hits f ON d.doc_id = f.bid
+         |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.FoldText.register(s)
+      val docs = Tables.documents(s, d)
+      def gramsOf(textCol: org.apache.spark.sql.Column) = {
+        val toks = split(textCol, " ")
+        explode(when(size(toks) >= 6,
+          transform(sequence(lit(0), size(toks) - 6), i =>
+            concat_ws(" ", slice(toks, i + 1, lit(6)))))
+          .otherwise(array().cast("array<string>")))
+      }
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+                translate(upper(col("text")), "EAU", "ÉÀÜ").as("dec_text"))
+        .withColumn("fold_text", call_function("graft_fold_text", col("dec_text")))
+      val bg = bench.select(col("doc_id").as("bid"), gramsOf(col("fold_text")).as("g")).distinct()
+      val bgraw = bench.select(col("doc_id").as("bid"), gramsOf(col("dec_text")).as("g")).distinct()
+      val cg = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("cid"), gramsOf(col("text")).as("g")).distinct()
+      val foldHits = bg.join(cg, "g")
+        .groupBy("bid").agg(countDistinct("cid").as("n_folded"))
+      val rawHits = bgraw.join(cg, "g")
+        .groupBy("bid").agg(countDistinct("cid").as("n_raw"))
+      docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+        .join(rawHits, col("doc_id") === rawHits("bid"), "left_outer")
+        .join(foldHits, col("doc_id") === foldHits("bid"), "left_outer")
+        .select(col("doc_id"),
+                coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+                coalesce(col("n_folded"), lit(0L)).as("n_folded"))
+        .orderBy("doc_id")
     }
   )
 }
