@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *     per-event-type independence tests an experimentation pipeline
   *     runs in batch, using the EXACT chi²(df=2) tail p = exp(−s/2)
   *     (3×2 contingency ⇒ df 2 — the one chi-square family whose
-  *     survival function needs no erf/Γ, which neither engine ships).
+  *     survival function needs no erf/Γ, which neither engine ships);
+  *   - `dd_fs_weights` — the Fellegi–Sunter agreement table over multi-
+  *     pass sorted-neighborhood candidates (the weight-estimation step
+  *     between blocking and scoring).
   */
 object LinkageQueries {
 
@@ -169,6 +172,74 @@ object LinkageQueries {
         .select(col("event_type"), col("i").cast("long").as("p_rank"),
                 (col("i") <= col("k")).as("rejected"))
         .orderBy("p_rank")
+    },
+
+    // Fellegi–Sunter agreement table — the WEIGHT-ESTIMATION step that
+    // turns blocked candidate pairs into match/unmatch field statistics
+    // (m = P(field agrees | match), u = P(agrees | unmatch); weight =
+    // log2(m/u) — one downstream division over these integers). Blocking
+    // is the classic MULTI-PASS sorted neighborhood: pass A sorts by
+    // name (color-blocked neighbors), pass B by REVERSED name (noun-
+    // blocked neighbors — without it the truth stratum is empty, the
+    // single-pass degeneracy this query's round-8 prototyping caught);
+    // truth = same noun. Fields deliberately span the weight spectrum:
+    // f_sfx3 (suffix agreement) is strong evidence FOR a match, f_len
+    // weak, and f_color / f_jw carry NEGATIVE weights on this vocabulary
+    // — prefix-heavy similarity agrees more on color-blocked UNMATCHES
+    // than on noun matches, exactly the calibration an FS model exists
+    // to learn. Scale: both windows run over the vocabulary-bounded
+    // DISTINCT name domain (allowlisted); everything after is a ≤2·|V|
+    // pair set.
+    "dd_fs_weights" -> Q(
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |oa AS (SELECT p_name, lead(p_name,1) OVER (ORDER BY p_name) AS n1 FROM n),
+        |ob AS (SELECT p_name, lead(p_name,1) OVER (ORDER BY reverse(p_name)) AS n1 FROM n),
+        |p0 AS (SELECT p_name AS a, n1 AS b FROM oa WHERE n1 IS NOT NULL
+        |       UNION SELECT LEAST(p_name,n1), GREATEST(p_name,n1) FROM ob WHERE n1 IS NOT NULL),
+        |f AS (SELECT
+        |        CASE WHEN string_split(a,' ')[2] = string_split(b,' ')[2] THEN 1 ELSE 0 END AS is_match,
+        |        CASE WHEN string_split(a,' ')[1] = string_split(b,' ')[1] THEN 1 ELSE 0 END AS f_color,
+        |        CASE WHEN jaro_winkler_similarity(a,b) > 0.8412345 THEN 1 ELSE 0 END AS f_jw,
+        |        CASE WHEN length(a) = length(b) THEN 1 ELSE 0 END AS f_len,
+        |        CASE WHEN right(a,3) = right(b,3) THEN 1 ELSE 0 END AS f_sfx3
+        |      FROM p0),
+        |u AS (
+        |  SELECT 'f_color' AS field, is_match, SUM(f_color) AS agree, COUNT(*) AS n FROM f GROUP BY 1,2
+        |  UNION ALL SELECT 'f_jw', is_match, SUM(f_jw), COUNT(*) FROM f GROUP BY 1,2
+        |  UNION ALL SELECT 'f_len', is_match, SUM(f_len), COUNT(*) FROM f GROUP BY 1,2
+        |  UNION ALL SELECT 'f_sfx3', is_match, SUM(f_sfx3), COUNT(*) FROM f GROUP BY 1,2)
+        |SELECT field, CAST(is_match AS BIGINT) AS is_match,
+        |       CAST(agree AS BIGINT) AS agree_n, CAST(n AS BIGINT) AS pairs_n
+        |FROM u ORDER BY field, is_match""".stripMargin) { (s, d) =>
+      graft.functions.JaroWinklerSim.register(s)
+      val names = Tables.part(s, d).select("p_name").distinct()
+      val wa = Window.orderBy("p_name")
+      val wb = Window.orderBy(reverse(col("p_name")))
+      val passA = names.withColumn("n1", lead(col("p_name"), 1).over(wa))
+        .filter(col("n1").isNotNull)
+        .select(col("p_name").as("a"), col("n1").as("b"))
+      val passB = names.withColumn("n1", lead(col("p_name"), 1).over(wb))
+        .filter(col("n1").isNotNull)
+        .select(least(col("p_name"), col("n1")).as("a"),
+                greatest(col("p_name"), col("n1")).as("b"))
+      val pairs = passA.union(passB).distinct()
+      val f = pairs.select(
+        when(split(col("a"), " ")(1) === split(col("b"), " ")(1), 1).otherwise(0).as("f_noun"),
+        when(split(col("a"), " ")(0) === split(col("b"), " ")(0), 1).otherwise(0).as("f_color"),
+        when(call_function("graft_jaro_winkler", col("a"), col("b")) > 0.8412345, 1)
+          .otherwise(0).as("f_jw"),
+        when(length(col("a")) === length(col("b")), 1).otherwise(0).as("f_len"),
+        when(substring(col("a"), -3, 3) === substring(col("b"), -3, 3), 1)
+          .otherwise(0).as("f_sfx3"))
+      val strata = Seq("f_color" -> col("f_color"), "f_jw" -> col("f_jw"),
+                       "f_len" -> col("f_len"), "f_sfx3" -> col("f_sfx3"))
+        .map { case (nm, c) =>
+          f.groupBy(col("f_noun").as("is_match"))
+            .agg(sum(c).cast("long").as("agree_n"), count(lit(1)).as("pairs_n"))
+            .select(lit(nm).as("field"), col("is_match").cast("long").as("is_match"),
+                    col("agree_n"), col("pairs_n"))
+        }
+      strata.reduce(_ unionAll _).orderBy("field", "is_match")
     }
   )
 }

@@ -324,6 +324,53 @@ object PipelineQueries2 {
                 coalesce(col("n_raw"), lit(0L)).as("n_raw"),
                 coalesce(col("n_folded"), lit(0L)).as("n_folded"))
         .orderBy("doc_id")
+    },
+
+    // Borda rank fusion of quality signals — the ensemble ranker a data-
+    // curation pipeline uses when no single quality score is trusted:
+    // within each source, rank docs by type diversity (desc), length
+    // (desc), and stopword count (asc), Borda-sum the three ranks, and
+    // surface each source's top-3. Ranks are row_number with a doc_id
+    // tiebreak — fully deterministic, all-integer. Scale: windows are
+    // PARTITIONED by source (parallel), never global; one scan feeds all
+    // three rankings.
+    "ta_quality_borda" -> Q(
+      """WITH sig AS (
+        |  SELECT source, doc_id,
+        |         len(list_distinct(string_split(text,' '))) AS n_types,
+        |         len(string_split(text,' ')) AS n_toks,
+        |         len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS n_stop
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_types DESC, doc_id) AS r1,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id) AS r2,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_stop ASC, doc_id) AS r3
+        |  FROM sig),
+        |b AS (SELECT source, doc_id, r1+r2+r3 AS borda,
+        |             row_number() OVER (PARTITION BY source ORDER BY r1+r2+r3, doc_id) AS rnk
+        |      FROM rk)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(borda AS BIGINT) AS borda
+        |FROM b WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("source"), col("doc_id"),
+                size(array_distinct(col("toks"))).as("n_types"),
+                size(col("toks")).as("n_toks"),
+                size(filter(col("toks"), t => t.isin("the", "a"))).as("n_stop"))
+      def rk(order: org.apache.spark.sql.Column*) =
+        row_number().over(Window.partitionBy("source").orderBy(order: _*))
+      val b = sig
+        .withColumn("r1", rk(col("n_types").desc, col("doc_id")))
+        .withColumn("r2", rk(col("n_toks").desc, col("doc_id")))
+        .withColumn("r3", rk(col("n_stop").asc, col("doc_id")))
+        .withColumn("borda", col("r1") + col("r2") + col("r3"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("borda"), col("doc_id"))))
+      b.filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk").cast("long").as("rnk"),
+                col("doc_id"), col("borda").cast("long").as("borda"))
+        .orderBy("source", "rnk")
     }
   )
 }

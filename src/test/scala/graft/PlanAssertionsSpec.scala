@@ -177,7 +177,10 @@ class PlanAssertionsSpec extends SparkSpec {
     // by the |colors|·|nouns| name vocabulary at every SF
     "dd_jaro_winkler",
     // BH rank window over per-type test stats: one row per event type
-    "el_fdr_bh")
+    "el_fdr_bh",
+    // two-pass sorted-neighborhood leads over the vocab-bounded DISTINCT
+    // name domain (same rationale as dd_jaro_winkler)
+    "dd_fs_weights")
 
   /** One shared plan build per query. The window sweep inspects
     * `sparkPlan` — the physical plan BEFORE the AQE wrapper, because
