@@ -66,7 +66,11 @@ object JaroWinklerSim {
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
     val a = ua.toString; val b = ub.toString
     val la = a.length; val lb = b.length
-    if (la == 0 && lb == 0) return 1.0
+    // Both-empty returns 0.0 to match DuckDB's jaro_winkler_similarity
+    // ('','') = 0.0 (probed on DuckDB 1.0) — the parity contract above
+    // covers the empty edge too, even though the classic definition
+    // would call two empty strings identical (latent here: p_name
+    // inputs are never empty, so the oracle gate can't see the edge).
     if (la == 0 || lb == 0) return 0.0
     if (a == b) return 1.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)

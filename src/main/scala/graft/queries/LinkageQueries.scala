@@ -108,8 +108,16 @@ object LinkageQueries {
     // corpus: BH must reject the canary at rank 1 and nothing else —
     // the A/A-with-injected-signal design el_ab_srm uses. df = 2 makes
     // the p-value closed-form (p = exp(−s/2)); output is ranks and
-    // decisions only (integers/booleans — the stat's engine-local sum
-    // order never reaches the hash). Scale shape: counts aggregate
+    // decisions only (integers/booleans). The p-value is QUANTIZED to a
+    // fixed integer grid before ranking and thresholding — pq =
+    // floor(p·10⁹), rank ties broken by event_type, and the BH boundary
+    // evaluated as the exact integer cross-multiplication pq·m ≤ i·10⁸
+    // (≡ pq/10⁹ ≤ i·0.10/m) — so every comparison that reaches the hash
+    // is integer-on-integer. Residual cross-engine float risk is only
+    // floor() itself: the engines' independently summed s must land p·10⁹
+    // on opposite sides of a grid LINE (an ~ulp/10⁹-measure event), not
+    // merely an ulp apart — the ta_calibration conf_q pattern, not a
+    // hard rational-gap guarantee. Scale shape: counts aggregate
     // map-side to ≤ |types|·6 cells; everything after is on the bounded
     // type domain (the rank window is allowlisted bounded-input).
     "el_fdr_bh" -> Q(
@@ -133,10 +141,11 @@ object LinkageQueries {
         |       JOIN ct USING (event_type, bkt)
         |  GROUP BY 1),
         |ranked AS (
-        |  SELECT event_type, exp(-s/2) AS p,
-        |         row_number() OVER (ORDER BY exp(-s/2), event_type) AS i,
+        |  SELECT event_type, CAST(floor(exp(-s/2) * 1000000000) AS BIGINT) AS pq,
+        |         row_number() OVER (
+        |           ORDER BY CAST(floor(exp(-s/2) * 1000000000) AS BIGINT), event_type) AS i,
         |         COUNT(*) OVER () AS m FROM stat),
-        |kstar AS (SELECT COALESCE(MAX(CASE WHEN p <= i*0.10/m THEN i END),0) AS k
+        |kstar AS (SELECT COALESCE(MAX(CASE WHEN pq * m <= i * 100000000 THEN i END),0) AS k
         |          FROM ranked)
         |SELECT event_type, CAST(i AS BIGINT) AS p_rank, (i <= k) AS rejected
         |FROM ranked, kstar ORDER BY p_rank""".stripMargin) { (s, d) =>
@@ -162,12 +171,14 @@ object LinkageQueries {
         .agg(sum((col("o") - e) * (col("o") - e) / e).as("s"))
       val m = stat.agg(count(lit(1)).as("m"))
       val ranked = stat
-        .select(col("event_type"), exp(-col("s") / 2).as("p"))
+        .select(col("event_type"),
+                floor(exp(-col("s") / 2) * lit(1000000000L)).as("pq"))
         .withColumn("i", row_number().over(
-          Window.orderBy(col("p"), col("event_type"))))
+          Window.orderBy(col("pq"), col("event_type"))))
         .crossJoin(broadcast(m))
       val kstar = ranked.agg(coalesce(
-        max(when(col("p") <= col("i") * 0.10 / col("m"), col("i"))), lit(0)).as("k"))
+        max(when(col("pq") * col("m") <= col("i") * lit(100000000L), col("i"))),
+        lit(0)).as("k"))
       ranked.crossJoin(broadcast(kstar))
         .select(col("event_type"), col("i").cast("long").as("p_rank"),
                 (col("i") <= col("k")).as("rejected"))

@@ -117,9 +117,13 @@ object PipelineQueries2 {
     // tokenizer too), distinct users == distinct pseudonyms (injective on
     // this domain — a collision would surface as nd_pseudo < nd_users),
     // and events join customer ON PSEUDONYM with the cardinality the raw
-    // key join gives. Scale: sha256 is per-row codegen'd; the join stays
-    // key-partitioned (the pseudonym inherits the key's distribution —
-    // better, it UNIFORMIZES a skewed keyspace).
+    // key join gives. Scale: sha256 is per-row codegen'd; the join is
+    // left UNHINTED — the distinct sha'd customer keyset grows linearly
+    // with |customer| (~100 MB of 64-char hashes at SF10+), so a forced
+    // broadcast would ship the whole dimension to every task; shuffling
+    // on the pseudonym is the scale-safe default (it even UNIFORMIZES a
+    // skewed raw keyspace), and AQE still elects a broadcast at the SFs
+    // where the keyset is actually small.
     "pr_pseudonymize" -> Q(
       """WITH ev AS (
         |  SELECT sha256('graft:' || CAST(user_id AS VARCHAR)) AS pseudo, user_id
@@ -142,7 +146,7 @@ object PipelineQueries2 {
       val cust = Tables.customer(s, d)
         .select(sha2(concat(lit("graft:"), col("c_custkey").cast("string")), 256)
                   .as("cpseudo")).distinct()
-      ev.join(broadcast(cust), col("pseudo") === col("cpseudo"), "left")
+      ev.join(cust, col("pseudo") === col("cpseudo"), "left")
         .groupBy(substring(col("pseudo"), 1, 1).as("bucket"))
         .agg(count(lit(1)).as("n_events"),
              countDistinct(col("user_id")).as("nd_users"),

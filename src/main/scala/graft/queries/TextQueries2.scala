@@ -143,23 +143,24 @@ object TextQueries2 {
         |SELECT unit, COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs
         |FROM units GROUP BY unit ORDER BY n_occurrences DESC, unit""".stripMargin) { (s, d) =>
-      // empty-token guard: three-arg sequence(1, 0, 2) THROWS in Spark
-      // while the oracle's range(1, 1, 2) is just empty
-      val units = flatten(transform(col("toks"), tok =>
-        when(length(tok) > 0,
-          transform(sequence(lit(1), length(tok), lit(2)),
-            p => tok.substr(p, lit(2))))
-          .otherwise(array().cast("array<string>"))))
-      // two-level aggregate instead of count+countDistinct in one agg:
-      // the single-agg form plans an Expand that doubles every exploded
-      // unit row before the shuffle; pre-aggregating per (unit, doc_id)
-      // gets map-side combine on the dominant duplication instead
-      // (measured 25.7 s -> linear at the sf10 decade)
+      // round 9: the segmentation AND the per-document pre-count are ONE
+      // codegen'd kernel pass (functions/SubwordUnits.scala) instead of
+      // the interpreted flatten(transform(transform(sequence(...)))) HOF
+      // stack + a (unit, doc_id) pre-aggregation shuffle. The kernel
+      // emits one (unit, count) entry per DISTINCT unit of the doc
+      // (SubwordUnitsSpec pins kernel ≡ HOF incl. empty-token and
+      // code-point edges), so the round-8 first aggregation level —
+      // whose only job was this dedup — disappears along with its
+      // full-width shuffle; the single remaining shuffle is the final
+      // unit-keyed rollup, map-side combined (its input is already
+      // distinct-per-doc, the minimum any exact n_docs count must ship).
+      // Measured: sf10 13.9 s (r8 HOF) → 8.7 s (units kernel) → 1.8 s
+      // (fused counts), with the sf1→sf10 ratio down 5.8× → 2.9×;
+      // detail in SCALING.md round 9.
+      graft.functions.SubwordCounts.register(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(units).as("unit"))
-        .groupBy("unit", "doc_id")
-        .agg(count(lit(1)).as("c"))
+        .select(explode(call_function("graft_subword_counts", col("text"))).as("u"))
+        .select(col("u.unit").as("unit"), col("u.c").as("c"))
         .groupBy("unit")
         .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("unit"))

@@ -201,6 +201,11 @@ class CascadeSpec extends SparkSpec {
     c.commitOffset("g", "t", 5)
     // retention expires offsets 0..19 while the group is away
     Topic.retain(spark, s"$root/t", maxEvents = Some(10L))
+    // round 9: the maintenance-epoch guard fences the group first — the
+    // reset is behind the deliberate accept (which reports the 1 moved
+    // position), not silent
+    intercept[IllegalStateException] { c.poll("g", "t", 4) }
+    assert(c.acceptMaintenance("g", "t") === 1L)
     // committed 5 now points below the earliest retained offset (20):
     // poll must resume from the earliest survivor, not return empty
     val got = c.poll("g", "t", 4).collect().map(_.getAs[Long]("offset")).toSeq

@@ -140,4 +140,81 @@ class MaintenanceEpochSpec extends SparkSpec {
     Topic.mirror(spark, src, mir2)
     assert(Topic.mirrorDivergence(spark, src, mir2) === 0L)
   }
+
+  // ---- consumer groups (round-9 extension of the contract) ---------------
+
+  test("consumer group: commit → compact → poll fails loudly; accept re-pins") {
+    val root = tmpDir()
+    val c = new Cascade(spark, root)
+    c.publish("t", events(100))
+    c.commitOffset("g", "t", 10L) // pins epoch 0 beside the offsets file
+
+    Topic.compact(spark, s"$root/t", keyCol = "user_id")
+
+    // the dangle the guard exists for: rows under the committed position
+    // were rewritten; poll and commit must refuse, not return wrong rows
+    val e1 = intercept[IllegalStateException] { c.poll("g", "t", 5) }
+    assert(e1.getMessage.contains("underwent maintenance"))
+    val e2 = intercept[IllegalStateException] { c.commitOffset("g", "t", 20L) }
+    assert(e2.getMessage.contains("underwent maintenance"))
+    val e3 = intercept[IllegalStateException] { c.readStreamGroup("g", "t") }
+    assert(e3.getMessage.contains("underwent maintenance"))
+
+    // deliberate path 1: accept — re-pins keeping the ordinals, reporting
+    // how many positions now sit below the earliest survivor (compaction
+    // preserves offsets but may drop every row under the position when
+    // they were all superseded by later duplicates — computed, not assumed)
+    val earliest = spark.read.parquet(s"$root/t")
+      .agg(min(col("offset"))).head().getLong(0)
+    val expectMoved = if (earliest > 10L) 1L else 0L
+    assert(c.acceptMaintenance("g", "t") === expectMoved)
+    assert(c.poll("g", "t", 5).count() > 0L)
+    c.commitOffset("g", "t", 20L) // guard passes after re-pin
+  }
+
+  test("consumer group: retain under a commit — accept reports moved positions") {
+    val root = tmpDir()
+    val c = new Cascade(spark, root)
+    c.publish("t", events(100))
+    c.commitOffset("g", "t", 5L)
+
+    val rep = Topic.retain(spark, s"$root/t", maxEvents = Some(10L))
+    assert(rep.rowsDropped > 0)
+
+    intercept[IllegalStateException] { c.poll("g", "t", 5) }
+    // the committed next-offset 5 is below the earliest survivor (>= 90):
+    // accept reports exactly that one moved position, then poll resumes
+    // from the earliest survivor (the auto.offset.reset=earliest path)
+    assert(c.acceptMaintenance("g", "t") === 1L)
+    val got = c.poll("g", "t", 5)
+    assert(got.count() === 5L)
+    assert(got.agg(min(col("offset"))).head().getLong(0) >= 90L)
+  }
+
+  test("consumer group: seek re-pins (the absolute-reposition escape hatch)") {
+    val root = tmpDir()
+    val c = new Cascade(spark, root)
+    c.publish("t", events(100))
+    c.commitOffset("g", "t", 10L)
+    Topic.compact(spark, s"$root/t", keyCol = "user_id")
+    intercept[IllegalStateException] { c.poll("g", "t", 5) }
+    c.seek("g", "t", 0L) // asserts an absolute position → re-pins
+    assert(c.poll("g", "t", 5).count() > 0L)
+  }
+
+  test("consumer group: pre-contract group (no pin) adopts current epoch") {
+    val root = tmpDir()
+    val c = new Cascade(spark, root)
+    c.publish("t", events(100))
+    // simulate a group from before the contract: offsets file without a pin
+    c.commitOffset("g", "t", 10L)
+    val (hfs, pin) = Topic.fs(spark, s"$root/_groups/g/t.epoch")
+    hfs.delete(pin, false)
+    Topic.compact(spark, s"$root/t", keyCol = "user_id")
+    // first contact after the feature: adopts epoch 1 (grandfathered) and
+    // guards every interaction from here on
+    assert(c.poll("g", "t", 5).count() > 0L)
+    Topic.compact(spark, s"$root/t", keyCol = "event_type")
+    intercept[IllegalStateException] { c.poll("g", "t", 5) }
+  }
 }

@@ -189,4 +189,78 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  /** Round-9 (round-8 verdict item 2): the skew advisory applied to a
+    * REAL declared suite query. el_attribution's user-key join is the
+    * suite's one join-shaped query a bot user can skew; its downstream
+    * windows re-partition by conv_id, so the join's output partitioning
+    * is NOT required downstream — the exact regime the round-8 A/B says
+    * to DEFER TO AQE in (stock OptimizeSkewedJoin is free to split).
+    * This pins that the deferral actually engages on the declared query:
+    * same results with skewJoin off/on, and the on-plan contains a
+    * skew-split join. Thresholds are test-scaled (the hot partition is
+    * ~1 MB here vs 256 MB+ at corpus scale); SkewAudit measures the
+    * corpus-scale wall-clock side in SCALING.md round 9. */
+  test("el_attribution: a hot user's join self-heals via stock AQE skew split") {
+    // mixed-type hot fixture: user 0 holds half the log, alternating
+    // purchase/click HOURLY so the 7-day attribution window bounds the
+    // per-conversion fan-out (~84 touches) instead of going quadratic
+    val dir = java.nio.file.Files.createTempDirectory("skewattr").toString + "/sf"
+    spark.range(60000).select(
+      col("id").as("event_id"),
+      (lit(1700000000000000000L) + col("id") * lit(3600000000000L)).as("ts"),
+      when(col("id") < 30000, lit(0L))
+        .otherwise(pmod(col("id"), lit(149)) + 1L).as("user_id"),
+      when(col("id") % 2 === 0, lit("purchase")).otherwise(lit("click"))
+        .as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      md5(col("id").cast("string")).as("props"))
+      .write.parquet(s"$dir/events.parquet")
+
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = SparkEntry.queries("el_attribution")(spark, dir)
+        .collect().map(_.toString).sorted
+
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val df = SparkEntry.queries("el_attribution")(spark, dir)
+      val split = df.collect().map(_.toString).sorted
+      assert(split === plain, "skew split changed el_attribution's results")
+
+      val fin = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: nodes(q.plan)
+          case n => Seq(n)
+        }
+      val skewJoins = nodes(fin).collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j }
+      assert(skewJoins.nonEmpty,
+        "stock AQE did not split el_attribution's hot-user join:\n" + fin)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
