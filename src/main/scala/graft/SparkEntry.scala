@@ -66,6 +66,8 @@ object SparkEntry {
     graft.queries.RelationalQueries19.defs ++
     graft.queries.LinkageQueries.defs ++
     graft.queries.RelationalQueries20.defs ++
+    graft.queries.RelationalQueries21.defs ++
+    graft.queries.PipelineQueries3.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

@@ -102,32 +102,35 @@ object FunnelQueries {
     // Inter-event gap distribution per user (lag over the per-user
     // time order), bucketed by whole minutes capped at 10+ — the
     // activity-cadence profile. The window is user-partitioned; the
-    // bucket rollup is one aggregate.
-    "el_gap_histogram" -> Q(
-      """WITH g AS (
-        |  SELECT user_id,
-        |         epoch_ns(ts)//1000
-        |           - LAG(epoch_ns(ts)//1000) OVER (
-        |               PARTITION BY user_id
-        |               ORDER BY epoch_ns(ts)//1000, event_id) AS gap_us
-        |  FROM events)
-        |SELECT CAST(LEAST(gap_us // 60000000, 10) AS INTEGER) AS gap_min_bucket,
-        |       COUNT(*) AS n_gaps,
-        |       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
-        |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
-        |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    // bucket rollup is one aggregate. This NAIVE form is the right
+    // plan for the declared corpus (user_id is near-uniform there);
+    // see el_gap_histogram_skewsafe for the same semantics under a
+    // hot-key population.
+    "el_gap_histogram" -> Q(gapOracleSql) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
         .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
         .filter(col("gap_us").isNotNull)
-        .groupBy(least(expr("gap_us div 60000000"), lit(10L)).cast("int")
-          .as("gap_min_bucket"))
-        .agg(count(lit(1)).as("n_gaps"),
-             min(col("gap_us")).cast("long").as("min_gap_us"),
-             max(col("gap_us")).cast("long").as("max_gap_us"))
-        .orderBy("gap_min_bucket")
+        .transform(gapRollup)
+    },
+
+    // The SAME gap histogram, skew-proof — the round-9 SkewAudit
+    // finding made declarable: a per-user window funnels a hot user (a
+    // bot at 50% of the corpus) through ONE task, and neither AQE
+    // (windows aren't joins) nor salting (breaks window semantics)
+    // applies — measured 1.6 s base → 15.2 s hot at sf10. A LAG-1
+    // window admits an exact split: gaps are consecutive diffs of each
+    // user's sorted timestamp multiset, so computing them within
+    // (user, 6h-bucket) partitions and stitching bucket boundaries via
+    // a per-user window over BUCKET SUMMARIES (≤ time-range/6h rows
+    // per user, REGARDLESS of event count) yields the identical
+    // multiset — hot arm 15.2 → 2.8 s, at a ~2.5× robustness constant
+    // on unskewed data (both arms in SCALING.md round 9). Identical
+    // oracle; GapRewriteSpec pins two-level ≡ naive on the corpus and
+    // on a hot-key fixture with ties and empty buckets.
+    "el_gap_histogram_skewsafe" -> Q(gapOracleSql) { (s, d) =>
+      FunnelQueries.gapsTwoLevel(Tables.events(s, d)).transform(gapRollup)
     },
 
     // Cohort retention: users grouped by FIRST-SEEN day, distinct-user
@@ -411,4 +414,75 @@ object FunnelQueries {
         .orderBy("user_id")
     }
   )
+
+  /** Shared oracle for both gap-histogram forms (identical semantics,
+    * different physical plan — the skewsafe form must hash-match this
+    * exact SQL too). */
+  private val gapOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_ns(ts)//1000
+      |           - LAG(epoch_ns(ts)//1000) OVER (
+      |               PARTITION BY user_id
+      |               ORDER BY epoch_ns(ts)//1000, event_id) AS gap_us
+      |  FROM events)
+      |SELECT CAST(LEAST(gap_us // 60000000, 10) AS INTEGER) AS gap_min_bucket,
+      |       COUNT(*) AS n_gaps,
+      |       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The minute-bucket rollup both gap forms share. */
+  private def gapRollup(gaps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    gaps
+      .groupBy(least(expr("gap_us div 60000000"), lit(10L)).cast("int")
+        .as("gap_min_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+           min(col("gap_us")).cast("long").as("min_gap_us"),
+           max(col("gap_us")).cast("long").as("max_gap_us"))
+      .orderBy("gap_min_bucket")
+
+  /** Skew-proof per-user inter-event gaps (the round-9 two-level LAG
+    * rewrite — see el_gap_histogram's comment). Returns one `gap_us`
+    * row per consecutive event pair of each user; the multiset is
+    * exactly the naive `tus − LAG(tus) OVER (PARTITION BY user)` one.
+    *
+    *   - within: LAG inside (user, 6h-bucket) windows — a hot user is
+    *     spread over #buckets tasks instead of one;
+    *   - boundary: per-(user, bucket) min/max tus summaries (map-side
+    *     combined), then LAG over the per-user BUCKET timeline, whose
+    *     size is bounded by time-range/6h at any event count.
+    */
+  def gapsTwoLevel(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bucketUs = 21600000000L // 6 h
+    val ev = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("b", expr(s"tus div ${bucketUs}L"))
+    // Two branches off the scan (column pruning specializes each
+    // branch's exchange, so they cannot share one — measured: forcing
+    // a shared window pipeline costs MORE than the second scan):
+    //   within  — the (user, bucket) LAG window, full rows;
+    //   boundary — per-(user, bucket) min/max tus, MAP-SIDE combined
+    //              (the shuffle is bucket-summary-sized), then the
+    //              per-user window over the bucket timeline.
+    // Robustness constant on an unskewed corpus: ~1.5–2.5× the naive
+    // single window (one extra scan + the summary agg) — the price of
+    // never funneling a hot user through one task; SCALING.md round 9
+    // has the measured arms.
+    val wIn = Window.partitionBy("user_id", "b").orderBy("tus", "event_id")
+    val within = ev
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(wIn))
+      .filter(col("gap_us").isNotNull)
+      .select("gap_us")
+    val wB = Window.partitionBy("user_id").orderBy("b")
+    val boundary = ev.groupBy("user_id", "b")
+      .agg(min("tus").as("first_tus"), max("tus").as("last_tus"))
+      .withColumn("gap_us", col("first_tus") - lag(col("last_tus"), 1).over(wB))
+      .filter(col("gap_us").isNotNull)
+      .select("gap_us")
+    within.unionAll(boundary)
+  }
 }

@@ -132,7 +132,8 @@ object SkewAudit {
     // map-side-combine immunity — or, for the window, the lack of it)
     val aggShaped = Seq(
       ("el_funnel", evhot), ("el_ab_lift", evhot),
-      ("el_gap_histogram", evhot), ("q95_top_supplier", lihot))
+      ("el_gap_histogram", evhot), ("el_gap_histogram_skewsafe", evhot),
+      ("q95_top_supplier", lihot))
     // join-shaped: base vs hot under default AQE (does it split?) vs
     // hot with skewJoin off (what the split was worth)
     val joinShaped = Seq(
