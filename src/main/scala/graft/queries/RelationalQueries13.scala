@@ -33,12 +33,6 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries13 {
 
-  /** One md5 draw in [0, 1e6): the house uniform (ta_mixture_sample). */
-  private def draw(tag: String, key: org.apache.spark.sql.Column,
-                   j: org.apache.spark.sql.Column) =
-    pmod(Portable.h60(concat(key.cast("string"), lit(s"|$tag|"), j.cast("string"))),
-         lit(1000000L))
-
   def defs: Map[String, Q] = Map(
 
     // ---- A-ES weighted sample: top-20 orders by max-of-w-uniforms key.
@@ -61,17 +55,17 @@ object RelationalQueries13 {
         |FROM keyed
         |ORDER BY es_key DESC, o_orderkey
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val orders = Tables.orders(s, d)
+      // round-9 codegen form: the previous plan materialized ALL 8
+      // draws per row (8 string-md5 pipelines each) and sliced to the
+      // first `weight` — graft_es_key digests only the draws that
+      // exist and stays in bytes (functions/EsKey.scala; bit-identical
+      // to the hex-parse route, EsKeySpec pins it). Oracle unchanged.
+      graft.functions.EsKey.register(s)
       val weight = least(lit(8L),
         lit(1L) + expr("cast(round(o_totalprice * 100) as bigint) div 5000000"))
-      // all 8 draws as a literal-width array; slice(·, 1, w) keeps the
-      // first w — weight-1 rows never see (and never pay for) draw 2..8
-      // beyond the codegen'd md5 calls, and the whole row is one flat
-      // whole-stage-codegen projection
-      val draws = array((1 to 8).map(j => draw("es", col("o_orderkey"), lit(j))): _*)
-      orders
+      Tables.orders(s, d)
         .select(col("o_orderkey"), weight.as("weight"))
-        .withColumn("es_key", array_max(slice(draws, lit(1), col("weight").cast("int"))))
+        .withColumn("es_key", expr("graft_es_key(o_orderkey, weight)"))
         .orderBy(col("es_key").desc, col("o_orderkey"))
         .limit(20)
     },

@@ -386,6 +386,66 @@ object SimilarityQueries2 {
         .orderBy("vec_id")
     },
 
+    // SemDeDup threshold sweep (round 9): the ε-tuning table the
+    // 2303.09540 recipe calls for — how much of the corpus each cosine
+    // threshold would drop. One pair pass per cell computes each
+    // vector's MAX cosine against smaller-id cellmates (the greedy
+    // keep-first drop condition), then the 4-threshold sweep reads off
+    // that per-vector maximum — pair cosines are computed ONCE, not per
+    // threshold. Thresholds are integer basis points; the compare
+    // divides the same integers by the same literal in both engines.
+    // Scale shape: identical pair bounds to ss_semdedup (cell-blocked,
+    // never all-pairs), one map-side max aggregate, a 4-row grid.
+    "ss_semdedup_sweep" -> Q(
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, cluster, embedding FROM refined WHERE rn = 1),
+         |mx AS (
+         |  SELECT b.vec_id, MAX(${duckCosine("a.embedding", "b.embedding")}) AS mcos
+         |  FROM members a JOIN members b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id),
+         |n AS (SELECT COUNT(*) AS n_vecs FROM members),
+         |qs AS (SELECT unnest([1500, 2000, 2500, 3000]) AS theta_bp),
+         |sweep AS (
+         |  SELECT q.theta_bp,
+         |         COUNT(CASE WHEN m.mcos >= CAST(q.theta_bp AS DOUBLE) / 10000
+         |                    THEN 1 END) AS n_dropped
+         |  FROM qs q CROSS JOIN mx m GROUP BY 1)
+         |SELECT CAST(s.theta_bp AS INTEGER) AS theta_bp,
+         |       CAST(s.n_dropped AS BIGINT) AS n_dropped,
+         |       CAST(n.n_vecs - s.n_dropped AS BIGINT) AS n_kept,
+         |       CAST(s.n_dropped AS DOUBLE) / n.n_vecs AS drop_share
+         |FROM sweep s CROSS JOIN n ORDER BY theta_bp""".stripMargin) { (s, d) =>
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val m = refined(e, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+                col("ccluster").as("cluster"))
+      val a = m.select(col("cluster").as("ca"), col("vec_id").as("va"),
+                       col("embedding").as("ea"), col("nrm").as("na"))
+      val b = m.select(col("cluster").as("cb"), col("vec_id").as("vb"),
+                       col("embedding").as("eb"), col("nrm").as("nb"))
+      val mx = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
+        .select(col("vb").as("mvec"),
+                (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .groupBy("mvec").agg(max("cos").as("mcos"))
+      val nv = m.agg(count(lit(1)).as("n_vecs"))
+      val qs = e.sparkSession.range(1)
+        .select(explode(array(lit(1500), lit(2000), lit(2500), lit(3000)))
+          .as("theta_bp"))
+      broadcast(qs).crossJoin(mx)
+        .groupBy("theta_bp")
+        .agg(count(when(col("mcos") >= col("theta_bp").cast("double") / 10000,
+                        1)).as("n_dropped"))
+        .crossJoin(broadcast(nv))
+        .select(col("theta_bp").cast("int").as("theta_bp"),
+                col("n_dropped").cast("long").as("n_dropped"),
+                (col("n_vecs") - col("n_dropped")).cast("long").as("n_kept"),
+                (col("n_dropped").cast("double") / col("n_vecs")).as("drop_share"))
+        .orderBy("theta_bp")
+    },
+
     // Scalar int8 quantization of the embedding column — the memory
     // compression a 100 TB ANN index runs before anything else (4×
     // smaller vectors, cheaper distance scans). Per-dimension corpus
@@ -550,6 +610,120 @@ object SimilarityQueries2 {
         .join(hits, Seq("qid"), "left")
         .select(col("qid"), coalesce(col("n"), lit(0L)).cast("int").as("n_hits"),
                 (coalesce(col("n"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+        .orderBy("qid")
+    },
+
+    // NDCG@10 + MRR of the IVF probe index against brute-force cosine
+    // ground truth (round 9) — the GRADED ranking metrics next to
+    // ss_ann_recall's set-overlap recall: position i's discount
+    // 1/log2(i+1) is pre-quantized to the INTEGER micro-weight table
+    // below (the same literals inlined into both engines, so DCG is an
+    // exact integer sum — no float log ever crosses the gate);
+    // relevance of an ANN hit is 11 − its true rank. NDCG divides two
+    // integers; MRR is 1/first-hit-rank. Scale shape: truth is one
+    // corpus pass against the 10-query broadcast, the ANN side is
+    // cell-bounded, everything after is ≤ 100 rows.
+    "ss_ndcg_mrr" -> Q({
+      val K = 10
+      val wts = (1 to K).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val idcg = (1 to K).map(i => (11L - i) * wts(i - 1)).sum
+      val wtCase = (col: String) => (1 to K).map(i =>
+        s"WHEN $i THEN ${wts(i - 1)}").mkString(s"CASE $col ", " ", " ELSE 0 END")
+      s"""WITH ${duckRefinedCte(NSEEDS)},
+         |members AS (
+         |  SELECT vec_id, label, embedding, cluster FROM refined WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cluster FROM refined
+         |  WHERE rn <= 2 AND vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |acand AS (
+         |  SELECT p.qid, m.vec_id,
+         |         ${duckCosine("p.qv", "m.embedding")} AS cosine
+         |  FROM probes p JOIN members m ON p.cluster = m.cluster AND p.qid <> m.vec_id),
+         |aranked AS (
+         |  SELECT qid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS arank
+         |  FROM acand),
+         |ann AS (SELECT qid, vec_id, arank FROM aranked WHERE arank <= $K),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id >= $NSEEDS AND vec_id < ${NSEEDS + 10}),
+         |tcand AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${duckCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |tranked AS (
+         |  SELECT qid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS trank
+         |  FROM tcand),
+         |truth AS (SELECT qid, vec_id, trank FROM tranked WHERE trank <= $K),
+         |graded AS (
+         |  SELECT a.qid, a.arank,
+         |         COALESCE(11 - t.trank, 0) AS rel
+         |  FROM ann a LEFT JOIN truth t ON a.qid = t.qid AND a.vec_id = t.vec_id),
+         |agg AS (
+         |  SELECT qid,
+         |         CAST(SUM(rel * (${wtCase("arank")})) AS BIGINT) AS dcg_u,
+         |         MIN(CASE WHEN rel > 0 THEN arank END) AS first_hit
+         |  FROM graded GROUP BY qid)
+         |SELECT q2.qid, COALESCE(a.dcg_u, 0) AS dcg_u,
+         |       CAST(COALESCE(a.dcg_u, 0) AS DOUBLE) / $idcg AS ndcg,
+         |       CAST(COALESCE(a.first_hit, 0) AS INTEGER) AS first_hit,
+         |       CASE WHEN a.first_hit IS NULL THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(1 AS DOUBLE) / a.first_hit END AS mrr
+         |FROM (SELECT DISTINCT qid FROM q) q2 LEFT JOIN agg a ON q2.qid = a.qid
+         |ORDER BY q2.qid""".stripMargin
+    }) { (s, d) =>
+      val K = 10
+      val wts = (1 to K).map(i =>
+        math.round(1e6 / (math.log(i + 1) / math.log(2))))
+      val idcg = (1 to K).map(i => (11L - i) * wts(i - 1)).sum
+      val wtCase = (1 to K).map(i =>
+        s"WHEN $i THEN ${wts(i - 1)}").mkString("CASE arank ", " ", " ELSE 0 END")
+      FloatDot.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+      val r = refined(e, d, NSEEDS)
+      val members = r.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+                col("ccluster").as("cluster"))
+      val probes = r.filter(col("rn") <= 2 &&
+                            col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qnrm"), col("ccluster").as("qcluster"))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val ann = probes
+        .join(members, col("qcluster") === col("cluster") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+                (nativeDot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= K)
+        .select(col("qid"), col("vec_id"), col("arank"))
+      val q = e.filter(col("vec_id") >= NSEEDS && col("vec_id") < NSEEDS + 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+      val wT = Window.partitionBy(col("tqid")).orderBy(col("cosine").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(q.withColumnRenamed("qid", "tqid")))
+        .filter(col("vec_id") =!= col("tqid"))
+        .select(col("tqid"), col("vec_id"),
+                (nativeDot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+        .withColumn("trank", row_number().over(wT))
+        .filter(col("trank") <= K)
+        .select(col("tqid"), col("vec_id"), col("trank"))
+      val agg = ann
+        .join(truth, ann("qid") === truth("tqid") && ann("vec_id") === truth("vec_id"), "left")
+        .select(col("qid"), col("arank"),
+                coalesce(lit(11) - col("trank"), lit(0)).as("rel"))
+        .select(col("qid"), col("arank"), col("rel"))
+        .groupBy("qid")
+        .agg(sum(col("rel") * expr(wtCase)).cast("long").as("dcg_u"),
+             min(when(col("rel") > 0, col("arank"))).as("first_hit"))
+      q.select(col("qid")).distinct()
+        .join(agg, Seq("qid"), "left")
+        .select(col("qid"),
+                coalesce(col("dcg_u"), lit(0L)).as("dcg_u"),
+                (coalesce(col("dcg_u"), lit(0L)).cast("double") / lit(idcg.toDouble)).as("ndcg"),
+                coalesce(col("first_hit"), lit(0)).cast("int").as("first_hit"),
+                when(col("first_hit").isNull, lit(0.0))
+                  .otherwise(lit(1.0) / col("first_hit")).as("mrr"))
         .orderBy("qid")
     }
   )

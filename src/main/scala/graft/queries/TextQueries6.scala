@@ -46,19 +46,28 @@ object TextQueries6 {
          |       CAST(SUM(types) AS BIGINT) AS sum_types,
          |       CAST(SUM(types) * 10000 // (COUNT(*) * $W) AS BIGINT) AS sttr_bp
          |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      val p = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")),
-                size(split(col("text"), " ")).as("n_tok"))
-        .select(col("doc_id"), col("source"), col("tok"),
-                expr(s"pos div $W").as("win"), col("n_tok"))
-        .filter((col("win") + 1) * W <= col("n_tok"))
-      p.groupBy("doc_id", "source", "win")
-        .agg(countDistinct(col("tok")).as("types"))
+      // round-9 codegen form: the previous plan posexploded every token
+      // into (doc, window, token) rows and shuffled the token stream
+      // for the per-window countDistinct (14.7 s at sf10, the worst
+      // remaining census). graft_sttr_stats computes each document's
+      // (n_windows, sum_types) in ONE in-row pass (per-window hash set,
+      // ≤ W entries); the only shuffle left is the |sources|-bounded
+      // rollup. TextCensusSpec pins kernel ≡ the exploded form; the
+      // oracle (and its hash) is unchanged.
+      graft.functions.SttrStats.register(s)
+      Tables.documents(s, d)
+        .select(col("source"),
+                expr(s"graft_sttr_stats(text, $W)").as("st"))
+        .select(col("source"), col("st.n_windows").as("w_doc"),
+                col("st.sum_types").as("t_doc"))
+        .filter(col("w_doc") > 0)
         .groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("docs_windowed"),
-             count(lit(1)).as("n_windows"),
-             sum(col("types")).as("sum_types"),
-             expr(s"sum(types) * 10000 div (count(*) * $W)").as("sttr_bp"))
+        .agg(count(lit(1)).as("docs_windowed"),
+             sum(col("w_doc")).as("n_windows"),
+             sum(col("t_doc")).as("sum_types"))
+        .select(col("source"), col("docs_windowed"), col("n_windows"),
+                col("sum_types"),
+                expr(s"sum_types * 10000 div (n_windows * $W)").as("sttr_bp"))
         .orderBy("source")
     },
 
@@ -102,16 +111,19 @@ object TextQueries6 {
         |       CAST(MIN(ic_bp) AS BIGINT) AS min_ic_bp,
         |       CAST(MAX(ic_bp) AS BIGINT) AS max_ic_bp
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val letters = ('a' to 'z').map(_.toString)
-      val fs = array(letters.map(ch =>
-        (length(col("head")) - length(expr(s"replace(head, '$ch', '')"))).cast("long")): _*)
+      // round-9 codegen form: the 26 per-letter replace() passes each
+      // copied the 256-char head (~26 allocations/doc, 13.2 s at sf10);
+      // graft_ic_stats folds the letter frequencies in one pass and
+      // returns (n, rep) directly. Identical letter semantics (raw
+      // 'a'..'z' chars of the lowered head); oracle unchanged.
+      graft.functions.IcStats.register(s)
       val ic = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
                 lower(substring(col("text"), 1, 256)).as("head"))
-        .select(col("doc_id"), col("lang"), fs.as("fs"))
         .select(col("doc_id"), col("lang"),
-                expr("aggregate(fs, 0L, (a, x) -> a + x)").as("n"),
-                expr("aggregate(fs, 0L, (a, x) -> a + x * (x - 1L))").as("rep"))
+                expr("graft_ic_stats(head)").as("st"))
+        .select(col("doc_id"), col("lang"),
+                col("st.n").as("n"), col("st.rep").as("rep"))
         .filter(col("n") >= 2)
         .select(col("doc_id"), col("lang"),
                 expr("(rep * 10000) div (n * (n - 1))").as("ic_bp"))

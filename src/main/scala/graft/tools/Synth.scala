@@ -36,12 +36,22 @@ import org.apache.spark.sql.functions._
   * compose commutatively and collide the same way. Always generate each
   * scale directly from the driver corpus with one factor.
   *
-  * Usage: runMain graft.tools.Synth <srcSfDir> <dstDir> <factor>
+  * Usage: runMain graft.tools.Synth <srcSfDir> <dstDir> <factor> [tables]
+  *
+  * The optional comma-separated [tables] restricts which tables are
+  * written (default: all), and an existing `{dst}/{t}.parquet` with a
+  * `_SUCCESS` marker is skipped — together these make a third-decade
+  * audit corpus resumable and buildable without the tables its query
+  * list never reads (at factor 1000, documents/embeddings alone are
+  * tens of GB). Row-count checks run only over the written set.
   */
 object Synth {
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, fStr) = args
+    val (src, dst, fStr) = (args(0), args(1), args(2))
     val f = fStr.toInt
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(',').toSet
+      else graft.Tables.names.toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,8 +61,15 @@ object Synth {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.repartition(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def write(df: => DataFrame, t: String): Unit =
+      if (only.contains(t) &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dst/$t.parquet/_SUCCESS"))) {
+        // parallel writers scale with the factor (8 was tuned at f=100;
+        // one decade up, 8 single-threaded writers ARE the wall clock)
+        df.repartition(math.max(8, f / 32)).write
+          .mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
 
     /** One row per (source row, copy 0..f-1). */
     def copies(df: DataFrame): DataFrame =
@@ -122,15 +139,16 @@ object Synth {
                slice(col("embedding"), lit(1), col("r"))))
       .drop("r", "cp"), "embeddings")
 
-    Tables.check(spark, src, dst, f)
+    Tables.check(spark, src, dst, f, only)
     spark.stop()
   }
 }
 
 /** Row-count sanity for the synthesized corpus. */
 private object Tables {
-  def check(spark: SparkSession, src: String, dst: String, f: Int): Unit =
-    graft.Tables.names.foreach { t =>
+  def check(spark: SparkSession, src: String, dst: String, f: Int,
+            only: Set[String]): Unit =
+    graft.Tables.names.filter(only.contains).foreach { t =>
       val s = spark.read.parquet(s"$src/$t.parquet").count()
       val d = spark.read.parquet(s"$dst/$t.parquet").count()
       val want = if (t == "region" || t == "nation") s else s * f
