@@ -390,23 +390,42 @@ object SimilarityQueries2 {
     // 2303.09540 recipe calls for — how much of the corpus each cosine
     // threshold would drop. One pair pass per cell computes each
     // vector's MAX cosine against smaller-id cellmates (the greedy
-    // keep-first drop condition), then the 4-threshold sweep reads off
-    // that per-vector maximum — pair cosines are computed ONCE, not per
-    // threshold. Thresholds are integer basis points; the compare
-    // divides the same integers by the same literal in both engines.
-    // Scale shape: identical pair bounds to ss_semdedup (cell-blocked,
-    // never all-pairs), one map-side max aggregate, a 4-row grid.
+    // keep-first drop condition), with the smallest swept threshold
+    // pushed INTO the join (a pair below θ_min can never change any
+    // swept count); the 4-threshold grid then reads off that per-vector
+    // maximum — pair cosines are computed once, not per threshold, and
+    // every compare divides the same integers by the same literal in
+    // both engines.
+    //
+    // SCALE HONESTY (the round-9 third-decade audit's find): exact
+    // max-cosine against all smaller-id cellmates is QUADRATIC PER CELL
+    // by semantics, and the fixture quantizer's cell COUNT is fixed
+    // (NSEEDS=8) while the corpus grows — at sf10's 200k vectors that
+    // is 2.5e9 dot evaluations (~272 s measured; the probe run is
+    // tools/SweepProbe). The sibling ss_semdedup has the SAME true
+    // cost — its fast bench number is a count()-action artifact:
+    // Catalyst ELIMINATES the left-outer join against the distinct
+    // drops side when only row counts are observed, so bench never ran
+    // the pair join (Verify's write path does). So, the q72 playbook:
+    // the DECLARED sweep is input-gated to vec_id < 20000 (a no-op at
+    // every SF ≤ 1, a constant ceiling above), and the ungated
+    // production form for corpus-scale embedding near-dup tuning is
+    // dd_embedding_neardup's capped LSH-band pair space — or an IVF
+    // index whose cell count scales with n so per-cell occupancy (and
+    // the per-vector pair budget) stays constant.
     "ss_semdedup_sweep" -> Q(
       s"""WITH ${duckRefinedCte(NSEEDS)},
          |members AS (
-         |  SELECT vec_id, cluster, embedding FROM refined WHERE rn = 1),
+         |  SELECT vec_id, cluster, embedding FROM refined
+         |  WHERE rn = 1 AND vec_id < 20000),
          |mx AS (
          |  SELECT b.vec_id, MAX(${duckCosine("a.embedding", "b.embedding")}) AS mcos
          |  FROM members a JOIN members b
          |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= CAST(2500 AS DOUBLE) / 10000
          |  GROUP BY b.vec_id),
          |n AS (SELECT COUNT(*) AS n_vecs FROM members),
-         |qs AS (SELECT unnest([1500, 2000, 2500, 3000]) AS theta_bp),
+         |qs AS (SELECT unnest([2500, 3000, 3500, 4000]) AS theta_bp),
          |sweep AS (
          |  SELECT q.theta_bp,
          |         COUNT(CASE WHEN m.mcos >= CAST(q.theta_bp AS DOUBLE) / 10000
@@ -419,7 +438,7 @@ object SimilarityQueries2 {
          |FROM sweep s CROSS JOIN n ORDER BY theta_bp""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val m = refined(e, d).filter(col("rn") === 1)
+      val m = refined(e, d).filter(col("rn") === 1 && col("vec_id") < 20000)
         .select(col("vec_id"), col("embedding"), col("nrm"),
                 col("ccluster").as("cluster"))
       val a = m.select(col("cluster").as("ca"), col("vec_id").as("va"),
@@ -429,10 +448,11 @@ object SimilarityQueries2 {
       val mx = a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
         .select(col("vb").as("mvec"),
                 (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= lit(2500).cast("double") / 10000)
         .groupBy("mvec").agg(max("cos").as("mcos"))
       val nv = m.agg(count(lit(1)).as("n_vecs"))
       val qs = e.sparkSession.range(1)
-        .select(explode(array(lit(1500), lit(2000), lit(2500), lit(3000)))
+        .select(explode(array(lit(2500), lit(3000), lit(3500), lit(4000)))
           .as("theta_bp"))
       broadcast(qs).crossJoin(mx)
         .groupBy("theta_bp")
@@ -727,4 +747,43 @@ object SimilarityQueries2 {
         .orderBy("qid")
     }
   )
+}
+
+/** Probe hooks for tools/SweepProbe — expose the sweep's sub-plans so the
+  * stage profile is measured on the EXACT frames the declared query uses. */
+object SimilarityQueries2Probe {
+  import SimilarityQueries2._
+  import graft.functions.Vectors._
+
+  def members(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.FloatDot.register(s)
+    val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
+    refined(e, d).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccluster").as("cluster"))
+  }
+
+  private def pairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val m = members(s, d)
+    val a = m.select(col("cluster").as("ca"), col("vec_id").as("va"),
+                     col("embedding").as("ea"), col("nrm").as("na"))
+    val b = m.select(col("cluster").as("cb"), col("vec_id").as("vb"),
+                     col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("ca") === col("cb") && col("va") < col("vb"))
+  }
+
+  def pairCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    pairs(s, d).count()
+
+  def survivorCount(s: org.apache.spark.sql.SparkSession, d: String, t: Double): Long =
+    pairs(s, d)
+      .filter(nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")) >= t)
+      .count()
+
+  def mxCount(s: org.apache.spark.sql.SparkSession, d: String, t: Double): Long =
+    pairs(s, d)
+      .select(col("vb").as("mvec"),
+              (nativeDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= t)
+      .groupBy("mvec").agg(max("cos").as("mcos"))
+      .count()
 }

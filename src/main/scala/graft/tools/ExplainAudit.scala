@@ -13,7 +13,7 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
                 else graft.SparkEntry.queries.keys.toSeq.sorted
     for (n <- names) {
@@ -22,7 +22,8 @@ object ExplainAudit {
       println(s"===== $n")
       println(p.linesIterator.filter(l => l.contains("Scan") || l.contains("Exchange") ||
         l.contains("Broadcast") || l.contains("ReadSchema") || l.contains("Window") ||
-        l.contains("HashAggregate")).take(20).mkString("\n"))
+        l.contains("HashAggregate") || l.contains("Join") || l.contains("Condition"))
+        .take(200).mkString("\n"))
     }
     spark.stop()
   }
