@@ -42,9 +42,19 @@ object Bench {
     // nothing is hidden: "value" is the steady-state sum, "cold_value"
     // is the pass-1 sum on this JVM.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // The timing action is a NOOP-SINK WRITE, not count() (changed round
+    // 10): under count() Catalyst eliminates row-preserving joins whose
+    // only contribution is columns nobody aggregates — ss_semdedup's
+    // pair join (2.5e9 cosine evaluations at sf10) benched at ~1 s
+    // because the left-outer join against its distinct drops side never
+    // ran (SCALING.md round 9). The noop sink executes the SAME plan
+    // Verify's write path pays — every column materialized, no
+    // action-dependent plan surgery — without parquet encode/IO noise.
+    // tools/ActionAudit lists which declared queries the count() action
+    // was under-measuring and by how many plan nodes.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

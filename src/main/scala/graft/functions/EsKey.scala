@@ -55,10 +55,15 @@ object EsKey {
   private val md5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** max over j in [1, w] of pmod(h60(s"$key|es|$j"), 1e6); -1 for w<1
-    * (never produced by q78's weight floor of 1). h60 = first 15 hex
-    * chars of the md5 = top 60 bits of the digest. */
+  /** max over j in [1, w] of pmod(h60(s"$key|es|$j"), 1e6). h60 = first
+    * 15 hex chars of the md5 = top 60 bits of the digest. w must be >= 1
+    * (q78 floors its weight at 1); the function is in the session
+    * FunctionRegistry, and a silent -1 for a zero weight would sort
+    * below every real key instead of failing loudly. */
   def esKey(key: Long, w: Long): Long = {
+    if (w < 1)
+      throw new IllegalArgumentException(
+        s"graft_es_key: weight must be >= 1, got $w")
     val md = md5.get()
     var best = -1L
     var j = 1L

@@ -71,8 +71,16 @@ case class SttrStats(left: Expression, right: Expression)
 object SttrStats {
 
   /** One pass: split on ' ' keeping empties, distinct types per
-    * non-overlapping full w-token window. Pure; thread-safe. */
+    * non-overlapping full w-token window. Pure; thread-safe.
+    *
+    * The window width must be positive: the function is in the session
+    * FunctionRegistry, so any SQL can call it with any literal — w = 0
+    * would divide by zero inside generated code and w < 0 would emit a
+    * negative n_windows struct, both worse failures than a named error. */
   def stats(s: UTF8String, w: Int): GenericInternalRow = {
+    if (w <= 0)
+      throw new IllegalArgumentException(
+        s"graft_sttr_stats: window width must be >= 1, got $w")
     val str = s.toString
     // token count = spaces + 1 (split keeps all empties)
     var nTok = 1

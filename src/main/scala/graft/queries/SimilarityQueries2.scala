@@ -350,15 +350,28 @@ object SimilarityQueries2 {
     // pipeline (arXiv:2303.09540's recipe). Blocking is the IVF cell
     // assignment (same trained quantizer artifact as ss_ivf_assign):
     // within each cell, a vector is dropped when a smaller-id cell-mate
-    // sits above the cosine threshold — the greedy keep-first rule, so
-    // pair comparisons are bounded by cell sizes (k is the scale dial;
-    // never all-pairs). Threshold matches dd_embedding_neardup's 0.25
-    // (fixture embeddings are near-orthogonal random). Emitted as a
-    // per-vector keep/drop verdict.
+    // sits above the cosine threshold — the greedy keep-first rule.
+    // Threshold matches dd_embedding_neardup's 0.25 (fixture embeddings
+    // are near-orthogonal random). Emitted as a per-vector keep/drop
+    // verdict.
+    //
+    // SCALE GATE (round 10, closing the round-9 weak item): exact
+    // max-cosine against all smaller-id cellmates is quadratic per cell,
+    // and the fixture quantizer's cell COUNT is fixed (NSEEDS=8) while
+    // the corpus grows — the round-9 SweepProbe measured 2.5e9 pair
+    // evaluations / 272 s at sf10 in this query's write path (bench's
+    // count() action hid it via outer-join elimination; see SCALING.md
+    // round 9). Same q72 playbook as the sibling sweep below: the
+    // declared form is input-gated to vec_id < 20000 — a no-op at every
+    // SF ≤ 1 (oracle hash unchanged), a constant pair-budget ceiling
+    // above. The ungated corpus-scale forms are dd_embedding_neardup's
+    // capped LSH-band pair space, or an IVF whose cell count grows with
+    // the corpus so per-cell occupancy stays constant.
     "ss_semdedup" -> Q(
       s"""WITH ${duckRefinedCte(NSEEDS)},
          |members AS (
-         |  SELECT vec_id, cluster, embedding FROM refined WHERE rn = 1),
+         |  SELECT vec_id, cluster, embedding FROM refined
+         |  WHERE rn = 1 AND vec_id < 20000),
          |drops AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM members a JOIN members b
@@ -370,7 +383,7 @@ object SimilarityQueries2 {
          |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
       FloatDot.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", nativeNorm(col("embedding")))
-      val m = refined(e, d).filter(col("rn") === 1)
+      val m = refined(e, d).filter(col("rn") === 1 && col("vec_id") < 20000)
         .select(col("vec_id"), col("embedding"), col("nrm"),
                 col("ccluster").as("cluster"))
       val a = m.select(col("cluster").as("ca"), col("vec_id").as("va"),
@@ -402,12 +415,14 @@ object SimilarityQueries2 {
     // by semantics, and the fixture quantizer's cell COUNT is fixed
     // (NSEEDS=8) while the corpus grows — at sf10's 200k vectors that
     // is 2.5e9 dot evaluations (~272 s measured; the probe run is
-    // tools/SweepProbe). The sibling ss_semdedup has the SAME true
-    // cost — its fast bench number is a count()-action artifact:
+    // tools/SweepProbe). The sibling ss_semdedup had the SAME true
+    // cost — its fast bench number was a count()-action artifact:
     // Catalyst ELIMINATES the left-outer join against the distinct
     // drops side when only row counts are observed, so bench never ran
-    // the pair join (Verify's write path does). So, the q72 playbook:
-    // the DECLARED sweep is input-gated to vec_id < 20000 (a no-op at
+    // the pair join (Verify's write path did). Since round 10 BOTH
+    // forms carry this gate, and Bench's action no longer permits
+    // outer-join elimination. The q72 playbook: the DECLARED
+    // queries are input-gated to vec_id < 20000 (a no-op at
     // every SF ≤ 1, a constant ceiling above), and the ungated
     // production form for corpus-scale embedding near-dup tuning is
     // dd_embedding_neardup's capped LSH-band pair space — or an IVF
@@ -430,7 +445,7 @@ object SimilarityQueries2 {
          |  SELECT q.theta_bp,
          |         COUNT(CASE WHEN m.mcos >= CAST(q.theta_bp AS DOUBLE) / 10000
          |                    THEN 1 END) AS n_dropped
-         |  FROM qs q CROSS JOIN mx m GROUP BY 1)
+         |  FROM qs q LEFT JOIN mx m ON TRUE GROUP BY 1)
          |SELECT CAST(s.theta_bp AS INTEGER) AS theta_bp,
          |       CAST(s.n_dropped AS BIGINT) AS n_dropped,
          |       CAST(n.n_vecs - s.n_dropped AS BIGINT) AS n_kept,
@@ -454,7 +469,11 @@ object SimilarityQueries2 {
       val qs = e.sparkSession.range(1)
         .select(explode(array(lit(2500), lit(3000), lit(3500), lit(4000)))
           .as("theta_bp"))
-      broadcast(qs).crossJoin(mx)
+      // LEFT join (not cross): a corpus with no qualifying pairs leaves
+      // mx empty, and the grid must still emit its 4 rows with
+      // n_dropped = 0 rather than degrade to 0 rows. mx is bounded by
+      // the vec_id gate, so it broadcasts.
+      qs.join(broadcast(mx), lit(true), "left")
         .groupBy("theta_bp")
         .agg(count(when(col("mcos") >= col("theta_bp").cast("double") / 10000,
                         1)).as("n_dropped"))

@@ -2,9 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev aid: time declared queries end-to-end (count action), warm
-  * JVM, without paying for the whole Bench sweep.
-  * `runMain graft.tools.TimeQuery <name>[,<name>…] [sfDir] [reps]`. */
+/** Dev aid: time declared queries end-to-end, warm JVM, without paying
+  * for the whole Bench sweep. The action matches Bench's noop-sink
+  * write (full plan, every column materialized — count() lets Catalyst
+  * eliminate row-preserving joins; see SCALING.md round 9); pass
+  * `count` as the 4th arg to measure the count-action plan instead.
+  * `runMain graft.tools.TimeQuery <name>[,<name>…] [sfDir] [reps] [action]`. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(',').toSeq
@@ -20,10 +23,14 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val action = if (args.length > 3) args(3) else "noop"
     for (name <- names; i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n  = graft.SparkEntry.queries(name)(spark, d).count()
-      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      val tag =
+        if (action == "count") s"rows=${df.count()}"
+        else { df.write.format("noop").mode("overwrite").save(); "noop" }
+      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($tag)")
     }
     spark.stop()
   }
