@@ -271,11 +271,31 @@ final class Cascade(spark: SparkSession, root: String) {
     * poll resumes from the earliest survivor instead of returning an
     * empty frame forever. The earliest-offset probe is one min-stats
     * scan on the (shard-pruned) log, control-plane cost like the
-    * commit itself. */
+    * commit itself.
+    *
+    * `onMaintenance` is the group's declared recovery policy when the
+    * topic's maintenance epoch moved past its pin (see
+    * [[Cascade.MaintenancePolicy]]): `Fail` keeps the loud default;
+    * `AcceptEarliest` folds the `acceptMaintenance` + re-poll recovery
+    * into this one call. */
   def poll(group: String, topic: String, count: Int,
-           shard: Option[Int] = None): DataFrame = {
+           shard: Option[Int] = None,
+           onMaintenance: Cascade.MaintenancePolicy =
+             Cascade.MaintenancePolicy.Fail): DataFrame = {
     requireTopic(topic)
-    requireGroupEpoch(group, topic)
+    onMaintenance match {
+      case Cascade.MaintenancePolicy.Fail =>
+        requireGroupEpoch(group, topic)
+      case Cascade.MaintenancePolicy.AcceptEarliest =>
+        val cur = Topic.maintenanceEpoch(spark, dir(topic))
+        if (pinnedGroupEpoch(group, topic).exists(_ != cur)) {
+          val moved = acceptMaintenance(group, topic)
+          System.err.println(
+            s"[graft] group $group on $topic: maintenance epoch advanced to $cur; " +
+              s"AcceptEarliest re-pinned the group ($moved committed position(s) " +
+              "below the earliest survivor will resume from it)")
+        } else requireGroupEpoch(group, topic) // first contact: pin as usual
+    }
     val committed = committedOffsets(group, topic).getOrElse(shard.getOrElse(-1), 0L)
     val base = shard match {
       case Some(sh) => spark.read.parquet(dir(topic)).filter(col("shard") === sh)
@@ -926,4 +946,25 @@ object Cascade {
     * to get there. */
   final case class RetainReport(
       retention: Topic.RetentionReport, abortedTxns: Seq[String])
+
+  /** A consumer's declared recovery policy when the topic's maintenance
+    * epoch moved past the group's pin (compact/retain rewrote or
+    * dropped rows under the committed positions) — Kafka's
+    * `auto.offset.reset` surfaced as an explicit per-call option:
+    *
+    *   - [[MaintenancePolicy.Fail]] (the default): the loud contract —
+    *     poll throws; an operator decides between `seek` and
+    *     `acceptMaintenance`;
+    *   - [[MaintenancePolicy.AcceptEarliest]]: the one-call recovery —
+    *     re-pin via `acceptMaintenance` (keeping committed ordinals,
+    *     logging how many positions retention moved) and resume; the
+    *     poll's earliest-survivor floor then supplies the `earliest`
+    *     reset semantics. At-least-once sound: surviving rows keep
+    *     their offsets.
+    */
+  sealed trait MaintenancePolicy
+  object MaintenancePolicy {
+    case object Fail           extends MaintenancePolicy
+    case object AcceptEarliest extends MaintenancePolicy
+  }
 }

@@ -68,6 +68,7 @@ object SparkEntry {
     graft.queries.RelationalQueries20.defs ++
     graft.queries.RelationalQueries21.defs ++
     graft.queries.PipelineQueries3.defs ++
+    graft.queries.SkewSafeQueries.defs ++
     graft.queries.RecursiveQueries.defs ++
     graft.queries.PrivacyQueries.defs ++
     graft.queries.PrivacyQueries2.defs ++

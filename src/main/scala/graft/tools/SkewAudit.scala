@@ -119,6 +119,13 @@ object SkewAudit {
     def q(name: String, dir: String): DataFrame =
       graft.SparkEntry.queries(name)(spark, dir)
 
+    // noop-sink write, not count(): count() lets Catalyst delete the
+    // very operators under audit (q54/q88 lose their Window node — see
+    // tools/ActionAudit); the noop sink executes the full write plan
+    def act(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); -1L
+    }
+
     def withConf(pairs: (String, String)*)(body: => (Double, Long)): (Double, Long) = {
       val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
       pairs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -133,7 +140,15 @@ object SkewAudit {
     val aggShaped = Seq(
       ("el_funnel", evhot), ("el_ab_lift", evhot),
       ("el_gap_histogram", evhot), ("el_gap_histogram_skewsafe", evhot),
-      ("q95_top_supplier", lihot))
+      ("q95_top_supplier", lihot),
+      // round 10: the other bounded-lookback per-key windows (verdict
+      // item 4) — q54's RANGE 1h frame and q88's ROWS 4 frame are the
+      // same lag/rolling-k family as el_gap_histogram on hot-able keys;
+      // el_resample_ffill's window runs over the 21-day GRID (bounded
+      // per user at any event count), included to prove that claim
+      ("q54_range_frame", evhot), ("q54_range_frame_skewsafe", evhot),
+      ("q88_rolling_median", ordhot), ("q88_rolling_median_skewsafe", ordhot),
+      ("el_resample_ffill", evhot))
     // join-shaped: base vs hot under default AQE (does it split?) vs
     // hot with skewJoin off (what the split was worth)
     val joinShaped = Seq(
@@ -141,24 +156,24 @@ object SkewAudit {
 
     for (rep <- 1 to reps) {
       for ((name, hot) <- aggShaped) {
-        val (tb, nb) = timed(q(name, base).count())
-        val (th, nh) = timed(q(name, hot).count())
-        println(f"$name rep$rep: base=$tb%.2f s (rows=$nb)  hot=$th%.2f s (rows=$nh)")
+        val (tb, _) = timed(act(q(name, base)))
+        val (th, _) = timed(act(q(name, hot)))
+        println(f"$name rep$rep: base=$tb%.2f s  hot=$th%.2f s")
       }
       for ((name, hot) <- joinShaped) {
-        val (tb, _) = timed(q(name, base).count())
+        val (tb, _) = timed(act(q(name, base)))
         var split = false
         val (th, _) = withConf(
           "spark.sql.adaptive.enabled" -> "true",
           "spark.sql.adaptive.skewJoin.enabled" -> "true") {
           val df = q(name, hot)
-          val r = timed(df.count())
+          val r = timed(act(df))
           split = skewSplit(df)
           (r._1, r._2)
         }
         val (toff, _) = withConf(
           "spark.sql.adaptive.skewJoin.enabled" -> "false") {
-          timed(q(name, hot).count())
+          timed(act(q(name, hot)))
         }
         println(f"$name rep$rep: base=$tb%.2f s  hot_aqe=$th%.2f s (split=$split)  " +
           f"hot_skewoff=$toff%.2f s")

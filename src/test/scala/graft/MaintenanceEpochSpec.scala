@@ -202,6 +202,31 @@ class MaintenanceEpochSpec extends SparkSpec {
     assert(c.poll("g", "t", 5).count() > 0L)
   }
 
+  test("consumer group: poll(onMaintenance = AcceptEarliest) recovers in one call") {
+    val root = tmpDir()
+    val c = new Cascade(spark, root)
+    c.publish("t", events(100))
+    c.commitOffset("g", "t", 5L)
+
+    val rep = Topic.retain(spark, s"$root/t", maxEvents = Some(10L))
+    assert(rep.rowsDropped > 0)
+
+    // the default policy keeps the loud contract
+    intercept[IllegalStateException] { c.poll("g", "t", 5) }
+    // the declared policy folds accept + earliest-survivor resume into
+    // the poll itself (auto.offset.reset=earliest as an explicit option)
+    val got = c.poll("g", "t", 5,
+      onMaintenance = Cascade.MaintenancePolicy.AcceptEarliest)
+    assert(got.count() === 5L)
+    assert(got.agg(min(col("offset"))).head().getLong(0) >= 90L)
+    // the recovery re-pinned: subsequent default-policy calls pass
+    assert(c.poll("g", "t", 5).count() === 5L)
+    c.commitOffset("g", "t", 95L)
+    // and with no pending maintenance the policy arm is a no-op pin check
+    assert(c.poll("g", "t", 5,
+      onMaintenance = Cascade.MaintenancePolicy.AcceptEarliest).count() === 5L)
+  }
+
   test("consumer group: pre-contract group (no pin) adopts current epoch") {
     val root = tmpDir()
     val c = new Cascade(spark, root)
