@@ -183,9 +183,10 @@ object GrowthQueries {
          |                       THEN vc ELSE 0 END) AS BIGINT) AS y
          |  FROM b, t0 GROUP BY 1, 2),
          |g AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-         |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*x) AS BIGINT) AS sxx,
-         |         CAST(SUM(x*y) AS BIGINT) AS sxy
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+         |         CAST(SUM(y) AS HUGEINT) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM pu),
          |v AS (
          |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -216,8 +217,19 @@ object GrowthQueries {
                       col("vc")).otherwise(0L)).as("x"),
              sum(when(col("event_type") === "purchase" && col("day_idx") >= col("day0") + 15,
                       col("vc")).otherwise(0L)).as("y"))
-      val g = pu.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-                     sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      // 128-bit moments (round 10): theta's cross-terms n*sxx and sx*sx
+      // reach ~10^22 at sf10 (the count()-actioned bench never executed
+      // this aggregate — outer-join elimination — so the overflow
+      // surfaced only when the noop action ran the real plan). DECIMAL
+      // (38,0) here ≡ HUGEINT in the oracle: both hold the exact
+      // integer, and the final cast-to-double of identical integers is
+      // correctly rounded in both engines.
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = pu.agg(count(lit(1)).cast(d38).as("n"),
+                     sum(col("x")).cast(d38).as("sx"),
+                     sum(col("y")).cast(d38).as("sy"),
+                     sum(col("x").cast(d38) * col("x")).as("sxx"),
+                     sum(col("x").cast(d38) * col("y")).as("sxy"))
       pu.groupBy("variant")
         .agg(count(lit(1)).as("n_users"), sum(col("x")).as("pre_cents"),
              sum(col("y")).as("post_cents"))

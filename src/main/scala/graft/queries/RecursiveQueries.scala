@@ -451,8 +451,20 @@ object RecursiveQueries {
       // and RecursiveSpec pins that invariant. The LEVEL limit (64)
       // stays as the runaway backstop; the row cap is raised in-scope to
       // the corpus-linear bound the query actually has.
+      // auto-broadcast OFF in scope: the recursive frontier has no
+      // reliable stats, and Spark elects to broadcast it — fine at small
+      // SF, but the widest stride-frontier is ~|part| rows (price column
+      // included), and at sf10 (2M parts) the broadcast build died with
+      // "not enough memory" once the full write plan stopped pruning
+      // p_retailprice (the count()-action bench had hidden this; the
+      // round-10 noop action surfaced it). Both sides shuffle on the
+      // parent key instead — per-level exchange cost is bounded by the
+      // frontier, and a 1000-executor cluster wants exactly that plan:
+      // broadcasting a corpus-sized frontier to every executor is the
+      // non-scalable arm.
       withConfs(s, "spark.sql.cteRecursionLevelLimit" -> "64",
-                   "spark.sql.cteRecursionRowLimit" -> Int.MaxValue.toString) {
+                   "spark.sql.cteRecursionRowLimit" -> Int.MaxValue.toString,
+                   "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         // localCheckpoint EXECUTES the recursion inside the conf scope —
         // a lazily returned frame would run at action time, after the
         // finally block restored AQE and the level limit (ewmaFrame had
