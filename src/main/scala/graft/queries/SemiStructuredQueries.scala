@@ -36,16 +36,26 @@ object SemiStructuredQueries {
         lit("\"><total>"), col("o_totalprice").cast("string"),
         lit("</total><prio>"), col("o_orderpriority"),
         lit("</prio></order>"))
+      // ONE parse per row (round 10): both attributes and both elements
+      // come out of a single from_xml (attributePrefix "_" maps @id and
+      // @status into the struct). The first form ALSO ran
+      // xpath_string(x, '/order/@status') per row — a second, DOM-
+      // building parse of the same document that the count()-actioned
+      // bench never executed (status fed no aggregate); the round-10
+      // noop action priced it at 347 s of 2186 s at sf10 — 16% of the
+      // whole suite for a redundant parse. xpath_* stays covered:
+      // XmlPathSpec pins xpath_string ≡ from_xml's _status on real
+      // corpus rows plus quoting/empty edges.
       Tables.orders(s, d)
         .withColumn("x", xml)
         .select(
           col("o_orderkey"),
-          expr("from_xml(x, '_id BIGINT, total DOUBLE, prio STRING')").as("st"),
-          expr("xpath_string(x, '/order/@status')").as("status"))
+          expr("from_xml(x, '_id BIGINT, _status STRING, total DOUBLE, prio STRING')")
+            .as("st"))
         .select(
           col("o_orderkey"),
           col("st._id").as("xml_id"),
-          col("status"),
+          col("st._status").as("status"),
           graft.functions.Portable.cents(col("st.total")).as("total_cents"),
           col("st.prio").as("prio"))
         .orderBy("o_orderkey")
