@@ -91,28 +91,24 @@ object MultimodalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
         |       CAST(SUM(mean_p) AS BIGINT) AS pooled_checksum
         |FROM blk GROUP BY doc_id, len ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // empty-text guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
-      // the oracle's range(1, 1) is empty — an empty doc must emit no
-      // pixel rows in both engines (mm_frame_sample's guard pattern)
-      val pixelIdx = when(length(col("text")) > 0,
-        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
-      val px = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"),
-                posexplode(pixelIdx).as(Seq("z", "i")))
-        .select(col("doc_id"), col("len"),
-                expr("((i - 1) div 32) div 4").as("br"),
-                expr("((i - 1) % 32) div 4").as("bc"),
-                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      val blk = px.groupBy("doc_id", "len", "br", "bc")
-        .agg(expr("cast(sum(p) as bigint) div count(*)").as("mean_p"))
-      blk.groupBy("doc_id", "len")
-        .agg(max(col("br")).cast("long").as("mbr"),
-             count(lit(1)).as("n_blocks"),
-             sum(col("mean_p")).as("pooled_checksum"))
+      // ONE PASS, NO EXPLODE (round 10): the posexplode + per-character
+      // substring pipeline paid Θ(n²) codepoint scans per doc and a
+      // corpus-character-scale shuffle (43.9 s in the honest sf10
+      // bench); the 4×4 box pool is a streaming per-doc fold with one
+      // 8-cell block-row buffer, now a codegen kernel
+      // (functions/PixelKernels.scala). Empty docs fold to n_blocks = 0
+      // and are filtered, matching the explode form where they emit no
+      // pixel rows. Parity pinned in PixelKernelsSpec.
+      graft.functions.ResizeStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+                expr("graft_resize_stats(text)").as("st"))
+        .filter(col("st.n_blocks") > 0)
         .select(col("doc_id"), lit(32L).as("in_w"),
                 expr("cast((len + 31) div 32 as bigint)").as("in_h"),
-                lit(8L).as("out_w"), (col("mbr") + 1).as("out_h"),
-                col("n_blocks"), col("pooled_checksum"))
+                lit(8L).as("out_w"), col("st.out_h").as("out_h"),
+                col("st.n_blocks").as("n_blocks"),
+                col("st.pooled_checksum").as("pooled_checksum"))
         .orderBy("doc_id")
     },
 

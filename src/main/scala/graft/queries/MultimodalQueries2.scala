@@ -48,45 +48,22 @@ object MultimodalQueries2 {
         |       CAST(SUM(bit * (CAST(1 AS BIGINT) << (br * 7 + bc))) AS BIGINT) AS dhash,
         |       CAST(SUM(bit) AS BIGINT) AS bits_set
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val pixelIdx = when(length(col("text")) > 0,
-        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
-      val px = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), posexplode(pixelIdx).as(Seq("z", "i")))
-        .select(col("doc_id"),
-                expr("((i - 1) div 32) div 4").as("br"),
-                expr("((i - 1) % 32) div 4").as("bc"),
-                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      // ONE exchange: the pooled grid is ≤ 9×8 cells BY THE QUERY'S OWN
-      // SEMANTICS (br ≤ 8), so every cell is a conditional map-side
-      // aggregate on the doc key and the neighbor inequalities are flat
-      // codegen expressions — the el_seasonal_profile grid move. The
-      // previous form paid three exchanges (block groupBy → LEAD window
-      // repartition → doc rollup) for the same numbers: A/B at sf0.1
-      // 2.25 s → this (see SCALING.md). Pixel columns fill left-to-right,
-      // so cells present per row are contiguous: LEAD(mean) over present
-      // bc ≡ cell (br, bc+1), and "nxt IS NOT NULL" ≡ n_{br,bc+1} > 0.
-      val cells = for { b <- 0 to 8; c <- 0 to 7 } yield (b, c)
-      val cellAggs = cells.flatMap { case (b, c) =>
-        val in = col("br") === b && col("bc") === c
-        Seq(sum(when(in, col("p"))).as(s"s_${b}_$c"),
-            count(when(in, 1)).as(s"n_${b}_$c"))
-      }
-      def mean(b: Int, c: Int) = expr(s"s_${b}_$c div n_${b}_$c")
-      val pairIdx = for { b <- 0 to 8; c <- 0 to 6 } yield (b, c)
-      def defined(b: Int, c: Int) = col(s"n_${b}_${c + 1}") > 0
-      def bit(b: Int, c: Int) =
-        when(defined(b, c),
-          when(mean(b, c) > mean(b, c + 1), 1L).otherwise(0L)).otherwise(lit(0L))
-      val nPairs  = pairIdx.map { case (b, c) =>
-        when(defined(b, c), 1L).otherwise(0L) }.reduce(_ + _)
-      val dhash   = pairIdx.map { case (b, c) =>
-        bit(b, c) * lit(1L << (b * 7 + c)) }.reduce(_ + _)
-      val bitsSet = pairIdx.map { case (b, c) => bit(b, c) }.reduce(_ + _)
-      px.filter(col("br") <= 8)
-        .groupBy("doc_id").agg(cellAggs.head, cellAggs.tail: _*)
-        .select(col("doc_id"), nPairs.as("n_pairs"),
-                dhash.as("dhash"), bitsSet.as("bits_set"))
-        .filter(col("n_pairs") > 0)
+      // ONE PASS, NO EXPLODE (round 10): the per-character posexplode +
+      // substring(text, i, 1) pipeline paid Θ(n²) character scans per doc
+      // (substring walks to the i-th codepoint) and pushed ~150M rows at
+      // sf10 through the 72-column conditional aggregate — 112.5 s in the
+      // honest sf10 bench, the suite's worst query after the q61 fix. The
+      // whole computation is a per-doc fold with a fixed 9×8 cell grid,
+      // so it is now a codegen kernel (functions/PixelKernels.scala)
+      // walking the codepoints once: a pure map-side projection whose
+      // only exchange is the output-linear ORDER BY. Parity with the
+      // exploded form is pinned in PixelKernelsSpec.
+      graft.functions.DhashStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_dhash_stats(text)").as("st"))
+        .filter(col("st.n_pairs") > 0)
+        .select(col("doc_id"), col("st.n_pairs").as("n_pairs"),
+                col("st.dhash").as("dhash"), col("st.bits_set").as("bits_set"))
         .orderBy("doc_id")
     },
 
@@ -120,34 +97,18 @@ object MultimodalQueries2 {
         |         AS fingerprint,
         |       CAST(SUM(bit) AS BIGINT) AS bits_set
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sampleIdx = when(length(col("text")) > 0,
-        expr("sequence(1, least(256, length(text)))"))
-        .otherwise(array().cast("array<int>"))
-      val px = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), posexplode(sampleIdx).as(Seq("z", "i")))
-        .select(col("doc_id"), expr("(i - 1) div 16").as("frame"),
-                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      // ONE exchange (the mm_dhash grid move): ≤16 frames by the query's
-      // own semantics (256 samples / 16), so per-frame energies are
-      // conditional map-side aggregates and the rising-energy bits are
-      // flat expressions. Samples fill frames contiguously, so
-      // "prev IS NOT NULL" ≡ n_f > 0 for f ≥ 1 (frame f−1 then exists).
-      val frameAggs = (0 to 15).flatMap { f =>
-        Seq(sum(when(col("frame") === f, col("p") * col("p"))).as(s"ss_$f"),
-            count(when(col("frame") === f, 1)).as(s"n_$f"))
-      }
-      def bit(f: Int) =
-        when(col(s"n_$f") > 0,
-          when(col(s"ss_$f") > col(s"ss_${f - 1}"), 1L).otherwise(0L))
-          .otherwise(lit(0L))
-      val nBits = (1 to 15).map(f =>
-        when(col(s"n_$f") > 0, 1L).otherwise(0L)).reduce(_ + _)
-      val fp = (1 to 15).map(f => bit(f) * lit(1L << (f - 1))).reduce(_ + _)
-      val bitsSet = (1 to 15).map(bit).reduce(_ + _)
-      px.groupBy("doc_id").agg(frameAggs.head, frameAggs.tail: _*)
-        .select(col("doc_id"), (nBits + 1L).as("n_frames"),
-                fp.as("fingerprint"), bitsSet.as("bits_set"))
-        .filter(col("n_frames") > 1L)
+      // ONE PASS, NO EXPLODE (round 10, the mm_dhash kernel move): the
+      // 16-frame energy fold over the first 256 samples is a per-doc
+      // codegen kernel (functions/PixelKernels.scala) — no posexplode,
+      // no 32-column conditional aggregate, no shuffle but the ORDER BY.
+      // Parity pinned in PixelKernelsSpec.
+      graft.functions.AudioFpStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_audio_fp(text)").as("st"))
+        .filter(col("st.n_frames") > 1)
+        .select(col("doc_id"), col("st.n_frames").as("n_frames"),
+                col("st.fingerprint").as("fingerprint"),
+                col("st.bits_set").as("bits_set"))
         .orderBy("doc_id")
     },
 
@@ -175,23 +136,18 @@ object MultimodalQueries2 {
         |       CAST(COUNT(*) - 1 - COALESCE(MAX(CASE WHEN dark = 0 THEN r END), -1) AS BIGINT)
         |         AS bottom_border
         |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val pixelIdx = when(length(col("text")) > 0,
-        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
-      val px = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), posexplode(pixelIdx).as(Seq("z", "i")))
-        .select(col("doc_id"), expr("(i - 1) div 32").as("r"),
-                ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long").as("p"))
-      px.groupBy("doc_id", "r")
-        .agg(when(expr("cast(sum(p) as bigint) div count(*)") < 105, 1L)
-          .otherwise(0L).as("dark"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_rows"),
-             sum(col("dark")).as("dark_rows"),
-             coalesce(min(when(col("dark") === 0, col("r"))), count(lit(1)))
-               .cast("long").as("top_border"),
-             (count(lit(1)) - 1 -
-              coalesce(max(when(col("dark") === 0, col("r"))), lit(-1L)))
-               .cast("long").as("bottom_border"))
+      // ONE PASS, NO EXPLODE (round 10, the mm_dhash kernel move): the
+      // per-32-pixel-row dark/bright fold is a per-doc codegen kernel
+      // (functions/PixelKernels.scala) — 41.8 s of sf10 explode+shuffle
+      // becomes a map-side projection. Parity pinned in PixelKernelsSpec.
+      graft.functions.BorderStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_border_stats(text)").as("st"))
+        .filter(col("st.n_rows") > 0)
+        .select(col("doc_id"), col("st.n_rows").as("n_rows"),
+                col("st.dark_rows").as("dark_rows"),
+                col("st.top_border").as("top_border"),
+                col("st.bottom_border").as("bottom_border"))
         .orderBy("doc_id")
     },
 
@@ -275,20 +231,19 @@ object MultimodalQueries2 {
         |       CAST(MAX(abs(lap)) AS BIGINT) AS max_abs_lap,
         |       CAST(SUM(lap * lap) // COUNT(*) AS BIGINT) AS mean_energy
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val pixelIdx = when(length(col("text")) > 0,
-        expr("sequence(1, length(text))")).otherwise(array().cast("array<int>"))
-      val lp = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), explode(pixelIdx).as("i"))
-        .filter(!expr("(i - 1) % 32").isin(0, 31) && col("i") + 1 <= length(col("text")))
-        .select(col("doc_id"),
-          (ascii(expr("substring(text, CAST(i - 1 AS INT), 1)")).cast("long")
-            - lit(2L) * ascii(expr("substring(text, CAST(i AS INT), 1)")).cast("long")
-            + ascii(expr("substring(text, CAST(i + 1 AS INT), 1)")).cast("long")).as("lap"))
-      lp.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-             sum(col("lap") * col("lap")).as("lap_energy"),
-             max(abs(col("lap"))).as("max_abs_lap"),
-             expr("cast(sum(lap * lap) div count(1) as bigint)").as("mean_energy"))
+      // ONE PASS, NO EXPLODE (round 10, the mm_dhash kernel move): three
+      // substring probes PER CHARACTER made this the family's second-
+      // worst sf10 query (106.3 s); the Laplacian fold is a per-doc
+      // codegen kernel (functions/PixelKernels.scala). Parity pinned in
+      // PixelKernelsSpec.
+      graft.functions.LapStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_lap_stats(text)").as("st"))
+        .filter(col("st.n_terms") > 0)
+        .select(col("doc_id"), col("st.n_terms").as("n_terms"),
+                col("st.lap_energy").as("lap_energy"),
+                col("st.max_abs_lap").as("max_abs_lap"),
+                expr("cast(st.lap_energy div st.n_terms as bigint)").as("mean_energy"))
         .orderBy("doc_id")
     }
   )
