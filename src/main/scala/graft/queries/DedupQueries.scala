@@ -22,17 +22,16 @@ object DedupQueries {
 
   private val K = 8 // minhash permutations; 2 bands of 4 rows
 
-  /** 3-token shingles from a MATERIALIZED token-array column, distinct,
-    * with a <3-token guard. The tokens must be a projected column, not the
-    * `split(...)` expression itself — every `element_at` reference
-    * re-evaluates its input expression, so inlining the split makes each
-    * shingle re-tokenize the whole document (~3× split per shingle). */
-  private[queries] def shinglesFrom(toks: Column): Column =
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ", slice(toks, i + 1, lit(3)))))
-        .otherwise(array(concat_ws(" ", toks))))
+  /** Distinct 3-token shingles (first-occurrence order, <3-token docs
+    * degrade to the whole text) straight from the text column — the
+    * one-pass byte-slice kernel (functions/Shingles.scala, mode 1),
+    * which replaced the round-1..9 split + transform/slice/concat_ws
+    * HOF + array_distinct chain: HOF lambdas never codegen, and the
+    * array_distinct was O(n²) interpreted string comparison per doc. */
+  private[queries] def shingleSet(text: Column): Column = {
+    graft.functions.Shingles.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_shingles", text, lit(3), lit(1))
+  }
 
   /** Same shingle set in DuckDB. */
   private[queries] val duckShingles: String =
@@ -70,24 +69,19 @@ object DedupQueries {
     * and the same values (min of (a·h+b) mod p over the same set).
     */
   private[queries] def sigDf(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
     val exploded = docs
-      // the corpus is one parquet file = one scan partition; spread the
-      // CPU-dense shingle+md5 projection across the cluster
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // positional shingles, NOT shinglesFrom: min() is unaffected by
-      // duplicate shingles, and array_distinct is O(n²) interpreted
-      // string comparison per document — pure overhead before a
-      // min-aggregate (set semantics only matter where arrays are
-      // compared, i.e. dd_ngram_jaccard). slice+concat_ws, not
-      // element_at×3 (each element_at is a separately-interpreted
-      // lambda subexpression — measured ~4× slower).
-      .select(col("doc_id"), explode(
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3), i =>
-            concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
-          .otherwise(array(concat_ws(" ", col("toks"))))).as("s"))
-      .select(col("doc_id"), h32(col("s")).as("h"))
+      // positional shingles with whole-doc fallback (mode 0), NOT the
+      // distinct mode: min() is unaffected by duplicate shingles, so
+      // dedup would be pure overhead before a min-aggregate (set
+      // semantics only matter where arrays are compared, i.e.
+      // dd_ngram_jaccard). The kernel hashes each shingle's byte slice
+      // in place (functions/Shingles.scala) — no token array, no HOF
+      // lambda, no per-shingle string; values are byte-identical to
+      // h32(concat_ws(' ', slice(toks, i+1, 3))).
+      .select(col("doc_id"),
+              explode(call_function("graft_shingle_h32",
+                col("text"), lit(3), lit(0))).as("h"))
     val withSigs = exploded
       .groupBy("doc_id")
       .agg(min((lit(A(0)) * col("h") + lit(B(0))) % P).as("s0"),
@@ -124,16 +118,14 @@ object DedupQueries {
     * ingest (streaming/NearDupGateStream) — batch keeps sigDf, whose
     * exploded aggregate is faster when the corpus is scanned anyway. */
   private[graft] def rowBands(docs: DataFrame): DataFrame = {
-    val sh = when(size(col("toks")) >= 3,
-        transform(sequence(lit(0), size(col("toks")) - 3), i =>
-          concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", col("toks"))))
+    graft.functions.Shingles.register(docs.sparkSession)
     val sigs = (0 until K).map { j =>
       array_min(transform(col("hs"), h => (lit(A(j)) * h + lit(B(j))) % P)).as(s"s$j")
     }
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), transform(sh, s => h32(s)).as("hs"))
+      .select(col("doc_id"),
+              call_function("graft_shingle_h32",
+                col("text"), lit(3), lit(0)).as("hs"))
       .select(col("doc_id") +: sigs: _*)
       .select(col("doc_id"),
         md5(concat_ws(",", (0 until K / 2).map(j => col(s"s$j")): _*)).as("band0"),
@@ -251,8 +243,7 @@ object DedupQueries {
     val ids = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
     val t = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shinglesFrom(col("toks")).as("sh"))
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
     (t.select(col("doc_id").as("ta_id"), col("sh").as("a_sh")),
      t.select(col("doc_id").as("tb_id"), col("sh").as("b_sh")))
   }
@@ -446,18 +437,16 @@ object DedupQueries {
         |            THEN 1 << b ELSE 0 END for b in range(0,16)]) AS INTEGER) AS simhash,
         |       CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // materialize the per-token hash array once; 16 bit-vote aggregates
-      // each reference it (an inline expression would re-split + re-hash
-      // the document 16 times)
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        transform(split(col("text"), " "), t => h16(t)).as("hs"))
-      val simhash = (0 until 16).map { b =>
-        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + when(shiftright(h, b).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L))
-        when(vote > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      base.select(col("doc_id"), simhash.as("simhash"), size(col("hs")).as("n_tokens"))
+      // one-pass kernel (round 10, functions/Shingles.scala): the
+      // previous form materialized a per-token h16 array and ran 16
+      // interpreted aggregate() bit-vote lambdas over it; the kernel
+      // hashes each token's byte slice and votes all 16 bits in one
+      // walk. Values identical (ShinglesSpec pins the vote fold).
+      graft.functions.Shingles.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), call_function("graft_simhash", col("text")).as("st"))
+        .select(col("doc_id"), col("st.simhash").as("simhash"),
+                col("st.n_tokens").as("n_tokens"))
         .orderBy("doc_id")
     },
 
@@ -648,9 +637,8 @@ object DedupQueries {
          |SELECT lang, da, db, rank_gap, jaccard
          |FROM cand ORDER BY lang, da, db""".stripMargin) { (s, d) =>
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
+        .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"),
                 substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
-        .select(col("doc_id"), col("lang"), col("head"), shinglesFrom(col("toks")).as("sh"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("head"), col("doc_id"))
       val r = t.withColumn("rn", row_number().over(w))

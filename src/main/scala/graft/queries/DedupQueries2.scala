@@ -283,15 +283,14 @@ object DedupQueries2 {
   private[queries] def grams(s: org.apache.spark.sql.SparkSession,
                     d: String): org.apache.spark.sql.DataFrame =
     gramCache.computeIfAbsent(d, _ => {
-      import graft.functions.Portable.h32
-      val ghArr = when(size(col("toks")) >= 8,
-        transform(sequence(lit(0), size(col("toks")) - 8), i =>
-          h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
-        .otherwise(array().cast("array<bigint>"))
+      // hashed-shingle kernel (round 10, functions/Shingles.scala):
+      // positions preserved by posexplode over the kernel's positional
+      // array; values byte-identical to h32 over the HOF form
+      graft.functions.Shingles.register(s)
       Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(ghArr).as(Seq("p", "gh")))
+        .select(col("doc_id"),
+                posexplode(call_function("graft_shingle_h32",
+                  col("text"), lit(8), lit(2))).as(Seq("p", "gh")))
         .select(col("doc_id"), col("p").cast("long").as("p"), col("gh"))
         .localCheckpoint(true)
     })

@@ -135,9 +135,8 @@ object DedupQueries5 {
       // unaffected by duplicates, but the oracle's unnest(sh) is over
       // the distinct shingle SET, so mirror it)
       val hx = sub
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
-                explode(DedupQueries.shinglesFrom(col("toks"))).as("sgl"))
+                explode(DedupQueries.shingleSet(col("text"))).as("sgl"))
         .select(col("doc_id"), h32(col("sgl")).as("h"))
       val binAggs = (0 until K).map(j =>
         min(when(pmod(col("h"), lit(K)) === j, col("h"))).as(s"m$j"))

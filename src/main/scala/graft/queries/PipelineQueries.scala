@@ -18,16 +18,18 @@ object PipelineQueries {
     * of short strings) — array_distinct inside the projection is O(n²)
     * interpreted string comparison per document and measured ~4×
     * slower than the explode+distinct shape at sf0.1. */
-  private def gramStream(docs: org.apache.spark.sql.DataFrame) =
+  private def gramStream(docs: org.apache.spark.sql.DataFrame) = {
+    // one-pass byte-slice kernel (round 10, functions/Shingles.scala;
+    // empty-array mode for <6-token docs) — replaced the interpreted
+    // split + transform/slice/concat_ws HOF chain that made the gram
+    // consumers 4 of the 15 slowest honest-sf10 queries
+    graft.functions.Shingles.register(docs.sparkSession)
     docs
-      .repartition(col("doc_id")) // spread the gram projection (1-file scan)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(
-        when(size(col("tk")) >= 6,
-          transform(sequence(lit(0), size(col("tk")) - 6), i =>
-            concat_ws(" ", slice(col("tk"), i + 1, lit(6)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"),
+              explode(call_function("graft_shingles",
+                col("text"), lit(6), lit(2))).as("g"))
       .distinct()
+  }
 
   /** Trained Bloom artifacts per corpus dir: (128 filter words, the
     * checkpointed bench-gram frame). Same rationale and eviction story
@@ -444,14 +446,13 @@ object PipelineQueries {
         |       CAST(n_boiler AS DOUBLE) / CAST(n_sh AS DOUBLE) AS boiler_ratio
         |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // positional shingles with the whole-doc fallback (kernel mode 0,
+      // round 10 — see gramStream's note)
+      graft.functions.Shingles.register(s)
       val psh = docs
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(
-          when(size(col("tk")) >= 3,
-            transform(sequence(lit(0), size(col("tk")) - 3), i =>
-              concat_ws(" ", slice(col("tk"), i + 1, lit(3)))))
-            .otherwise(array(concat_ws(" ", col("tk"))))).as("sh"))
+        .select(col("doc_id"),
+                explode(call_function("graft_shingles",
+                  col("text"), lit(3), lit(0))).as("sh"))
       val dfDim = psh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
       val total = docs.agg(count(lit(1)).as("total"))
       val boiler = dfDim.crossJoin(broadcast(total))

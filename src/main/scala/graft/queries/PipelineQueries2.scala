@@ -301,14 +301,12 @@ object PipelineQueries2 {
          |LEFT JOIN fold_hits f ON d.doc_id = f.bid
          |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.functions.FoldText.register(s)
+      graft.functions.Shingles.register(s)
       val docs = Tables.documents(s, d)
-      def gramsOf(textCol: org.apache.spark.sql.Column) = {
-        val toks = split(textCol, " ")
-        explode(when(size(toks) >= 6,
-          transform(sequence(lit(0), size(toks) - 6), i =>
-            concat_ws(" ", slice(toks, i + 1, lit(6)))))
-          .otherwise(array().cast("array<string>")))
-      }
+      // one-pass byte-slice kernel (round 10; empty-array mode for
+      // <6-token inputs) over whichever text variant each side folds
+      def gramsOf(textCol: org.apache.spark.sql.Column) =
+        explode(call_function("graft_shingles", textCol, lit(6), lit(2)))
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"),
                 translate(upper(col("text")), "EAU", "ÉÀÜ").as("dec_text"))

@@ -13,17 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object QualityQueries {
 
-  /** POSITIONAL 3-token shingles (repetition is about recurrence, so no
-    * dedup here — contrast DedupQueries.shinglesFrom). <3-token docs
-    * degrade to one whole-doc shingle, same as the dedup tiering. */
-  private def posShingles(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        // slice+concat_ws, not element_at×3 (each element_at is a
-        // separately-interpreted lambda subexpression — ~4× slower)
-        concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", toks)))
-
   private val duckPosShingles: String =
     """CASE WHEN len(string_split(text,' ')) >= 3
       |  THEN [array_to_string((string_split(text,' '))[i:i+2],' ')
@@ -50,19 +39,24 @@ object QualityQueries {
          |       CAST(n_shingles - n_distinct AS DOUBLE)
          |         / CAST(n_shingles AS DOUBLE) AS dup_ratio
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val flat = Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread the shingle projection (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(posShingles(col("toks"))).as("s"))
-      flat
-        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).cast("int").as("n_shingles"),
-             count(lit(1)).cast("int").as("n_distinct"),
-             max(col("c")).cast("int").as("max_rep"))
-        .select(col("doc_id"), col("n_shingles"), col("n_distinct"), col("max_rep"),
-          ((col("n_shingles") - col("n_distinct")).cast("double") /
-           col("n_shingles").cast("double")).as("dup_ratio"))
+      // WHOLE FOLD IN ONE KERNEL PASS (round 10): the shingle counting
+      // is per-document with bounded state (a count map over the doc's
+      // own 3-grams), so the explode + two corpus-scale hash aggregates
+      // (30.4 s at sf10) collapse into graft_rep_stats
+      // (functions/Shingles.scala) — a map-side projection whose only
+      // exchange is the output-linear ORDER BY. <3-token docs degrade
+      // to one whole-doc shingle, same as the dedup tiering.
+      graft.functions.Shingles.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                call_function("graft_rep_stats", col("text"), lit(3)).as("st"))
+        .select(col("doc_id"),
+                col("st.n_shingles").cast("int").as("n_shingles"),
+                col("st.n_distinct").cast("int").as("n_distinct"),
+                col("st.max_rep").cast("int").as("max_rep"))
+        .withColumn("dup_ratio",
+          (col("n_shingles") - col("n_distinct")).cast("double") /
+            col("n_shingles").cast("double"))
         .orderBy("doc_id")
     },
 
@@ -97,17 +91,16 @@ object QualityQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.bid
         |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // row-level distinct, not array_distinct: the in-projection dedup
-      // is O(n²) interpreted string comparison per document (~4× the
-      // whole gram explode at sf0.1); one shuffle of short grams is cheap
+      // row-level distinct, not the kernel's distinct mode: dedup on
+      // (doc_id, g) is one shuffle of short grams either way, and the
+      // blocking join downstream reshuffles on g regardless. The gram
+      // projection is the one-pass byte-slice kernel (round 10,
+      // functions/Shingles.scala — empty-array mode for <6-token docs).
+      graft.functions.Shingles.register(s)
       val grams = docs
-        .repartition(col("doc_id")) // spread the gram projection (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(
-          when(size(col("toks")) >= 6,
-            transform(sequence(lit(0), size(col("toks")) - 6), i =>
-              concat_ws(" ", slice(col("toks"), i + 1, lit(6)))))
-            .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"),
+                explode(call_function("graft_shingles",
+                  col("text"), lit(6), lit(2))).as("g"))
         .distinct()
       val bsh = grams.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"), col("g"))

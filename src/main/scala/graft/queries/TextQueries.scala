@@ -179,20 +179,18 @@ object TextQueries {
         |    [array_to_string((string_split(text,' '))[i:i+1], ' ')
         |     for i in range(1, len(string_split(text,' ')))])) AS INTEGER) AS n_distinct_bigrams
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val fp = aggregate(col("toks"), lit(0L),
-        (acc, t) => (acc * 31 + h32(t)) % 1000000007L)
-      // <2-token guard: sequence(0, -1) would generate a DESCENDING array
-      // and crash on element_at(toks, 0); the oracle's range(1, len) is
-      // empty for short docs, so the guard matches it (0 bigrams)
-      val bigrams = array_distinct(
-        when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - 2), i =>
-            concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-          .otherwise(array().cast("array<string>")))
-      base.select(col("doc_id"), fp.as("fingerprint"),
-                  size(bigrams).as("n_distinct_bigrams"))
+      // one-pass kernels (round 10, functions/Shingles.scala): the
+      // rolling hash folds h32 over each token's byte slice directly
+      // (the aggregate() HOF ran interpreted with an md5 expression
+      // per token), and the distinct-bigram count is the mode-3
+      // shingle kernel (<2-token docs yield an empty set, matching
+      // the oracle's empty range)
+      graft.functions.Shingles.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                call_function("graft_rolling_fp", col("text")).as("fingerprint"),
+                size(call_function("graft_shingles", col("text"), lit(2), lit(3)))
+                  .as("n_distinct_bigrams"))
         .orderBy("doc_id")
     }
   )

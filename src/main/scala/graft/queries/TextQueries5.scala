@@ -107,13 +107,16 @@ object TextQueries5 {
          |         AS coverage_bp
          |FROM t LEFT JOIN per ON t.doc_id = per.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.Shingles.register(s)
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      val ghArr = when(size(col("toks")) >= 8,
-        transform(sequence(lit(0), size(col("toks")) - 8), i =>
-          h32(concat_ws(" ", slice(col("toks"), i + 1, lit(8))))))
-        .otherwise(array().cast("array<bigint>"))
-      val g = docs.select(col("doc_id"), explode(ghArr).as("gh")).distinct()
+        .select(col("doc_id"), col("source"), col("text"))
+      // hashed-shingle kernel (round 10, functions/Shingles.scala):
+      // md5 runs over each 8-gram's byte slice in one pass — values
+      // byte-identical to h32(concat_ws(' ', slice(toks, i+1, 8)))
+      val g = docs.select(col("doc_id"),
+          explode(call_function("graft_shingle_h32",
+            col("text"), lit(8), lit(2))).as("gh"))
+        .distinct()
       val df = g.groupBy("gh").agg(count(lit(1)).as("df"))
       val per = g.join(df, "gh").groupBy("doc_id")
         .agg(count(lit(1)).as("pn"),

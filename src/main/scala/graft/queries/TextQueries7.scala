@@ -120,13 +120,18 @@ object TextQueries7 {
         |       CAST(MAX(branch) AS BIGINT) AS max_branch,
         |       CAST(SUM(branch) * 10000 // COUNT(*) AS BIGINT) AS avg_branch_bp
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("lang"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val bg = toks
+      // adjacent pairs via the one-pass bigram-shingle kernel (round 10,
+      // functions/Shingles.scala, mode 2: <2-token docs yield no pairs,
+      // matching the size filter). A 2-token shingle contains exactly
+      // one space — tokens are space-free by construction — so one
+      // split recovers (w1, w2) in codegen, replacing the interpreted
+      // per-pair slice lambda.
+      graft.functions.Shingles.register(s)
+      val bg = Tables.documents(s, d)
         .select(col("lang"),
-                explode(expr("transform(sequence(1, size(toks) - 1), i -> slice(toks, i, 2))"))
-                  .as("pr"))
+                explode(call_function("graft_shingles",
+                  col("text"), lit(2), lit(2))).as("sh"))
+        .select(col("lang"), split(col("sh"), " ").as("pr"))
         .select(col("lang"),
                 element_at(col("pr"), 1).as("w1"), element_at(col("pr"), 2).as("w2"))
       bg.groupBy("lang", "w1")

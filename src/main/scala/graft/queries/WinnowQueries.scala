@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Portable.{duckH, h32}
+import graft.functions.Portable.duckH
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -18,18 +18,15 @@ object WinnowQueries {
 
   private val W = 4
 
-  /** 3-token shingle hashes from a materialized toks column (ordered,
-    * NOT distinct — winnowing is positional). Guarded for <3 tokens:
-    * two-arg sequence(0, negative) counts DOWN and element_at(_, 0)
-    * throws, where the oracle's range() is just empty. */
-  private def kgramHashes(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        // slice+concat_ws, not element_at×3: each element_at is a
-        // separately-interpreted lambda subexpression (measured ~4×
-        // slower than one slice per gram at sf0.1)
-        h32(concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array().cast("array<bigint>"))
+  /** 3-token shingle hashes straight from the text (ordered, NOT
+    * distinct — winnowing is positional; <3-token docs yield an empty
+    * hash sequence, matching the oracle's range()). The one-pass
+    * byte-slice kernel (round 10, functions/Shingles.scala, mode 2)
+    * replaced the interpreted transform/slice/concat_ws + per-element
+    * h32 lambda chain; values are byte-identical. Callers must register
+    * [[graft.functions.Shingles]] on the session. */
+  private def kgramHashes(text: Column): Column =
+    call_function("graft_shingle_h32", text, lit(3), lit(2))
 
   private val duckKgramHashes: String =
     s"""[${duckH("array_to_string(toks[i:i+2], ' ')", 8)}
@@ -66,10 +63,9 @@ object WinnowQueries {
          |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.functions.WindowMin.register(s)
+      graft.functions.Shingles.register(s)
       Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
+        .select(col("doc_id"), kgramHashes(col("text")).as("hs"))
         .select(col("doc_id"), fingerprints(col("hs")).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
                 array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
@@ -92,10 +88,9 @@ object WinnowQueries {
          |  JOIN rare r ON a.fp = r.fp)
          |SELECT da, db FROM cand ORDER BY da, db""".stripMargin) { (s, d) =>
       graft.functions.WindowMin.register(s)
+      graft.functions.Shingles.register(s)
       val f = Tables.documents(s, d)
-        .repartition(col("doc_id")) // spread the per-doc hashing (1-file scan)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), kgramHashes(col("toks")).as("hs"))
+        .select(col("doc_id"), kgramHashes(col("text")).as("hs"))
         .select(col("doc_id"), explode(fingerprints(col("hs"))).as("fp"))
       // (doc, fp) pairs are unique post-array_distinct, so a count over
       // the fp window IS the document frequency — one pipeline instead of

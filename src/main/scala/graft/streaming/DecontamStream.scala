@@ -36,14 +36,14 @@ object DecontamStream {
     def hit(g: Column): Column =
       (0 to 2).map(j => bitSet(graft.queries.PipelineQueries.posOf(g, lit(j))))
         .reduce(_ && _)
-    val grams = array_distinct(
-      when(size(col("tk")) >= 6,
-        transform(sequence(lit(0), size(col("tk")) - 6), i =>
-          concat_ws(" ", slice(col("tk"), i + 1, lit(6)))))
-        .otherwise(array().cast("array<string>")))
+    // distinct-gram kernel (round 10, functions/Shingles.scala, mode 3:
+    // first-occurrence distinct, empty for <6-token docs) — identical
+    // gram SET to the batch gramStream's row-level distinct
+    graft.functions.Shingles.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), grams.as("gs"))
+      .select(col("doc_id"),
+              call_function("graft_shingles",
+                col("text"), lit(6), lit(3)).as("gs"))
       .select(col("doc_id"),
               size(col("gs")).as("n_grams"),
               size(filter(col("gs"), hit(_))).as("bloom_hits"))

@@ -126,7 +126,7 @@ class PixelKernelsSpec extends SparkSpec {
     val view = Seq((1L, "x" * 10), (2L, "x" * 17), (3L, ""))
       .toDF("doc_id", "text")
     view.createOrReplaceTempView("pk_docs")
-    functions.AudioFpStats.register(spark)
+    functions.PixelKernels.registerAll(spark)
     val out = spark.sql(
       """SELECT doc_id, st.n_frames FROM
         |  (SELECT doc_id, graft_audio_fp(text) AS st FROM pk_docs)
