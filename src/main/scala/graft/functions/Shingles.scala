@@ -156,6 +156,29 @@ case class SimhashStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** dd_cdc_chunks' chunker: content-defined cut points (h32(token) ≡ 0
+  * mod 8) and per-chunk h60 over the chunk's byte slice, one pass —
+  * the declarative form ran four chained HOF lambdas (filter cut
+  * points, build boundary arrays, zip_with slice+concat_ws, filter
+  * empties) with an interpreted md5 per token AND per chunk. Returns
+  * array<struct<ch, n_tokens>>; chunk text never materializes. */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunks expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ch", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override def nullSafeEval(input: Any): Any =
+    Shingles.cdcChunks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.cdcChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Shingles {
 
   private val md5: ThreadLocal[MessageDigest] =
@@ -329,6 +352,41 @@ object Shingles {
     new GenericInternalRow(Array[Any](sh, nTok))
   }
 
+  /** First 15 md5 hex chars = top 60 digest bits (Portable.h60). */
+  private def h60Of(b: Array[Byte], from: Int, len: Int): Long = {
+    val md = md5.get()
+    md.reset()
+    md.update(b, from, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def cdcChunks(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val starts = tokenStarts(b)
+    val nTok = starts.length - 1
+    val out = new java.util.ArrayList[Any](nTok / 8 + 1)
+    var chunkStartTok = 0
+    var k = 0
+    while (k < nTok) {
+      val from = starts(k)
+      val isCut = h32Of(b, from, starts(k + 1) - 1 - from) % 8 == 0
+      if (isCut || k == nTok - 1) {
+        // chunk = tokens [chunkStartTok, k] — a byte slice of the text
+        val cFrom = starts(chunkStartTok)
+        val cLen  = starts(k + 1) - 1 - cFrom
+        out.add(new GenericInternalRow(Array[Any](
+          h60Of(b, cFrom, cLen), (k - chunkStartTok + 1).toLong)))
+        chunkStartTok = k + 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private def reg(spark: SparkSession, name: String, cls: Class[_],
                   build: Seq[Expression] => Expression): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -353,6 +411,9 @@ object Shingles {
     })
     reg(spark, "graft_simhash", classOf[SimhashStats], children => {
       require(children.size == 1); SimhashStats(children.head)
+    })
+    reg(spark, "graft_cdc_chunks", classOf[CdcChunks], children => {
+      require(children.size == 1); CdcChunks(children.head)
     })
   }
 }

@@ -209,23 +209,18 @@ object DedupQueries2 {
          |       MIN(n_tokens) AS n_tokens, MIN(doc_id) AS first_doc
          |FROM pre GROUP BY ch HAVING SUM(c) >= 2
          |ORDER BY n_copies DESC, chunk_hash""".stripMargin) { (s, d) =>
-      import graft.functions.Portable.{h32, h60}
-      // cut AFTER position p when h32(toks[p]) ≡ 0 (mod 8); a trailing
-      // cut at p = n produces a (n+1, n) boundary pair → filtered (the
-      // same "no empty trailing chunk" rule as the running-sum oracle)
-      val cuts   = filter(sequence(lit(1), size(col("toks"))),
-                          p => h32(element_at(col("toks"), p)) % 8 === 0)
-      val starts = concat(array(lit(1)), transform(cuts, c => c + 1))
-      val ends   = concat(cuts, array(size(col("toks"))))
-      val chunks = filter(
-        zip_with(starts, ends, (st, en) =>
-          struct(concat_ws(" ", slice(col("toks"), st, en - st + 1)).as("ctext"),
-                 (en - st + 1).cast("long").as("n_tokens"))),
-        c => c.getField("n_tokens") > 0)
+      // one-pass kernel (round 10, functions/Shingles.scala): cut AFTER
+      // any token whose h32 ≡ 0 (mod 8), h60 over each chunk's byte
+      // slice — the previous form chained four HOF lambdas (filter cut
+      // points, boundary arrays, zip_with slice+concat_ws, empty
+      // filter) with interpreted md5 per token AND per chunk; the
+      // kernel walks the bytes once and the chunk text never
+      // materializes. ShinglesSpec pins kernel ≡ the HOF chain.
+      graft.functions.Shingles.register(s)
       val ck = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(chunks).as("c"))
-        .select(col("doc_id"), h60(col("c.ctext")).as("ch"), col("c.n_tokens").as("n_tokens"))
+        .select(col("doc_id"),
+                explode(call_function("graft_cdc_chunks", col("text"))).as("c"))
+        .select(col("doc_id"), col("c.ch").as("ch"), col("c.n_tokens").as("n_tokens"))
       ck.groupBy("ch", "doc_id")
         .agg(min(col("n_tokens")).as("n_tokens"), count(lit(1)).as("c"))
         .groupBy(col("ch").as("chunk_hash"))

@@ -114,6 +114,39 @@ class ShinglesSpec extends SparkSpec {
     }
   }
 
+  test("graft_cdc_chunks equals the HOF boundary chain") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(tok: String): Long = {
+      val d = md.digest(tok.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def h60(t: String): Long = {
+      val d = md.digest(t.getBytes("UTF-8"))
+      var v = 0L
+      for (i <- 0 until 8) v = (v << 8) | (d(i) & 0xffL)
+      v >>> 4
+    }
+    val corpus = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    for (t <- corpus ++ edges) {
+      val toks = t.split(" ", -1)
+      val cuts = (1 to toks.length).filter(p => h32(toks(p - 1)) % 8 == 0)
+      val starts = 1 +: cuts.map(_ + 1)
+      val ends = cuts :+ toks.length
+      val want = starts.zip(ends)
+        .filter { case (st, en) => en - st + 1 > 0 }
+        .map { case (st, en) =>
+          (h60(toks.slice(st - 1, en).mkString(" ")), (en - st + 1).toLong) }
+      val got = functions.Shingles.cdcChunks(UTF8String.fromString(t))
+        .array.map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (row.getLong(0), row.getLong(1))
+        }.toSeq
+      assert(got === want, t.take(40))
+    }
+  }
+
   test("graft_rep_stats equals the exploded count profile") {
     val corpus = Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0)).toSeq
