@@ -14,21 +14,21 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   /** Distinct 6-token grams per document (ta_contamination's blocking
-    * unit), as a (doc_id, g) stream. Deduped at ROW level (one shuffle
-    * of short strings) — array_distinct inside the projection is O(n²)
-    * interpreted string comparison per document and measured ~4×
-    * slower than the explode+distinct shape at sf0.1. */
+    * unit), as a (doc_id, g) stream. Deduped INSIDE the kernel (mode 3:
+    * first-occurrence-distinct during the one byte walk, a per-doc hash
+    * set) — the round-10 row-level `.distinct()` paid a corpus-scale
+    * shuffle of (doc_id, gram-string) pairs to dedup rows the kernel
+    * can dedup in place, so every consumer's gram lineage is now a pure
+    * map-side projection until its own aggregate/join. (The old note
+    * about array_distinct being O(n²) applied to the INTERPRETED
+    * expression over the split array, not to the kernel's byte-slice
+    * set.) */
   private def gramStream(docs: org.apache.spark.sql.DataFrame) = {
-    // one-pass byte-slice kernel (round 10, functions/Shingles.scala;
-    // empty-array mode for <6-token docs) — replaced the interpreted
-    // split + transform/slice/concat_ws HOF chain that made the gram
-    // consumers 4 of the 15 slowest honest-sf10 queries
     graft.functions.Shingles.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
               explode(call_function("graft_shingles",
-                col("text"), lit(6), lit(2))).as("g"))
-      .distinct()
+                col("text"), lit(6), lit(3))).as("g"))
   }
 
   /** Trained Bloom artifacts per corpus dir: (128 filter words, the
@@ -141,20 +141,31 @@ object PipelineQueries {
       // single final aggregate — the 5-way union-of-aggregates form
       // re-ran this lineage per stage (2.3 s → this shape at sf0.1).
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), col("text"),
+      // the dedup-keeper window needs only (md5(text), doc_id, quality
+      // flag): hashing BEFORE the exchange keeps the corpus text out of
+      // the shuffle (the round-9 form carried every document's text
+      // through the md5-keyed exchange so the gram stage could reuse
+      // the post-window rows)
+      val base = Tables.spread(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+                split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("h"),
                 size(col("tk")).cast("long").as("ntok"),
                 size(array_distinct(col("tk"))).cast("long").as("ndist"))
         .withColumn("q1", col("ntok") >= 20 && col("ndist") * 10 > col("ntok") * 3)
         .withColumn("keeper",
-          min(when(col("q1"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+          min(when(col("q1"), col("doc_id"))).over(Window.partitionBy(col("h"))))
         .withColumn("q2", col("q1") && col("doc_id") === col("keeper"))
       val bgrams = gramStream(
           Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
         .select(col("g")).distinct()
+      // contamination verdicts come straight off a second map-side gram
+      // pass over ALL non-bench docs (a superset of the q2 survivors the
+      // oracle scans — q3 conjoins q2, so verdicts on q2-rejected docs
+      // are harmless), which decouples the gram stage from the window
+      // output entirely: no text re-join, no window-row reuse
       val contaminated = gramStream(
-          base.filter(col("q2") && col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")))
+          Tables.spread(Tables.documents(s, d), "doc_id").filter(col("doc_id") % 50 =!= 0))
         .join(bgrams, "g").select(col("doc_id")).distinct()
         .withColumn("contam", lit(true))
       val flagged = base
@@ -369,7 +380,9 @@ object PipelineQueries {
       val flit = array(words.map(lit(_)): _*)
       // materialize p0..p2 once (each is referenced twice below — word
       // index + mask — and HOF/column re-references re-run the md5)
-      val probed = gramStream(Tables.documents(s, d))
+      // spread: the kernel + three md5 probes per gram dominate the
+      // scan; the single-file test layout caps it at 1-8 tasks
+      val probed = gramStream(Tables.spread(Tables.documents(s, d), "doc_id"))
         .filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), col("g"),
                 posOf(col("g"), lit(0)).as("p0"),
@@ -406,16 +419,33 @@ object PipelineQueries {
          |         / COUNT(*) AS novelty
          |FROM grams gr JOIN firstg f ON gr.g = f.g
          |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("g")
-      gramStream(Tables.documents(s, d))
-        .withColumn("first_doc", min(col("doc_id")).over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_grams"),
-             sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
-               .cast("int").as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-                (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      // n_grams is the SIZE of the kernel's distinct array — map-side,
+      // no row stream — and n_novel(doc) = |{g : min over g = doc}| is
+      // a count over the gram→first_doc dimension GROUPED BY first_doc,
+      // so the (doc,g) pairs never feed a window or a per-doc
+      // re-aggregation of every pair (the round-9 form paid three
+      // full-stream exchanges). Both aggregates run COMPLETE-MODE
+      // behind explicit key repartitions (the q95 rewrite): grams are
+      // ~unique, so a map-side partial would build a corpus-sized hash
+      // map and collapse nothing — measured 21 s vs 12 s at sf10 with
+      // the same plan shape under partial aggregation.
+      graft.functions.Shingles.register(s)
+      val nSh = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val novel = gramStream(Tables.spread(Tables.documents(s, d), "doc_id"))
+        .repartition(nSh, col("g"))
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        .repartition(nSh, col("first_doc"))
+        .groupBy("first_doc").agg(count(lit(1)).cast("int").as("n_novel"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(call_function("graft_shingles",
+                  col("text"), lit(6), lit(3))).as("n_grams"))
+        .filter(col("n_grams") >= 1)
+        .join(novel, col("doc_id") === col("first_doc"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+                coalesce(col("n_novel"), lit(0)).as("n_novel"),
+                (coalesce(col("n_novel"), lit(0)).cast("double") /
+                  col("n_grams")).as("novelty"))
         .orderBy("doc_id")
     },
 
@@ -453,7 +483,15 @@ object PipelineQueries {
         .select(col("doc_id"),
                 explode(call_function("graft_shingles",
                   col("text"), lit(3), lit(0))).as("sh"))
-      val dfDim = psh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      // document frequency from the kernel's DISTINCT stream (mode 1 —
+      // same whole-doc fallback as mode 0): every (sh, doc) pair is
+      // already unique, so COUNT replaces COUNT(DISTINCT doc_id) and
+      // the aggregate is one map-side-combined exchange instead of the
+      // two-phase distinct expansion over the positional stream
+      val dfDim = docs
+        .select(explode(call_function("graft_shingles",
+                  col("text"), lit(3), lit(1))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("total"))
       val boiler = dfDim.crossJoin(broadcast(total))
         .filter(col("df") * 10 >= col("total") * 4)

@@ -303,18 +303,22 @@ object PipelineQueries2 {
       graft.functions.FoldText.register(s)
       graft.functions.Shingles.register(s)
       val docs = Tables.documents(s, d)
-      // one-pass byte-slice kernel (round 10; empty-array mode for
-      // <6-token inputs) over whichever text variant each side folds
+      // one-pass byte-slice kernel (mode 3: first-occurrence-distinct
+      // during the walk, empty for <6-token inputs) over whichever text
+      // variant each side folds — the per-side row-level .distinct()
+      // exchanges (three of them, one corpus-scale) collapse into the
+      // kernel's in-place dedup, so every gram lineage is map-side
+      // until its blocking join
       def gramsOf(textCol: org.apache.spark.sql.Column) =
-        explode(call_function("graft_shingles", textCol, lit(6), lit(2)))
+        explode(call_function("graft_shingles", textCol, lit(6), lit(3)))
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"),
                 translate(upper(col("text")), "EAU", "ÉÀÜ").as("dec_text"))
         .withColumn("fold_text", call_function("graft_fold_text", col("dec_text")))
-      val bg = bench.select(col("doc_id").as("bid"), gramsOf(col("fold_text")).as("g")).distinct()
-      val bgraw = bench.select(col("doc_id").as("bid"), gramsOf(col("dec_text")).as("g")).distinct()
+      val bg = bench.select(col("doc_id").as("bid"), gramsOf(col("fold_text")).as("g"))
+      val bgraw = bench.select(col("doc_id").as("bid"), gramsOf(col("dec_text")).as("g"))
       val cg = docs.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id").as("cid"), gramsOf(col("text")).as("g")).distinct()
+        .select(col("doc_id").as("cid"), gramsOf(col("text")).as("g"))
       val foldHits = bg.join(cg, "g")
         .groupBy("bid").agg(countDistinct("cid").as("n_folded"))
       val rawHits = bgraw.join(cg, "g")

@@ -47,7 +47,12 @@ object QualityQueries {
       // exchange is the output-linear ORDER BY. <3-token docs degrade
       // to one whole-doc shingle, same as the dedup tiering.
       graft.functions.Shingles.register(s)
+      // sort first, fold after (the q61 move): a map-only lineage under
+      // a global ORDER BY runs twice — the range sampler executes the
+      // child — so the kernel sat on both passes; sorting the narrow
+      // scan first also spreads the fold over the sort partitions
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"),
                 call_function("graft_rep_stats", col("text"), lit(3)).as("st"))
         .select(col("doc_id"),
@@ -57,7 +62,6 @@ object QualityQueries {
         .withColumn("dup_ratio",
           (col("n_shingles") - col("n_distinct")).cast("double") /
             col("n_shingles").cast("double"))
-        .orderBy("doc_id")
     },
 
     // Eval-set contamination scan: how many corpus documents share a
@@ -91,20 +95,20 @@ object QualityQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.bid
         |WHERE d.doc_id % 50 = 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      // row-level distinct, not the kernel's distinct mode: dedup on
-      // (doc_id, g) is one shuffle of short grams either way, and the
-      // blocking join downstream reshuffles on g regardless. The gram
-      // projection is the one-pass byte-slice kernel (round 10,
-      // functions/Shingles.scala — empty-array mode for <6-token docs).
+      // kernel mode 3 (first-occurrence-distinct during the byte walk)
+      // replaces the round-10 row-level .distinct(): the (doc_id, g)
+      // dedup was a corpus-scale shuffle of gram STRINGS that the
+      // kernel performs in place, so both sides of the blocking join
+      // are pure map-side projections until the join's own exchange —
+      // the only gram-keyed shuffle left in the plan.
       graft.functions.Shingles.register(s)
-      val grams = docs
+      def grams(dc: org.apache.spark.sql.DataFrame) = dc
         .select(col("doc_id"),
                 explode(call_function("graft_shingles",
-                  col("text"), lit(6), lit(2))).as("g"))
-        .distinct()
-      val bsh = grams.filter(col("doc_id") % 50 === 0)
+                  col("text"), lit(6), lit(3))).as("g"))
+      val bsh = grams(docs.filter(col("doc_id") % 50 === 0))
         .select(col("doc_id").as("bid"), col("g"))
-      val csh = grams.filter(col("doc_id") % 50 =!= 0)
+      val csh = grams(docs.filter(col("doc_id") % 50 =!= 0))
         .select(col("doc_id").as("cid"), col("g").as("g2"))
       val agg = bsh.join(csh, col("g") === col("g2"))
         .groupBy("bid", "cid").agg(count(lit(1)).as("shared"))
@@ -253,13 +257,17 @@ object QualityQueries {
         |       CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |         / CAST(1000000 AS DOUBLE) AS lm_score
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the bigram stream is the n=2 instance of the byte-slice shingle
+      // kernel (mode 2: positional, empty for <2-token docs) — the
+      // explode(sequence)+slice+concat_ws HOF chain it replaces ran
+      // interpreted per token
+      graft.functions.Shingles.register(s)
       val t = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val inst = t
-        .withColumn("i", explode(
-          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
-            .otherwise(array().cast("array<int>"))))
-        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+      val inst = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(call_function("graft_shingles",
+                  col("text"), lit(2), lit(2))).as("gram"))
       val tr = inst.filter(col("doc_id") % 10 < 8)
         .groupBy("gram").agg(count(lit(1)).as("n2"))
       val pf = tr.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))

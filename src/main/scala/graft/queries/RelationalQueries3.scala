@@ -154,7 +154,12 @@ object RelationalQueries3 {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      // tf IS the distinct (doc, token) dimension, so document frequency
+      // is a plain COUNT over it — the old COUNT(DISTINCT doc_id) over
+      // the raw token stream re-ran the explode a second time and paid
+      // the two-phase distinct expansion (ta_keywords_per_doc already
+      // used this shape); the tf exchange is reused across both branches
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n  = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w  = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
       tf.join(broadcast(df), "token")

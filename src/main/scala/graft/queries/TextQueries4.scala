@@ -49,7 +49,12 @@ object TextQueries4 {
       val tok = Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
       val cnt = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
-      val tot = tok.groupBy("source").agg(count(lit(1)).as("n"))
+      // per-source token totals = Σ size(split): the array length equals
+      // the exploded row count, so this branch never materializes the
+      // token rows a second time (map-side sum to |sources| partials)
+      val tot = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
       val vocab = cnt.select("token").distinct()
       // zeros matter: a token present in a but absent in b contributes
       // ppm_a to the distance — the dense grid materializes them

@@ -112,22 +112,31 @@ object TextQueries5 {
         .select(col("doc_id"), col("source"), col("text"))
       // hashed-shingle kernel (round 10, functions/Shingles.scala):
       // md5 runs over each 8-gram's byte slice in one pass — values
-      // byte-identical to h32(concat_ws(' ', slice(toks, i+1, 8)))
+      // byte-identical to h32(concat_ws(' ', slice(toks, i+1, 8)));
+      // mode 3 dedups per doc DURING the walk, so the old row-level
+      // .distinct() exchange is gone. n_grams (distinct grams per doc)
+      // is the kernel array's SIZE — map-side — and only grams in the
+      // df≥2 SHARED dimension need a per-doc count, so the raw
+      // (doc_id, gh) stream feeds exactly one gram-keyed exchange (the
+      // df build, map-side-combined); the shared-dim join is
+      // AQE-broadcast when the shared vocabulary is small and an
+      // equi-shuffle of 16-byte rows when it is not.
       val g = docs.select(col("doc_id"),
           explode(call_function("graft_shingle_h32",
-            col("text"), lit(8), lit(2))).as("gh"))
-        .distinct()
-      val df = g.groupBy("gh").agg(count(lit(1)).as("df"))
-      val per = g.join(df, "gh").groupBy("doc_id")
-        .agg(count(lit(1)).as("pn"),
-             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("ps"))
-      docs.select("doc_id", "source")
+            col("text"), lit(8), lit(3))).as("gh"))
+      val shared = g.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("gh").as("sh_gh"))
+      val per = g.join(shared, col("gh") === col("sh_gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("ps"))
+      docs.select(col("doc_id"), col("source"),
+          size(call_function("graft_shingle_h32",
+            col("text"), lit(8), lit(3))).cast("long").as("pn"))
         .join(per, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
-                coalesce(col("pn"), lit(0L)).as("n_grams"),
+                col("pn").as("n_grams"),
                 coalesce(col("ps"), lit(0L)).as("shared_grams"),
-                when(coalesce(col("pn"), lit(0L)) === 0, lit(0L))
-                  .otherwise((col("ps") * 10000L) / col("pn") cast "long")
+                when(col("pn") === 0, lit(0L))
+                  .otherwise((coalesce(col("ps"), lit(0L)) * 10000L) / col("pn") cast "long")
                   .as("coverage_bp"))
         .orderBy("doc_id")
     },
