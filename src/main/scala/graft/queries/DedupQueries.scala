@@ -443,11 +443,13 @@ object DedupQueries {
       // hashes each token's byte slice and votes all 16 bits in one
       // walk. Values identical (ShinglesSpec pins the vote fold).
       graft.functions.Shingles.register(s)
+      // sort first, fold after (the q61 move: the ORDER BY's range
+      // sampler executes a map-only child twice)
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), call_function("graft_simhash", col("text")).as("st"))
         .select(col("doc_id"), col("st.simhash").as("simhash"),
                 col("st.n_tokens").as("n_tokens"))
-        .orderBy("doc_id")
     },
 
     // Containment |A∩B|/|A| — the ASYMMETRIC near-dup measure Jaccard
@@ -636,21 +638,43 @@ object DedupQueries {
          |  FROM r a JOIN r b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3)
          |SELECT lang, da, db, rank_gap, jaccard
          |FROM cand ORDER BY lang, da, db""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), shingleSet(col("text")).as("sh"),
-                substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
+      // Decide pairs on NARROW rows, attach the heavy shingle arrays
+      // once (guide §8). The ranking window sees only (doc_id, lang,
+      // head) — the per-lang funnel (≤ |langs| tasks, unavoidable for a
+      // global per-lang rank) now moves ~50 bytes/row instead of the
+      // arrays; rank-adjacency comes from LEAD(doc_id, k) in the same
+      // window (no self-join), and the w=3 pair stream stays narrow
+      // until the two doc-keyed joins attach sh. The shingle dimension
+      // is repartitioned BY ITS JOIN KEY at the session's shuffle width,
+      // so the kernel runs full-width on every core (the single-file
+      // test corpus would otherwise compute it on 1–8 scan tasks) and
+      // the exchange it pays is the join's own, reused across both
+      // sides — the round-9 form shuffled the arrays through the window
+      // AND both sides of a ×3-exploded rank join.
+      val nSh = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val dim = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(nSh, col("doc_id"))
+        .select(col("doc_id"), shingleSet(col("text")).as("sh"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("head"), col("doc_id"))
-      val r = t.withColumn("rn", row_number().over(w))
-      val a = r.select(col("lang").as("la"), col("doc_id").as("da"),
-                       col("sh").as("sha"), col("rn").as("ra"),
-                       explode(sequence(lit(1), lit(3))).as("off"))
-        .withColumn("target", col("ra") + col("off"))
-      val b = r.select(col("lang").as("lb"), col("doc_id").as("db"),
-                       col("sh").as("shb"), col("rn").as("rb"))
-      a.join(b, col("la") === col("lb") && col("target") === col("rb"))
-        .select(col("la").as("lang"), col("da"), col("db"),
-                col("off").cast("int").as("rank_gap"),
+      def nb(k: Int) = struct(
+        lit(k).as("off"), lead(col("doc_id"), k).over(w).as("db"))
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 40).as("head"))
+        .select(col("lang"), col("doc_id").as("da"),
+                array(nb(1), nb(2), nb(3)).as("nbs"))
+        .select(col("lang"), col("da"), explode(col("nbs")).as("st"))
+        .filter(col("st.db").isNotNull)
+        .select(col("lang"), col("da"), col("st.db").as("db"),
+                col("st.off").cast("int").as("rank_gap"))
+      pairs
+        .join(dim.select(col("doc_id").as("a_id"), col("sh").as("sha")),
+              col("da") === col("a_id"))
+        .join(dim.select(col("doc_id").as("b_id"), col("sh").as("shb")),
+              col("db") === col("b_id"))
+        .select(col("lang"), col("da"), col("db"), col("rank_gap"),
                 (size(array_intersect(col("sha"), col("shb"))).cast("double") /
                  size(array_union(col("sha"), col("shb")))).as("jaccard"))
         .orderBy("lang", "da", "db")
