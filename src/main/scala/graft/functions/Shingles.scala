@@ -91,6 +91,34 @@ case class ShingleH32(text: Expression, n: Expression, mode: Expression)
     copy(text = f, n = s, mode = t)
 }
 
+/** mm_tile_dedup's tile digests: MD5 hex of each w-CODEPOINT tile of
+  * the document (full tiles only — the trailing < w codepoints drop,
+  * matching `sequence(1, length(text) div w)`), first-occurrence-
+  * distinct. One byte walk replaces the explode + per-tile
+  * `substring(text, (i-1)*w+1, w)` — which re-walks from the front to
+  * the i-th codepoint per call, Θ(n²/w) per document — and the
+  * row-level `.distinct()` exchange. Dedup is on the DIGEST (the
+  * declared query dedups th, not the tile bytes). */
+case class TileMd5(text: Expression, w: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_tile_md5"
+  override def left: Expression = text
+  override def right: Expression = w
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && w.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, INT), got (${text.dataType.simpleString}, " +
+        s"${w.dataType.simpleString})")
+  override def nullSafeEval(t: Any, wv: Any): Any =
+    Shingles.tileMd5(t.asInstanceOf[UTF8String], wv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, wv) => s"graft.functions.Shingles.tileMd5($t, $wv)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(text = l, w = r)
+}
+
 /** ta_repetition's whole fold: positional n-gram count / distinct count
   * / max recurrence per document, no explode, no shuffle. */
 case class RepStats(text: Expression, n: Expression)
@@ -291,6 +319,58 @@ object Shingles {
     }
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** MD5 hex (lowercase, 32 chars — Spark md5()'s rendering) of the
+    * byte slice [from, from+len). */
+  private def md5HexOf(b: Array[Byte], from: Int, len: Int): UTF8String = {
+    val md = md5.get()
+    md.reset()
+    md.update(b, from, len)
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Bytes of the UTF-8 sequence starting with byte `b` — mirrors
+    * UTF8String's table (continuation/invalid bytes advance 1). */
+  private def cpWidth(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0xc0) 1 else if (u < 0xe0) 2 else if (u < 0xf0) 3
+    else if (u < 0xf8) 4 else 1
+  }
+
+  def tileMd5(s: UTF8String, w: Int): GenericArrayData = {
+    if (w < 1) throw new IllegalArgumentException(
+      s"graft_tile_md5: tile width must be >= 1, got $w")
+    val b = s.getBytes
+    val seen = new java.util.LinkedHashSet[UTF8String](16)
+    var pos = 0        // byte cursor
+    var tileFrom = 0   // byte offset of the current tile's first codepoint
+    var inTile = 0     // codepoints consumed in the current tile
+    while (pos < b.length) {
+      val adv = cpWidth(b(pos))
+      pos = math.min(pos + adv, b.length) // clamp a truncated trailing sequence
+      inTile += 1
+      if (inTile == w) {
+        seen.add(md5HexOf(b, tileFrom, pos - tileFrom))
+        tileFrom = pos
+        inTile = 0
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   def repStats(s: UTF8String, n: Int): GenericInternalRow = {
     if (n < 1) throw new IllegalArgumentException(
       s"graft_rep_stats: shingle width must be >= 1, got $n")
@@ -414,6 +494,9 @@ object Shingles {
     })
     reg(spark, "graft_cdc_chunks", classOf[CdcChunks], children => {
       require(children.size == 1); CdcChunks(children.head)
+    })
+    reg(spark, "graft_tile_md5", classOf[TileMd5], children => {
+      require(children.size == 2); TileMd5(children(0), children(1))
     })
   }
 }

@@ -59,12 +59,15 @@ object MultimodalQueries2 {
       // only exchange is the output-linear ORDER BY. Parity with the
       // exploded form is pinned in PixelKernelsSpec.
       graft.functions.DhashStats.register(s)
+      // sort first, fold after (the q61 move): the ORDER BY's range
+      // sampler executes a map-only child twice, so the kernel ran on
+      // both passes; the sort also spreads the fold over all cores
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), expr("graft_dhash_stats(text)").as("st"))
         .filter(col("st.n_pairs") > 0)
         .select(col("doc_id"), col("st.n_pairs").as("n_pairs"),
                 col("st.dhash").as("dhash"), col("st.bits_set").as("bits_set"))
-        .orderBy("doc_id")
     },
 
     // Audio fingerprint — the energy-delta bitstring (the Shazam-family
@@ -103,13 +106,16 @@ object MultimodalQueries2 {
       // no 32-column conditional aggregate, no shuffle but the ORDER BY.
       // Parity pinned in PixelKernelsSpec.
       graft.functions.AudioFpStats.register(s)
+      // sort first, fold after (the q61 move): the ORDER BY's range
+      // sampler executes a map-only child twice, so the kernel ran on
+      // both passes; the sort also spreads the fold over all cores
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), expr("graft_audio_fp(text)").as("st"))
         .filter(col("st.n_frames") > 1)
         .select(col("doc_id"), col("st.n_frames").as("n_frames"),
                 col("st.fingerprint").as("fingerprint"),
                 col("st.bits_set").as("bits_set"))
-        .orderBy("doc_id")
     },
 
     // Letterbox / border detection: count the leading and trailing runs
@@ -141,14 +147,17 @@ object MultimodalQueries2 {
       // (functions/PixelKernels.scala) — 41.8 s of sf10 explode+shuffle
       // becomes a map-side projection. Parity pinned in PixelKernelsSpec.
       graft.functions.BorderStats.register(s)
+      // sort first, fold after (the q61 move): the ORDER BY's range
+      // sampler executes a map-only child twice, so the kernel ran on
+      // both passes; the sort also spreads the fold over all cores
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), expr("graft_border_stats(text)").as("st"))
         .filter(col("st.n_rows") > 0)
         .select(col("doc_id"), col("st.n_rows").as("n_rows"),
                 col("st.dark_rows").as("dark_rows"),
                 col("st.top_border").as("top_border"),
                 col("st.bottom_border").as("bottom_border"))
-        .orderBy("doc_id")
     },
 
     // Tile-level duplication — watermark / template detection: hash each
@@ -185,13 +194,17 @@ object MultimodalQueries2 {
         |       CAST(COALESCE(sh.shared_tiles, 0) * 10000 // per.n_tiles AS BIGINT) AS shared_bp
         |FROM per LEFT JOIN sh ON per.doc_id = sh.doc_id
         |ORDER BY per.doc_id""".stripMargin) { (s, d) =>
-      val tileIdx = when(expr("length(text) div 16") > 0,
-        expr("sequence(1, length(text) div 16)")).otherwise(array().cast("array<int>"))
-      val tl = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), explode(tileIdx).as("i"))
+      // one-pass tile-digest kernel (functions/Shingles.TileMd5): the
+      // explode form re-walked the text from the front for every
+      // substring(text, (i-1)*16+1, 16) probe — Θ(n²/16) per document —
+      // and then paid a row-level .distinct() exchange on (doc_id, th);
+      // the kernel digests each 16-codepoint byte slice in place and
+      // dedups during the walk, so the tile lineage is map-side until
+      // the th-keyed aggregate
+      graft.functions.Shingles.register(s)
+      val tl = Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"),
-                md5(expr("encode(substring(text, CAST((i - 1) * 16 + 1 AS INT), 16), 'UTF-8')")).as("th"))
-        .distinct()
+                explode(call_function("graft_tile_md5", col("text"), lit(16))).as("th"))
       val df = tl.groupBy("th").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
       // one LEFT join carries the df annotation back to every tile row
@@ -237,14 +250,17 @@ object MultimodalQueries2 {
       // codegen kernel (functions/PixelKernels.scala). Parity pinned in
       // PixelKernelsSpec.
       graft.functions.LapStats.register(s)
+      // sort first, fold after (the q61 move): the ORDER BY's range
+      // sampler executes a map-only child twice, so the kernel ran on
+      // both passes; the sort also spreads the fold over all cores
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), expr("graft_lap_stats(text)").as("st"))
         .filter(col("st.n_terms") > 0)
         .select(col("doc_id"), col("st.n_terms").as("n_terms"),
                 col("st.lap_energy").as("lap_energy"),
                 col("st.max_abs_lap").as("max_abs_lap"),
                 expr("cast(st.lap_energy div st.n_terms as bigint)").as("mean_energy"))
-        .orderBy("doc_id")
     }
   )
 }

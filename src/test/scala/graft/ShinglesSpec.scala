@@ -147,6 +147,43 @@ class ShinglesSpec extends SparkSpec {
     }
   }
 
+  test("graft_tile_md5 equals explode+substring+md5 distinct, codepoint-aligned") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).toSeq
+    // reference: the declared SQL form (substring is CODEPOINT-based,
+    // digests over the UTF-8 encoding, row-level distinct keeps first
+    // occurrence order irrelevant — compare as sets per doc)
+    for (t <- corpus ++ edges; w <- Seq(1, 3, 16)) {
+      val cps = t.codePoints().toArray
+      val nTiles = cps.length / w
+      val want = (0 until nTiles).map { i =>
+        val tile = new String(cps, i * w, w)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(tile.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.distinct
+      val got = functions.Shingles
+        .tileMd5(org.apache.spark.unsafe.types.UTF8String.fromString(t), w)
+        .array.map(_.toString).toSeq
+      assert(got === want, s"w=$w ${t.take(40)}")
+    }
+    // and through the registered SQL function against the old plan form
+    functions.Shingles.register(spark)
+    val byKernel = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(call_function("graft_tile_md5", col("text"), lit(16))).as("th"))
+      .orderBy("doc_id", "th").collect().toSeq.map(_.toSeq)
+    val tileIdx = when(expr("length(text) div 16") > 0,
+      expr("sequence(1, length(text) div 16)")).otherwise(array().cast("array<int>"))
+    val byExplode = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), explode(tileIdx).as("i"))
+      .select(col("doc_id"),
+              md5(expr("encode(substring(text, CAST((i - 1) * 16 + 1 AS INT), 16), 'UTF-8')")).as("th"))
+      .distinct()
+      .orderBy("doc_id", "th").collect().toSeq.map(_.toSeq)
+    assert(byKernel === byExplode)
+  }
+
   test("graft_rep_stats equals the exploded count profile") {
     val corpus = Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0)).toSeq
