@@ -48,4 +48,31 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Spread a scan whose FILE LAYOUT under-parallelizes the session
+    * (guide §2.5 "input skew … one huge unsplittable file: repartition
+    * immediately after the read"). The test corpora ship as one
+    * single-row-group parquet file per table at sf0.1 (8 at the synth
+    * sf10), so a map-heavy lineage — codegen kernels, per-row
+    * XML/JSON/variant parses, md5 probes — runs on 1–8 cores of the 32
+    * no matter how cheap its plan is; the round-10 kernel rewrites made
+    * this the dominant cost of the converted queries. The gate is
+    * SCALE-ADAPTIVE, not a constant: it fires only when the planned
+    * scan partition count is below the session's parallelism, which a
+    * production 100 TB layout (thousands of splits) never triggers —
+    * there this is a no-op and NO exchange is added. Call sites are the
+    * queries whose per-row work dominates their scan (a cheap scan
+    * gains nothing and skips the shuffle by staying un-spread).
+    *
+    * The repartition is HASH-KEYED on the table's unique id, never
+    * round-robin: a keyless repartition(n) first pays a local sort of
+    * its full input rows (spark.sql.execution.sortBeforeRepartition,
+    * needed for retry determinism) — measured 26→29 s on q61 / 33→43 s
+    * on q62 at sf10, i.e. the sort cost more than the exchange bought —
+    * while a deterministic unique key needs no sort and spreads evenly
+    * (guide §2.5). */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
 }

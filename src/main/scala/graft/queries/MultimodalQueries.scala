@@ -100,7 +100,10 @@ object MultimodalQueries {
       // and are filtered, matching the explode form where they emit no
       // pixel rows. Parity pinned in PixelKernelsSpec.
       graft.functions.ResizeStats.register(s)
+      // sort first, fold after (the q61 move): the ORDER BY's range
+      // sampler executes a map-only child twice
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"), length(col("text")).cast("long").as("len"),
                 expr("graft_resize_stats(text)").as("st"))
         .filter(col("st.n_blocks") > 0)
@@ -138,7 +141,7 @@ object MultimodalQueries {
         |       CAST(SUM(CASE WHEN ss < 10000 * n THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
         |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)"))
@@ -189,7 +192,7 @@ object MultimodalQueries {
         |       CAST(n_frames - COALESCE(last_sound - first_sound + 1, 0) AS BIGINT)
         |         AS trimmed_frames
         |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)"))
@@ -247,7 +250,7 @@ object MultimodalQueries {
       // length(text)>0 guard in BOTH twins: Spark's split('', '') yields
       // [""] so an empty doc would survive with phash=0, while DuckDB's
       // empty px list gives NULL and drops the row at the h⋈g join
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 62)"))
@@ -310,7 +313,7 @@ object MultimodalQueries {
         |FROM p WHERE bit_count(xor(ha, hb)) <= 8
         |ORDER BY da, db""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 62)"))
@@ -381,7 +384,7 @@ object MultimodalQueries {
       val nFrames  = expr("CAST(length(text) div 64 AS BIGINT)")
       val frameIds = when(nFrames > 0,
         sequence(lit(0L), nFrames - 1, lit(4L))).otherwise(array().cast("array<bigint>"))
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("text"), explode(frameIds).as("frame_no"))
         .select(col("doc_id"), col("frame_no"),
                 posexplode(split(expr("substring(text, CAST(frame_no * 64 + 1 AS INT), 64)"),
@@ -429,7 +432,7 @@ object MultimodalQueries {
         |FROM mx m JOIN bc b ON m.doc_id = b.doc_id AND b.c = m.mode_count
         |GROUP BY m.doc_id, m.n_px, m.n_buckets, m.mode_count, m.p_hi - m.p_lo
         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
+      val px = Tables.spread(Tables.documents(s, d), "doc_id")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)")).as(Seq("i", "ch")))

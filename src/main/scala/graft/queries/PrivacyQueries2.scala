@@ -115,7 +115,11 @@ object PrivacyQueries2 {
   /** Spark twin of [[duckDetect]]: augmented text + per-doc counts, one
     * codegen projection chain. */
   private def sparkDetect(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val base = Tables.documents(s, d).select(
+    // spread: five regex detectors (and the audit's four regex_replace
+    // passes) per document dominate the scan, and both consumers end in
+    // source-keyed aggregates whose exchange is too late to help — the
+    // single-file test layout otherwise runs the regexes on 1-8 cores
+    val base = Tables.spread(Tables.documents(s, d), "doc_id").select(
       col("doc_id"), col("source"), col("text"),
       lpad(((col("doc_id") * 2654435761L) % 1000000000000000L).cast("string"),
            15, "0").as("b"))

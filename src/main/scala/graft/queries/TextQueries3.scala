@@ -280,14 +280,20 @@ object TextQueries3 {
       // it. The oracle-side CASE on norm_weight mirrors Spark `div`'s
       // truncation toward zero (DuckDB `//` floors, and weight_ppm is
       // legitimately negative for off-target docs).
-      val flat = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("source"), col("toks"),
-          explode(when(size(col("toks")) >= 2, sequence(lit(1), size(col("toks")) - 1))
-            .otherwise(array().cast("array<int>"))).as("i"))
+      // round-10 follow-up: the flat position-explode still paid an
+      // interpreted slice+concat_ws+md5 per bigram; graft_shingle_h32
+      // (n=2, mode 2 — positional, empty for <2-token docs, matching
+      // the size guard) digests each bigram's byte slice in one walk,
+      // byte-identical values. spread: the md5-per-bigram work runs
+      // twice (dim collect + main pass) in scan tasks on the
+      // single-file test layout.
+      graft.functions.Shingles.register(s)
+      val flat = Tables.spread(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("source"),
-          pmod(h32(concat_ws(" ", slice(col("toks"), col("i"), lit(2)))), lit(1024L))
-            .as("bucket"))
+          explode(call_function("graft_shingle_h32",
+            col("text"), lit(2), lit(2))).as("h"))
+        .select(col("doc_id"), col("source"),
+          pmod(col("h"), lit(1024L)).as("bucket"))
       // pass 1: the 1024-row bucket dimension (map-side combined), then
       // collected — a constant-size trained artifact, never row-scale
       val dim = flat
