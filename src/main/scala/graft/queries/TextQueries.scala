@@ -186,12 +186,14 @@ object TextQueries {
       // shingle kernel (<2-token docs yield an empty set, matching
       // the oracle's empty range)
       graft.functions.Shingles.register(s)
+      // sort first, fold after (the q61 move: the ORDER BY's range
+      // sampler executes a map-only child twice)
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
         .select(col("doc_id"),
                 call_function("graft_rolling_fp", col("text")).as("fingerprint"),
                 size(call_function("graft_shingles", col("text"), lit(2), lit(3)))
                   .as("n_distinct_bigrams"))
-        .orderBy("doc_id")
     }
   )
 }
