@@ -173,22 +173,38 @@ object PipelineQueries3 {
         .select(col("lang").as("cand"),
                 round(log(lit(1.0) / (col("n") + col("nv"))) * lit(1000000.0))
                   .cast("long").as("w0"))
-      val idx = when(col("cand") === "de", 5L).when(col("cand") === "en", 4L)
-        .when(col("cand") === "es", 3L).when(col("cand") === "fr", 2L)
-        .otherwise(1L)
-      val gridR = grid.select(col("lang").as("g_lang"), col("token").as("g_token"),
-                              col("w"))
+      def idxOf(l: String): Long = l match {
+        case "de" => 5L; case "en" => 4L; case "es" => 3L; case "fr" => 2L
+        case _ => 1L
+      }
+      // PIVOT the weight grid by language so each eval token joins ONCE
+      // and carries all |langs| weights in one row — the round-9 form
+      // cross-joined the eval token stream with the language dimension
+      // (a x|langs| row blowup through the per-(doc, lang) aggregate).
+      // The language list is a bounded control-plane read (|langs|
+      // rows, the shard-map pattern); per-language default weights ride
+      // a broadcast 1-row frame. argmax is the same score*8+idx
+      // encoding, folded over the score columns with greatest().
+      val langs = tot.select("lang").collect().map(_.getString(0)).sorted.toSeq
+      def pivotAggs(src: String, pre: String): Seq[org.apache.spark.sql.Column] =
+        langs.map(l => max(when(col(src) === l,
+          col(if (src == "lang") "w" else "w0"))).as(s"$pre$l"))
+      val gridP = grid.groupBy(col("token").as("g_token"))
+        .agg(pivotAggs("lang", "w_").head, pivotAggs("lang", "w_").tail: _*)
+      val dfltP = dflt.groupBy()
+        .agg(pivotAggs("cand", "w0_").head, pivotAggs("cand", "w0_").tail: _*)
+      val sumAggs = langs.map(l =>
+        sum(coalesce(col(s"w_$l"), col(s"w0_$l"))).as(s"s_$l"))
       val scored = tok.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang").as("true_lang"), col("token"))
-        .crossJoin(broadcast(dflt))
-        .join(broadcast(gridR),
-              col("cand") === col("g_lang") && col("token") === col("g_token"),
-              "left")
-        .groupBy("doc_id", "true_lang", "cand")
-        .agg(sum(coalesce(col("w"), col("w0"))).as("score"))
-      scored
+        .join(broadcast(gridP), col("token") === col("g_token"), "left")
+        .crossJoin(broadcast(dfltP))
         .groupBy("doc_id", "true_lang")
-        .agg(max(col("score") * 8 + idx).as("enc"))
+        .agg(sumAggs.head, sumAggs.tail: _*)
+      scored
+        .select(col("true_lang"),
+                greatest(langs.map(l =>
+                  col(s"s_$l") * 8 + lit(idxOf(l))): _*).as("enc"))
         .select(col("true_lang"),
                 when(pmod(col("enc"), lit(8L)) === 5, "de")
                   .when(pmod(col("enc"), lit(8L)) === 4, "en")

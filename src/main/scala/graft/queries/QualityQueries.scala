@@ -188,15 +188,14 @@ object QualityQueries {
         |         / CAST(1000000 AS DOUBLE) AS lm_score
         |FROM inst i JOIN dim d ON i.gram = d.gram
         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+      // the bigram stream is the n=2 byte-slice kernel (mode 2:
+      // positional, empty for <2-token docs — the same single-token
+      // guard the old sequence/slice chain spelled out)
+      graft.functions.Shingles.register(s)
       val inst = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        // single-token guard: Spark's two-arg sequence(1, 0) counts DOWN
-        // ([1,0]) where the oracle's range(1, 1) is empty — emit an empty
-        // array so explode drops the doc, matching the oracle
-        .withColumn("i", explode(
-          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
-            .otherwise(array().cast("array<int>"))))
-        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+        .select(col("doc_id"),
+                explode(call_function("graft_shingles",
+                  col("text"), lit(2), lit(2))).as("gram"))
       val bg = inst.groupBy("gram").agg(count(lit(1)).as("n2"))
       val pf = bg.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))
         .agg(sum(col("n2")).as("n1"))
@@ -339,12 +338,11 @@ object QualityQueries {
         |         / CAST(1000000 AS DOUBLE) AS kn_score
         |FROM inst i JOIN dim d ON i.gram = d.gram
         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.Shingles.register(s)
       val inst = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("i", explode(
-          when(size(col("toks")) >= 2, expr("sequence(1, size(toks) - 1)"))
-            .otherwise(array().cast("array<int>"))))
-        .select(col("doc_id"), concat_ws(" ", expr("slice(toks, i, 2)")).as("gram"))
+        .select(col("doc_id"),
+                explode(call_function("graft_shingles",
+                  col("text"), lit(2), lit(2))).as("gram"))
       val bg = inst.groupBy("gram").agg(count(lit(1)).as("n2"))
       val pf = bg.groupBy(substring_index(col("gram"), " ", 1).as("prefix"))
         .agg(sum(col("n2")).as("n1"), count(lit(1)).as("c1"))
