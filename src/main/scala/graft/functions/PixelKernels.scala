@@ -248,6 +248,44 @@ object AudioFpStats {
       children => { require(children.size == 1); AudioFpStats(children.head) })
 }
 
+/** mm_phash / mm_phash_pairs: average-hash over the first ≤62 pixels —
+  * mean (floor) of the codepoint values, bit j (0-based) set when
+  * px(j) > mean. The exploded form aggregated the pixel rows twice
+  * (mean pass + bit pass) and joined them back by doc_id; this is one
+  * bounded in-row fold. Callers keep their length(text) > 0 guard
+  * (empty text folds to 0, which the guard never sees). */
+case class PhashVal(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_phash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(input: Any): Any =
+    PhashVal.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PhashVal.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PhashVal {
+  def hash(s: UTF8String): Long = {
+    val cps = PixelKernels.codepoints(s)
+    val n = math.min(cps.length, 62)
+    if (n == 0) return 0L
+    var sum = 0L; var j = 0
+    while (j < n) { sum += cps(j); j += 1 }
+    val mean = sum / n
+    var h = 0L; j = 0
+    while (j < n) { if (cps(j) > mean) h |= 1L << j; j += 1 }
+    h
+  }
+  def register(spark: SparkSession): Unit =
+    PixelKernels.register(spark, "graft_phash", classOf[PhashVal],
+      children => { require(children.size == 1); PhashVal(children.head) })
+}
+
 object PixelKernels {
   import org.apache.spark.sql.types.{LongType, StructField}
 

@@ -250,19 +250,13 @@ object MultimodalQueries {
       // length(text)>0 guard in BOTH twins: Spark's split('', '') yields
       // [""] so an empty doc would survive with phash=0, while DuckDB's
       // empty px list gives NULL and drops the row at the h⋈g join
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      // one-pass kernel (functions/PixelKernels.PhashVal): the exploded
+      // form aggregated the 62 pixel rows twice (mean, then bits) and
+      // joined them back by doc_id; the fold is bounded in-row state
+      graft.functions.PhashVal.register(s)
+      val h = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-                posexplode(expr("slice(split(text, ''), 1, 62)"))
-                  .as(Seq("j", "ch")))
-        .select(col("doc_id"), col("j"), ascii(col("ch")).as("p"))
-      val stats = px.groupBy(col("doc_id").as("m_doc"))
-        .agg(expr("CAST(SUM(p) AS BIGINT) div COUNT(1)").as("mean"))
-      val h = px.join(stats, col("doc_id") === col("m_doc"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("p") > col("mean"),
-                      expr("shiftleft(CAST(1 AS BIGINT), j)"))
-               .otherwise(0L)).as("phash"))
+        .select(col("doc_id"), expr("graft_phash(text)").as("phash"))
       val g = h.groupBy(col("phash").as("g_phash")).agg(count(lit(1)).as("n_same"))
       h.join(g, col("phash") === col("g_phash"))
         .select(col("doc_id"), col("phash"), col("n_same"))
@@ -313,22 +307,13 @@ object MultimodalQueries {
         |FROM p WHERE bit_count(xor(ha, hb)) <= 8
         |ORDER BY da, db""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      // one-pass kernel (see mm_phash); the round-9 checkpoint is gone —
+      // recomputing a bounded in-row fold per join side is cheaper than
+      // materializing the hash frame
+      graft.functions.PhashVal.register(s)
+      val h = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-                posexplode(expr("slice(split(text, ''), 1, 62)"))
-                  .as(Seq("j", "ch")))
-        .select(col("doc_id"), col("j"), ascii(col("ch")).as("p"))
-      val stats = px.groupBy(col("doc_id").as("m_doc"))
-        .agg(expr("CAST(SUM(p) AS BIGINT) div COUNT(1)").as("mean"))
-      // checkpointed: the hash frame feeds the band explode whose two
-      // self-join sides would otherwise re-run the raster aggregation
-      val h = px.join(stats, col("doc_id") === col("m_doc"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("p") > col("mean"),
-                      expr("shiftleft(CAST(1 AS BIGINT), j)"))
-               .otherwise(0L)).as("phash"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), expr("graft_phash(text)").as("phash"))
       val b = h.select(col("doc_id"), col("phash"),
                        explode(expr("array(0, 1, 2, 3)")).as("bid"))
         .withColumn("bkey", expr("shiftright(phash, bid * 16) & 65535"))

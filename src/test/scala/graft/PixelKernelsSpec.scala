@@ -121,6 +121,30 @@ class PixelKernelsSpec extends SparkSpec {
     }
   }
 
+  test("graft_phash equals the exploded mean/bit aggregate on corpus and edges") {
+    import org.apache.spark.sql.functions._
+    functions.PhashVal.register(spark)
+    import spark.implicits._
+    val edges = Seq((9001L, "a"), (9002L, "ab"), (9003L, "zzz aa 😀 q"),
+                    (9004L, "x" * 200)).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(edges).filter(length(col("text")) > 0)
+    val byKernel = docs.select(col("doc_id"), expr("graft_phash(text)").as("h"))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val px = docs
+      .select(col("doc_id"),
+              posexplode(expr("slice(split(text, ''), 1, 62)")).as(Seq("j", "ch")))
+      .select(col("doc_id"), col("j"), ascii(col("ch")).as("p"))
+    val stats = px.groupBy(col("doc_id").as("m_doc"))
+      .agg(expr("CAST(SUM(p) AS BIGINT) div COUNT(1)").as("mean"))
+    val byExplode = px.join(stats, col("doc_id") === col("m_doc"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("p") > col("mean"), expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("h"))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(byKernel === byExplode)
+  }
+
   test("audio fingerprint drops single-frame docs like the exploded form") {
     import spark.implicits._
     val view = Seq((1L, "x" * 10), (2L, "x" * 17), (3L, ""))
