@@ -139,16 +139,26 @@ object PipelineQueries2 {
         |                                THEN ev.pseudo END) AS BIGINT) AS nd_matched
         |FROM ev LEFT JOIN cust ON ev.pseudo = cust.pseudo
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(sha2(concat(lit("graft:"), col("user_id").cast("string")), 256)
-                  .as("pseudo"),
-                col("user_id"))
+      // pseudonymize the USER DIMENSION, not the event stream: every
+      // per-bucket statistic is a function of (user, pseudo, matched,
+      // per-user event count), so the fact table pays one narrow
+      // map-side-combined groupBy(user_id) and sha256 runs |users| +
+      // |customer| times instead of |events| — and the multi-distinct
+      // Expand (x4, carrying 64-char hashes) now expands the user
+      // dimension, not 10M event rows. The join stays ON THE PSEUDONYM
+      // (unhinted, the round-8 scale note): a sha collision must
+      // surface exactly as the oracle's string join would show it.
+      val u = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("n_ev"),
+                sha2(concat(lit("graft:"), col("user_id").cast("string")), 256)
+                  .as("pseudo"))
       val cust = Tables.customer(s, d)
         .select(sha2(concat(lit("graft:"), col("c_custkey").cast("string")), 256)
                   .as("cpseudo")).distinct()
-      ev.join(cust, col("pseudo") === col("cpseudo"), "left")
+      u.join(cust, col("pseudo") === col("cpseudo"), "left")
         .groupBy(substring(col("pseudo"), 1, 1).as("bucket"))
-        .agg(count(lit(1)).as("n_events"),
+        .agg(sum(col("n_ev")).as("n_events"),
              countDistinct(col("user_id")).as("nd_users"),
              countDistinct(col("pseudo")).as("nd_pseudo"),
              countDistinct(when(col("cpseudo").isNotNull, col("pseudo"))).as("nd_matched"))

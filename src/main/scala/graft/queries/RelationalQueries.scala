@@ -250,11 +250,21 @@ object RelationalQueries {
         |       COUNT(DISTINCT l_suppkey) AS nd_supp,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("nd_part"),
-             countDistinct(col("l_suppkey")).as("nd_supp"),
-             count(lit(1)).as("cnt"))
+      // three per-column branches instead of the 2-distinct Expand (the
+      // q65 move, grouped edition): the multi-distinct plan multiplied
+      // the scan x3 in-plan; per branch, groupBy(flag, key) is a
+      // map-side-combined partial whose exchange carries only that
+      // column's distinct pairs, and the scans prune to two columns
+      val li = Tables.lineitem(s, d)
+      def nd(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key))
+          .groupBy("l_returnflag", key).agg(count(lit(1)))
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      nd("l_partkey", "nd_part")
+        .join(nd("l_suppkey", "nd_supp"), Seq("l_returnflag"))
+        .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt")),
+              Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("nd_part"), col("nd_supp"), col("cnt"))
         .orderBy("l_returnflag")
     },
 
