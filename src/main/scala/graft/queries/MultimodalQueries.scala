@@ -141,7 +141,7 @@ object MultimodalQueries {
         |       CAST(SUM(CASE WHEN ss < 10000 * n THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
         |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      val px = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)"))
@@ -192,7 +192,7 @@ object MultimodalQueries {
         |       CAST(n_frames - COALESCE(last_sound - first_sound + 1, 0) AS BIGINT)
         |         AS trimmed_frames
         |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      val px = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)"))
@@ -369,7 +369,7 @@ object MultimodalQueries {
       val nFrames  = expr("CAST(length(text) div 64 AS BIGINT)")
       val frameIds = when(nFrames > 0,
         sequence(lit(0L), nFrames - 1, lit(4L))).otherwise(array().cast("array<bigint>"))
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      val px = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), explode(frameIds).as("frame_no"))
         .select(col("doc_id"), col("frame_no"),
                 posexplode(split(expr("substring(text, CAST(frame_no * 64 + 1 AS INT), 64)"),
@@ -417,7 +417,7 @@ object MultimodalQueries {
         |FROM mx m JOIN bc b ON m.doc_id = b.doc_id AND b.c = m.mode_count
         |GROUP BY m.doc_id, m.n_px, m.n_buckets, m.mode_count, m.p_hi - m.p_lo
         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.spread(Tables.documents(s, d), "doc_id")
+      val px = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"),
                 posexplode(expr("slice(split(text, ''), 1, 256)")).as(Seq("i", "ch")))
