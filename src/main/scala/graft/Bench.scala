@@ -127,6 +127,15 @@ object Bench {
         scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
       }
     }
+    // One short, independently parseable line PER QUERY (round 11): the
+    // combined "queries" map above rides one very long line that the
+    // driver's tail capture truncates (PERF_r10 per_query={},
+    // prev/now_bench_ok=false in both rounds). Short lines near the end
+    // of output survive any tail window. Additions-only: the combined
+    // map line above and the final total line below are unchanged.
+    timed.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","sec":${r3(v)},"cold_sec":${r3(pass1(k))}}""")
+    }
     // The per-query line above grew past the driver's tail-capture window
     // (BENCH_r01..r03 all parsed as null). The LAST line printed must be a
     // complete, short JSON record so any tail capture can parse the result.

@@ -70,9 +70,37 @@ object Tables {
     * needed for retry determinism) — measured 26→29 s on q61 / 33→43 s
     * on q62 at sf10, i.e. the sort cost more than the exchange bought —
     * while a deterministic unique key needs no sort and spreads evenly
-    * (guide §2.5). */
+    * (guide §2.5).
+    *
+    * Round 11: the gate reads the FILE INDEX, not `df.rdd` — the old
+    * form built a full QueryExecution plus a row-deserializing RDD
+    * lineage on the driver per call site (ADVICE r10), and it did that
+    * even at production layouts where the gate then no-ops. The task
+    * estimate mirrors Spark's own split sizing (maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, bytesPerCore))), so the
+    * decision matches the planned scan partition count the old gate
+    * read: fires at the test layouts (sf0.1: 1 task; synth sf10: 24),
+    * no-ops at any layout with ≥ cores worth of splits. Inputs under
+    * 256 KB skip the spread outright — at the two smallest verify SFs
+    * a 32-way exchange of a few-KB table was pure task-launch overhead
+    * (mm_tile_dedup anti-scaled: 32c slower than 8c). */
   def spread(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (rels.isEmpty) return df
+    val sizes = rels.flatMap(_.location.listFiles(Nil, Nil)).flatMap(_.files.map(_.getLen))
+    val total = sizes.sum
+    val conf = sess.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPart = conf.filesMinPartitionNum.getOrElse(p)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, (total + sizes.length * openCost) / math.max(1, minPart)))
+    val estTasks = sizes.map(sz => (sz + maxSplit - 1) / maxSplit).sum
+    if (estTasks < p && total >= 256 * 1024) df.repartition(p, col(key)) else df
   }
 }

@@ -248,6 +248,126 @@ object AudioFpStats {
       children => { require(children.size == 1); AudioFpStats(children.head) })
 }
 
+/** mm_audio_energy: 16-sample frame energies over the first 256 samples
+  * (the AudioFpStats frames), rolled up per doc — frame count, Σ of the
+  * per-frame Σp², and how many frames are "silent" (Σp² < 10000·n for a
+  * frame of n samples; the last frame may be partial). */
+case class AudioEnergyStats(child: Expression) extends PixelKernel {
+  override def prettyName: String = "graft_audio_energy"
+  override protected def staticCall: String = "graft.functions.AudioEnergyStats.stats"
+  override def nullSafeEval(input: Any): Any =
+    AudioEnergyStats.stats(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioEnergyStats {
+  def stats(s: UTF8String): GenericInternalRow = {
+    val cps = PixelKernels.codepoints(s)
+    val len = math.min(cps.length, 256)
+    var nFrames = 0L; var energy = 0L; var silence = 0L
+    var ss = 0L; var inFrame = 0L
+    var i = 0
+    while (i < len) {
+      val p = cps(i).toLong
+      ss += p * p; inFrame += 1
+      if (inFrame == 16 || i == len - 1) {
+        nFrames += 1; energy += ss
+        if (ss < 10000L * inFrame) silence += 1
+        ss = 0; inFrame = 0
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nFrames, energy, silence))
+  }
+  def register(spark: SparkSession): Unit =
+    PixelKernels.register(spark, "graft_audio_energy", classOf[AudioEnergyStats],
+      children => { require(children.size == 1); AudioEnergyStats(children.head) })
+}
+
+/** mm_silence_trim: same frames as AudioEnergyStats; first/last frame
+  * index whose Σp² ≥ 10000·n (NULL when every frame is silent). */
+case class SilenceTrimStats(child: Expression) extends PixelKernel {
+  override def prettyName: String = "graft_silence_trim"
+  override protected def staticCall: String = "graft.functions.SilenceTrimStats.stats"
+  override def nullSafeEval(input: Any): Any =
+    SilenceTrimStats.stats(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SilenceTrimStats {
+  def stats(s: UTF8String): GenericInternalRow = {
+    val cps = PixelKernels.codepoints(s)
+    val len = math.min(cps.length, 256)
+    var nFrames = 0L
+    var first = -1L; var last = -1L
+    var ss = 0L; var inFrame = 0L; var frame = 0L
+    var i = 0
+    while (i < len) {
+      val p = cps(i).toLong
+      ss += p * p; inFrame += 1
+      if (inFrame == 16 || i == len - 1) {
+        nFrames += 1
+        if (ss >= 10000L * inFrame) { if (first < 0) first = frame; last = frame }
+        ss = 0; inFrame = 0; frame += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nFrames,
+      if (first >= 0) first else null,
+      if (last >= 0) last else null))
+  }
+  def register(spark: SparkSession): Unit =
+    PixelKernels.register(spark, "graft_silence_trim", classOf[SilenceTrimStats],
+      children => { require(children.size == 1); SilenceTrimStats(children.head) })
+}
+
+/** mm_pixel_hist: 32-wide intensity buckets over the first 256 pixels —
+  * pixel count, buckets used, modal bucket (ties to the LOWEST bucket),
+  * its population, and min/max pixel value. */
+case class PixelHistStats(child: Expression) extends PixelKernel {
+  override def prettyName: String = "graft_pixel_hist"
+  override protected def staticCall: String = "graft.functions.PixelHistStats.stats"
+  override def nullSafeEval(input: Any): Any =
+    PixelHistStats.stats(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PixelHistStats {
+  def stats(s: UTF8String): GenericInternalRow = {
+    val cps = PixelKernels.codepoints(s)
+    val len = math.min(cps.length, 256)
+    // sorted bucket → count map: ≤ 256 entries; ascending iteration makes
+    // the min-bucket tie-break the first maximum encountered
+    val buckets = new java.util.TreeMap[Long, Long]()
+    var pLo = Long.MaxValue; var pHi = Long.MinValue
+    var i = 0
+    while (i < len) {
+      val p = cps(i).toLong
+      buckets.merge(p / 32, 1L, (a, inc) => a + inc)
+      if (p < pLo) pLo = p
+      if (p > pHi) pHi = p
+      i += 1
+    }
+    if (len == 0)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L, 0L, 0L))
+    var modeBucket = 0L; var modeCount = 0L
+    val it = buckets.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > modeCount) { modeCount = e.getValue; modeBucket = e.getKey }
+    }
+    new GenericInternalRow(Array[Any](
+      len.toLong, buckets.size.toLong, modeBucket, modeCount, pLo, pHi))
+  }
+  def register(spark: SparkSession): Unit =
+    PixelKernels.register(spark, "graft_pixel_hist", classOf[PixelHistStats],
+      children => { require(children.size == 1); PixelHistStats(children.head) })
+}
+
 /** mm_phash / mm_phash_pairs: average-hash over the first ≤62 pixels —
   * mean (floor) of the codepoint values, bit j (0-based) set when
   * px(j) > mean. The exploded form aggregated the pixel rows twice
@@ -297,7 +417,15 @@ object PixelKernels {
     "graft_dhash_stats"  -> longs("n_pairs", "dhash", "bits_set"),
     "graft_resize_stats" -> longs("out_h", "n_blocks", "pooled_checksum"),
     "graft_border_stats" -> longs("n_rows", "dark_rows", "top_border", "bottom_border"),
-    "graft_audio_fp"     -> longs("n_frames", "fingerprint", "bits_set"))
+    "graft_audio_fp"     -> longs("n_frames", "fingerprint", "bits_set"),
+    "graft_audio_energy" -> longs("n_frames", "energy_total", "silence_frames"),
+    // first/last_sound are NULL for all-silent docs
+    "graft_silence_trim" -> StructType(Seq(
+      StructField("n_frames", LongType, nullable = false),
+      StructField("first_sound", LongType, nullable = true),
+      StructField("last_sound", LongType, nullable = true))),
+    "graft_pixel_hist"   -> longs("n_px", "n_buckets", "mode_bucket",
+                                  "mode_count", "p_lo", "p_hi"))
 
   /** Codepoint array of the text — 1-based query positions map to index
     * i−1. Supplementary codepoints count once, matching DuckDB's
@@ -329,5 +457,7 @@ object PixelKernels {
     LapStats.register(spark); DhashStats.register(spark)
     ResizeStats.register(spark); BorderStats.register(spark)
     AudioFpStats.register(spark)
+    AudioEnergyStats.register(spark); SilenceTrimStats.register(spark)
+    PixelHistStats.register(spark)
   }
 }

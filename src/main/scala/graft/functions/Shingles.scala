@@ -207,6 +207,58 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document token→occurrence-count map, first-occurrence order, one
+  * byte walk — the in-row twin of groupBy(doc_id, token).count over
+  * explode(split(text, ' ')). `mode` 0 keeps empty tokens (string_split
+  * semantics), 1 drops them (the WHERE length(token) > 0 call sites).
+  * Consumers explode the array, so the (doc, token) pre-aggregation
+  * exchange disappears (ta_keywords_per_doc, ta_inverted_index). */
+case class TokenCounts(text: Expression, mode: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_token_counts"
+  override def left: Expression = text
+  override def right: Expression = mode
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && mode.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, INT), got (${text.dataType.simpleString}, " +
+        s"${mode.dataType.simpleString})")
+  override def nullSafeEval(t: Any, mv: Any): Any =
+    Shingles.tokenCounts(t.asInstanceOf[UTF8String], mv.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, mv) => s"graft.functions.Shingles.tokenCounts($t, $mv)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(text = l, mode = r)
+}
+
+/** ta_feature_hash's whole per-document fold: every token occurrence
+  * (empties included) hashes to one of 64 buckets via h32 mod 64; the
+  * emitted profile is nnz / Σn² / modal bucket (ties to the LOWEST
+  * bucket) / its population — no explode, no (doc, bucket) shuffle, no
+  * per-doc rank window. */
+case class FeatureHashStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_feature_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("nnz", LongType, nullable = false),
+    StructField("l2sq", LongType, nullable = false),
+    StructField("top_bucket", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Shingles.featureHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingles.featureHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Shingles {
 
   private val md5: ThreadLocal[MessageDigest] =
@@ -467,6 +519,59 @@ object Shingles {
     new GenericArrayData(out.toArray)
   }
 
+  def tokenCounts(s: UTF8String, mode: Int): GenericArrayData = {
+    if (mode < 0 || mode > 1) throw new IllegalArgumentException(
+      s"graft_token_counts: mode must be 0 or 1, got $mode")
+    val b = s.getBytes
+    val starts = tokenStarts(b)
+    val nTok = starts.length - 1
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](nTok * 2)
+    var k = 0
+    while (k < nTok) {
+      val from = starts(k)
+      val len = starts(k + 1) - 1 - from
+      if (mode == 0 || len > 0) {
+        val tok = UTF8String.fromBytes(b, from, len)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L)) else c(0) += 1
+      }
+      k += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def featureHash(s: UTF8String): GenericInternalRow = {
+    val b = s.getBytes
+    val starts = tokenStarts(b)
+    val nTok = starts.length - 1
+    val n = new Array[Long](64)
+    var k = 0
+    while (k < nTok) {
+      val from = starts(k)
+      n((h32Of(b, from, starts(k + 1) - 1 - from) % 64).toInt) += 1
+      k += 1
+    }
+    var nnz = 0L; var l2sq = 0L; var topBucket = 0L; var topCount = 0L
+    var bkt = 0
+    while (bkt < 64) {
+      val c = n(bkt)
+      if (c > 0) {
+        nnz += 1; l2sq += c * c
+        if (c > topCount) { topCount = c; topBucket = bkt }
+      }
+      bkt += 1
+    }
+    new GenericInternalRow(Array[Any](nnz, l2sq, topBucket, topCount))
+  }
+
   private def reg(spark: SparkSession, name: String, cls: Class[_],
                   build: Seq[Expression] => Expression): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -497,6 +602,12 @@ object Shingles {
     })
     reg(spark, "graft_tile_md5", classOf[TileMd5], children => {
       require(children.size == 2); TileMd5(children(0), children(1))
+    })
+    reg(spark, "graft_token_counts", classOf[TokenCounts], children => {
+      require(children.size == 2); TokenCounts(children(0), children(1))
+    })
+    reg(spark, "graft_feature_hash", classOf[FeatureHashStats], children => {
+      require(children.size == 1); FeatureHashStats(children.head)
     })
   }
 }

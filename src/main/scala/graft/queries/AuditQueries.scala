@@ -139,7 +139,9 @@ object AuditQueries {
         Tables.orders(s, d)
           .groupBy(key.as("v")).agg(count(lit(1)).as("c"))
           .agg(
-            sum(col("c")).as("n_rows"),
+            // coalesce: the old single-aggregate count(*) returned 0 on
+            // an empty table where SUM returns NULL (ADVICE r10)
+            coalesce(sum(col("c")), lit(0L)).as("n_rows"),
             coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_null"),
             count(col("v")).as("n_distinct"),
             mn(min(col("v"))).as("min_repr"),

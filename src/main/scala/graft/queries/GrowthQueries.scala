@@ -293,26 +293,32 @@ object GrowthQueries {
          |       CAST(32 AS BIGINT) AS n_replicates
          |FROM pt, arr""".stripMargin
     }) { (s, d) =>
-      import graft.functions.Portable.h32
+      // round 11: ONE events pass. The 32 replicate weights come from a
+      // codegen kernel (functions/BootWeights.scala — one thread-local
+      // digest over the same "boot|b|id" bytes) instead of 32
+      // interpreted md5(concat…)→hex→conv chains per event, and the
+      // point estimate (n, Σx) rides the SAME per-replicate rollup as
+      // per-replicate (count, Σx) read at b = 0 — the separate pt
+      // branch re-scanned events. coalesce keeps n = 0 on an empty
+      // purchase set, matching COUNT(*).
+      graft.functions.BootWeights.register(s)
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), cents(col("value")).as("x"))
-      val hw = p.select(col("x"), col("event_id"),
-                        explode(sequence(lit(0), lit(31))).as("b"))
-        .withColumn("h", h32(concat(lit("boot|"), col("b").cast("string"),
-                                    lit("|"), col("event_id").cast("string"))))
-      val w = hw.withColumn("w",
-        when(col("h") < 1580030168L, 0L).when(col("h") < 3160060337L, 1L)
-          .when(col("h") < 3950075421L, 2L).when(col("h") < 4213413783L, 3L)
-          .when(col("h") < 4279248373L, 4L).when(col("h") < 4292415291L, 5L)
-          .when(col("h") < 4294609777L, 6L).otherwise(7L))
-      val mm = w.groupBy("b")
-        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
-        .select(when(col("sw") === 0, lit(0.0))
-                  .otherwise(col("swx").cast("double") / col("sw").cast("double")).as("mb"))
-      val arr = mm.agg(sort_array(collect_list(col("mb"))).as("a"))
-      val pt = p.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-      pt.crossJoin(broadcast(arr))
+      val hw = p.select(col("x"),
+        posexplode(expr("graft_boot_weights(event_id)")).as(Seq("b", "w")))
+      val mmFull = hw.groupBy("b")
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"),
+             count(lit(1)).as("nb"), sum(col("x")).as("sxb"))
+      mmFull
+        .select(col("b"),
+                when(col("sw") === 0, lit(0.0))
+                  .otherwise(col("swx").cast("double") / col("sw").cast("double"))
+                  .as("mb"),
+                col("nb"), col("sxb"))
+        .agg(sort_array(collect_list(col("mb"))).as("a"),
+             coalesce(sum(when(col("b") === 0, col("nb"))), lit(0L)).as("n"),
+             sum(when(col("b") === 0, col("sxb"))).as("sx"))
         .select(col("n").as("n_purchases"),
                 (col("sx").cast("double") / col("n").cast("double")).as("point_mean_cents"),
                 element_at(col("a"), 2).as("boot_lo"),

@@ -141,25 +141,24 @@ object MultimodalQueries {
         |       CAST(SUM(CASE WHEN ss < 10000 * n THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
         |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
+      // one-pass kernel (round 11, functions/PixelKernels.AudioEnergyStats):
+      // the posexplode + two hash aggregates re-walked the text per char
+      // and shuffled ≤256 sample rows/doc; the whole profile is a bounded
+      // in-row fold (the mm_dhash recipe). Sort first, fold after (the
+      // q61 move): the ORDER BY's range sampler executes a map-only child
+      // twice. st.n_frames > 0 ≡ the old length(text) > 0 guard. Parity
+      // pinned in PixelKernelsSpec.
+      graft.functions.AudioEnergyStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+        .select(col("doc_id"), expr("graft_audio_energy(text)").as("st"))
+        .filter(col("st.n_frames") > 0)
         .select(col("doc_id"),
-                posexplode(expr("slice(split(text, ''), 1, 256)"))
-                  .as(Seq("i", "ch")))
-        .select(col("doc_id"), expr("i div 16").as("frame"),
-                ascii(col("ch")).cast("long").as("p"))
-      px.groupBy("doc_id", "frame")
-        .agg(sum(col("p") * col("p")).as("ss"), count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_frames"),
-             sum(col("ss")).as("energy_total"),
-             sum(when(col("ss") < lit(10000L) * col("n"), 1).otherwise(0))
-               .cast("int").as("silence_frames"))
-        .select(col("doc_id"), col("n_frames"), col("energy_total"),
-                col("silence_frames"),
-                (col("silence_frames").cast("double") / col("n_frames").cast("double"))
-                  .as("silence_ratio"))
-        .orderBy("doc_id")
+                col("st.n_frames").cast("int").as("n_frames"),
+                col("st.energy_total").as("energy_total"),
+                col("st.silence_frames").cast("int").as("silence_frames"),
+                (col("st.silence_frames").cast("double")
+                   / col("st.n_frames").cast("double")).as("silence_ratio"))
     },
 
     // Leading/trailing silence TRIM points — the clip-extraction step
@@ -192,26 +191,21 @@ object MultimodalQueries {
         |       CAST(n_frames - COALESCE(last_sound - first_sound + 1, 0) AS BIGINT)
         |         AS trimmed_frames
         |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
+      // one-pass kernel (round 11, functions/PixelKernels.SilenceTrimStats)
+      // — same move as mm_audio_energy above; all-silent docs fold to
+      // NULL endpoints exactly like the conditional MIN/MAX.
+      graft.functions.SilenceTrimStats.register(s)
+      val kept = coalesce(col("st.last_sound") - col("st.first_sound") + 1, lit(0L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+        .select(col("doc_id"), expr("graft_silence_trim(text)").as("st"))
+        .filter(col("st.n_frames") > 0)
         .select(col("doc_id"),
-                posexplode(expr("slice(split(text, ''), 1, 256)"))
-                  .as(Seq("i", "ch")))
-        .select(col("doc_id"), expr("i div 16").as("frame"),
-                ascii(col("ch")).cast("long").as("p"))
-      val ag = px.groupBy("doc_id", "frame")
-        .agg(sum(col("p") * col("p")).as("ss"), count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_frames"),
-             min(when(col("ss") >= lit(10000L) * col("n"), col("frame")))
-               .cast("long").as("first_sound"),
-             max(when(col("ss") >= lit(10000L) * col("n"), col("frame")))
-               .cast("long").as("last_sound"))
-      val kept = coalesce(col("last_sound") - col("first_sound") + 1, lit(0L))
-      ag.select(col("doc_id"), col("n_frames"), col("first_sound"), col("last_sound"),
+                col("st.n_frames").cast("int").as("n_frames"),
+                col("st.first_sound").as("first_sound"),
+                col("st.last_sound").as("last_sound"),
                 kept.as("kept_frames"),
-                (col("n_frames") - kept).cast("long").as("trimmed_frames"))
-        .orderBy("doc_id")
+                (col("st.n_frames") - kept).cast("long").as("trimmed_frames"))
     },
 
     // Perceptual average-hash (aHash) over the deterministic fake raster
@@ -417,24 +411,20 @@ object MultimodalQueries {
         |FROM mx m JOIN bc b ON m.doc_id = b.doc_id AND b.c = m.mode_count
         |GROUP BY m.doc_id, m.n_px, m.n_buckets, m.mode_count, m.p_hi - m.p_lo
         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
-      val px = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-                posexplode(expr("slice(split(text, ''), 1, 256)")).as(Seq("i", "ch")))
-        .select(col("doc_id"), ascii(col("ch")).cast("long").as("p"))
-      val bc = px.groupBy(col("doc_id"), expr("p div 32").as("bucket"))
-        .agg(count(lit(1)).as("c"), min(col("p")).as("pmin"), max(col("p")).as("pmax"))
-      val mx = bc.groupBy("doc_id")
-        .agg(sum(col("c")).as("n_px"), count(lit(1)).as("n_buckets"),
-             max(col("c")).as("mode_count"),
-             min(col("pmin")).as("p_lo"), max(col("pmax")).as("p_hi"))
-      mx.join(bc.select(col("doc_id"), col("bucket"), col("c")), "doc_id")
-        .filter(col("c") === col("mode_count"))
-        .groupBy("doc_id", "n_px", "n_buckets", "mode_count", "p_lo", "p_hi")
-        .agg(min(col("bucket")).as("mode_bucket"))
-        .select(col("doc_id"), col("n_px"), col("n_buckets"), col("mode_bucket"),
-                col("mode_count"), (col("p_hi") - col("p_lo")).as("dynamic_range"))
-        .orderBy("doc_id")
+      // one-pass kernel (round 11, functions/PixelKernels.PixelHistStats):
+      // the exploded form paid a (doc, bucket) aggregate, a per-doc
+      // rollup AND a mode-tiebreak self-join; the whole histogram is a
+      // ≤256-entry in-row fold with the same min-bucket tie-break.
+      graft.functions.PixelHistStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+        .select(col("doc_id"), expr("graft_pixel_hist(text)").as("st"))
+        .filter(col("st.n_px") > 0)
+        .select(col("doc_id"), col("st.n_px").as("n_px"),
+                col("st.n_buckets").as("n_buckets"),
+                col("st.mode_bucket").as("mode_bucket"),
+                col("st.mode_count").as("mode_count"),
+                (col("st.p_hi") - col("st.p_lo")).as("dynamic_range"))
     }
   )
 }

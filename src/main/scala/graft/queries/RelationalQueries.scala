@@ -256,10 +256,13 @@ object RelationalQueries {
       // map-side-combined partial whose exchange carries only that
       // column's distinct pairs, and the scans prune to two columns
       val li = Tables.lineitem(s, d)
+      // count(col(key)), not count(*): COUNT(DISTINCT key) ignores a
+      // NULL key, so the outer count must skip the NULL-key group
+      // (inert for lineitem's non-null keys; ADVICE r10)
       def nd(key: String, as: String) =
         li.select(col("l_returnflag"), col(key))
           .groupBy("l_returnflag", key).agg(count(lit(1)))
-          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+          .groupBy("l_returnflag").agg(count(col(key)).as(as))
       nd("l_partkey", "nd_part")
         .join(nd("l_suppkey", "nd_supp"), Seq("l_returnflag"))
         .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt")),

@@ -53,23 +53,28 @@ object RelationalQueries14 {
   /** One estimated join: per-key count frames (key col aliased `k`),
     * returns the 1-row summary. */
   private[graft] def estimateJoin(name: String, aCnt: DataFrame, bCnt: DataFrame): DataFrame = {
-    val dom = aCnt.select(col("k")).union(bCnt.select(col("k"))).distinct()
+    // ONE full-outer join of the two per-key count frames replaces the
+    // round-10 shape in which EACH side's scan + groupBy executed four
+    // times (domain-for-sample, domain-for-nd, the sample's two lookup
+    // joins, the exact companion join) — guide §1.2 "don't compute
+    // things you throw away". The joined frame is exactly the distinct
+    // key domain with both multiplicities attached: nd and the exact
+    // Σ ca·cb come from one aggregate pass (SUM skips the NULL products
+    // of single-side keys, so the inner-join semantics are preserved),
+    // and the K-smallest-hash sample carries ca/cb with it, so the
+    // sampled Σ needs no lookup joins at all.
+    val f = aCnt.withColumnRenamed("cnt", "ca")
+      .join(bCnt.withColumnRenamed("cnt", "cb"), Seq("k"), "full_outer")
       .withColumn("hv", Portable.h32(concat(col("k").cast("string"), lit("|jest"))))
+    val tot = f.agg(count(lit(1)).as("nd"),
+                    coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
     // K smallest hashes: TakeOrdered, never a full sort; (hv, k) order
     // makes md5 collisions (deterministic in both engines) unambiguous
-    val sample = dom.orderBy(col("hv"), col("k")).limit(K)
-    val sk = broadcast(sample)
-    val sampSum = sk
-      .join(aCnt.withColumnRenamed("cnt", "ca"), Seq("k"), "left")
-      .join(bCnt.withColumnRenamed("cnt", "cb"), Seq("k"), "left")
+    val sampSum = f.orderBy(col("hv"), col("k")).limit(K)
       .agg(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L))).as("ss"),
            count(lit(1)).as("k_used"),
            max(col("hv")).as("theta"))
-    val exact = aCnt.withColumnRenamed("cnt", "ca")
-      .join(bCnt.withColumnRenamed("cnt", "cb"), Seq("k"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
-    val nd = dom.agg(count(lit(1)).as("nd"))
-    sampSum.crossJoin(exact).crossJoin(nd)
+    sampSum.crossJoin(tot)
       .select(
         lit(name).as("join_name"),
         col("k_used"),

@@ -67,8 +67,16 @@ object RelationalQueries20 {
         .join(broadcast(Tables.nation(s, d)),
               col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // round 11 (guide §3.2): the Africa semi-join runs BEFORE the
+      // corpus-scale lineitem⋈orders join, not after it — orders shrink
+      // ~5× (one region of five) before they are shuffled on orderkey,
+      // and the optimizer's runtime Bloom filter can prune lineitem
+      // against the filtered orders side. Semi-filters on orders
+      // attributes commute with the orderkey equi-join, so the result
+      // is row-identical.
+      val ordAfrica = ord
         .join(custAfrica, col("o_custkey") === col("c_custkey"), "left_semi")
+      li.join(ordAfrica, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .groupBy("yr")
         .agg(sum("rev_c").as("total_rev_c"),

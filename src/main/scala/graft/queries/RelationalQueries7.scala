@@ -25,12 +25,17 @@ object RelationalQueries7 {
          |       quantile_cont(l_quantity, 0.5) AS sample_median,
          |       quantile_cont(l_quantity, 0.9) AS sample_p90
          |FROM s""".stripMargin) { (s, d) =>
+      // round 11: BOTH quantiles from ONE percentile buffer — the
+      // two-aggregate form built and sorted two copies of the 10%
+      // sample per task (guide §5: per-task state).
       Tables.lineitem(s, d)
         .filter(h60(concat(col("l_orderkey").cast("string"), lit("|"),
                            col("l_linenumber").cast("string"))) % 10 === 0)
         .agg(count(lit(1)).as("n_sampled"),
-             expr("percentile(l_quantity, 0.5)").as("sample_median"),
-             expr("percentile(l_quantity, 0.9)").as("sample_p90"))
+             expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"))
+        .select(col("n_sampled"),
+                element_at(col("pq"), 1).as("sample_median"),
+                element_at(col("pq"), 2).as("sample_p90"))
     },
 
     // Compaction view: latest event per user (the Kafka log-compaction

@@ -321,13 +321,20 @@ object SimilarityQueries5 {
          |SELECT doc_id, rrf_s, r_lex, r_den FROM f
          |ORDER BY rrf_s DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       FloatDot.register(s)
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .distinct()
-      val q = g.filter(col("doc_id") === 0).select(col("token"))
+      // round 11: the corpus-wide (doc, token) DISTINCT exchange — which
+      // every lexical-arm consumer re-executed — is now the in-row
+      // first-occurrence-distinct token kernel (graft_shingles n=1
+      // mode 1 ≡ distinct split tokens, empties kept); nd is just the
+      // array size, map-side, no explode at all.
+      graft.functions.Shingles.register(s)
+      val dtok = Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_shingles(text, 1, 1)").as("toks"))
+      val q = dtok.filter(col("doc_id") === 0)
+        .select(explode(col("toks")).as("token"))
       val qn = q.agg(count(lit(1)).as("qn"))
-      val nd = g.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-      val ov = g.filter(col("doc_id") =!= 0)
+      val nd = dtok.select(col("doc_id"), size(col("toks")).cast("long").as("nd"))
+      val ov = dtok.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
         .join(broadcast(q), "token")
         .groupBy("doc_id").agg(count(lit(1)).as("ov"))
       val lex = ov.join(nd, "doc_id").crossJoin(broadcast(qn))

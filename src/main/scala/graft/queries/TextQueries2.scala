@@ -43,20 +43,21 @@ object TextQueries2 {
          |       CAST(MIN(CASE WHEN rn = 1 THEN bucket END) AS INTEGER) AS top_bucket,
          |       CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_count
          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val bk = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .select(col("doc_id"),
-                pmod(graft.functions.Portable.h32(col("token")), lit(FDIM)).as("bucket"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("bucket"))
-      bk.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("nnz"),
-             sum(col("n") * col("n")).as("l2sq"),
-             min(when(col("rn") === 1, col("bucket"))).cast("int").as("top_bucket"),
-             min(when(col("rn") === 1, col("n"))).as("top_count"))
-        .orderBy("doc_id")
+      // one-pass kernel (round 11, functions/Shingles.FeatureHashStats):
+      // the exploded form paid a per-token interpreted md5→hex→conv
+      // chain, a (doc, bucket) aggregate exchange, a per-doc rank window
+      // exchange AND a per-doc rollup; the whole profile is a 64-counter
+      // in-row fold (same tie-break: max count, then lowest bucket).
+      // Sort first, fold after (the q61 move). Parity vs the exploded
+      // form pinned in TokenKernelsSpec.
+      graft.functions.Shingles.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+        .select(col("doc_id"), expr("graft_feature_hash(text)").as("st"))
+        .select(col("doc_id"), col("st.nnz").cast("int").as("nnz"),
+                col("st.l2sq").as("l2sq"),
+                col("st.top_bucket").cast("int").as("top_bucket"),
+                col("st.top_count").as("top_count"))
     },
 
     // Overlapping token-window chunking: one row per (doc, chunk) with
@@ -109,21 +110,27 @@ object TextQueries2 {
         |FROM idx i JOIN occ o ON i.token = o.token
         |ORDER BY i.token""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val occ = tok.groupBy(col("token").as("o_token"))
-        .agg(count(lit(1)).as("n_occurrences"))
+      // ONE tokenize pass (round 11): graft_token_counts emits each
+      // document's distinct tokens WITH their occurrence counts in-row,
+      // so the (token, doc) distinct exchange disappears, df and
+      // n_occurrences come from the same rollup (df = COUNT of distinct
+      // pairs, n_occurrences = SUM of the in-row counts), and the
+      // separate occ branch — a second full explode + aggregate + join —
+      // is gone. One token-keyed exchange feeds the cap window and the
+      // rollup reuses its partitioning.
+      graft.functions.Shingles.register(s)
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("graft_token_counts(text, 0)")).as("tc"))
+        .select(col("tc.token").as("token"), col("doc_id"),
+                col("tc.cnt").as("n_td"))
       val w = Window.partitionBy("token").orderBy("doc_id")
-      val capped = tok.select(col("token"), col("doc_id")).distinct()
-        .withColumn("rn", row_number().over(w))
-      // the groupBy consumes every (token, doc) row, so COUNT(*) IS the
-      // document frequency — no second window pass needed
-      val idx = capped.groupBy("token")
+      td.withColumn("rn", row_number().over(w))
+        .groupBy("token")
         .agg(count(lit(1)).as("df"),
+             sum(col("n_td")).as("n_occurrences"),
              array_join(
                transform(array_sort(collect_list(when(col("rn") <= 10, col("doc_id")))),
                          _.cast("string")), ",").as("postings"))
-      idx.join(occ, col("token") === col("o_token"))
         .select(col("token"), col("df"), col("n_occurrences"), col("postings"))
         .orderBy("token")
     },

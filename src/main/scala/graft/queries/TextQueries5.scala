@@ -260,12 +260,19 @@ object TextQueries5 {
          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df, score_s
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // round 11: graft_token_counts folds the (doc, token) counting
+      // in-row, deleting the (doc, token) aggregate exchange that every
+      // consumer of tf re-executed; n_docs (docs with ≥1 non-empty
+      // token ⟺ any non-space char) comes from a cheap trim scan
+      // instead of a third full tokenize + distinct pass.
+      graft.functions.Shingles.register(s)
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), explode(expr("graft_token_counts(text, 1)")).as("tc"))
+        .select(col("doc_id"), col("tc.token").as("token"), col("tc.cnt").as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+      val nd = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_s").desc, col("token"))
       tf.join(df, "token").crossJoin(broadcast(nd))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 class GramRewriteSpec extends SparkSpec {
 
+  // fixture dirs are deleted after the suite (ADVICE r10: they leaked)
+  private val tmpDirs = scala.collection.mutable.Buffer.empty[String]
+  private def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs += dir
+    dir
+  }
+  override def afterAll(): Unit = {
+    try tmpDirs.foreach(d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+    finally super.afterAll()
+  }
+
   private def rows(name: String, dir: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toSeq)
 
@@ -53,7 +66,7 @@ class GramRewriteSpec extends SparkSpec {
 
   test("sorted-neighborhood LEAD rewrite: langs smaller than the window, tied heads") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("gram_sn").toString
+    val dir = tmpDir("gram_sn")
     val docs = Seq(
       // lang with ONE doc (no successors at any k), two docs, three docs
       (1L, "aa", "solo doc text here", "s1"),
@@ -102,7 +115,7 @@ class GramRewriteSpec extends SparkSpec {
 
   test("gram-novelty rewrite: short docs, all-novel docs, all-stale docs") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("gram_nv").toString
+    val dir = tmpDir("gram_nv")
     val docs = Seq(
       (1L, "en", "a b c d e f g h", "s"),         // all grams first-seen here
       (2L, "en", "a b c d e f g h", "s"),         // exact dup: zero novel

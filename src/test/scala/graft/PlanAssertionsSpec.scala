@@ -85,6 +85,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(generates.size == 1, s"expected exactly the chunk explode, got ${generates.size}")
   }
 
+  test("q61/q62/q37: the parse stays ABOVE the declared sort (sort-first barrier)") {
+    // the round-10 sort-first rewrite depends on the optimizer neither
+    // re-inlining the parse below the Sort nor collapsing the
+    // explode(array(…)) barrier; a Spark upgrade could silently regress
+    // it (ADVICE r10). The parse marker must not appear anywhere in the
+    // Sort's subtree — there the range sampler would execute it twice.
+    for ((q, marker) <- Seq(("q61_xml_extract", "from_xml"),
+                            ("q62_variant_path", "variant"),
+                            ("q37_from_json", "from_json"))) {
+      val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val sorts = sp.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.nonEmpty, s"$q lost its sort-first Sort")
+      val below = sorts.exists(_.toString.toLowerCase.contains(marker))
+      assert(!below, s"$q: the $marker parse slid below the Sort:\n${sp.toString}")
+      val gens = sp.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.exists(_.collectFirst {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isDefined), s"$q: the Generate parse barrier no longer sits above the Sort")
+    }
+  }
+
   test("el_consume_offset: TakeOrderedAndProject, no global sort") {
     val p = plan("el_consume_offset")
     assert(p.contains("TakeOrderedAndProject"), p)
